@@ -1,0 +1,213 @@
+"""Data-parallel frame decoder for the 11-byte v3 wire format.
+
+The reference decodes with a sequential byte cursor + 1-byte resync
+(serial_hex_to_excel_v3.py:41-103): at position i, if byte[i] is a flag
+(0xCC/0x33) and the next 10 bytes carry the right 2-bit tag classes
+(UE=00, BS=11, CLK x5=01, RSS x3=10) a frame is emitted and the cursor
+jumps +11; otherwise it advances +1.
+
+Parallel formulation — a theorem about this wire format makes the greedy
+resync embarrassingly parallel:
+
+    Two valid frame starts can never be closer than 11 bytes.
+
+Proof sketch: suppose ok[i] and ok[j] with 0 < j-i < 11.  Frame i fixes the
+tag class of byte j: offsets 1..10 have classes (00,11,01,01,01,01,01,10,
+10,10).  ok[j] needs byte j to be 0xCC (class 11) or 0x33 (class 00), so
+only offsets 1 (0x33) or 2 (0xCC) are candidates; but then frame j's UE byte
+(offset j+1) lands on a byte frame i constrains to class 11 (for j=i+1) or
+01 (for j=i+2) while UE requires class 00 — contradiction.  Hence valid
+starts are >=11 apart, the greedy cursor reaches every one of them, and
+
+    emitted frames == ALL positions with a fully valid 11-byte window.
+
+So the decode is one vectorized mask + gather — no scan, no DFA carry.  The
+numpy path below additionally reproduces the reference's discard counter and
+truncated-tail break semantics exactly; the JAX path is the device kernel
+(static shapes, frame-capacity padding) used by the batched/streaming
+pipelines.  tests/test_decode.py asserts mask==greedy on every shipped log.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+from slam_process_tpu.config import DecodeConfig
+
+_DEFAULT = DecodeConfig()
+
+# Tag classes for frame offsets 1..10 (UE, BS, CLK x5, RSS x3).
+_OFFSET_TAGS = (0b00, 0b11, 0b01, 0b01, 0b01, 0b01, 0b01, 0b10, 0b10, 0b10)
+
+
+def frame_start_mask(b: np.ndarray, cfg: DecodeConfig = _DEFAULT) -> np.ndarray:
+    """Vectorized validity mask: ok[i] == frame starts at byte i.
+
+    Positions within 10 bytes of the end are always False (a full frame
+    does not fit).
+    """
+    b = np.asarray(b, dtype=np.uint8)
+    n = b.shape[0]
+    ok = (b == cfg.flag_true) | (b == cfg.flag_false)
+    top = (b >> 6).astype(np.uint8)
+    for d, tag in enumerate(_OFFSET_TAGS, start=1):
+        shifted = np.empty(n, dtype=bool)
+        shifted[: n - d] = top[d:] == tag
+        shifted[n - d :] = False
+        ok &= shifted
+    return ok
+
+
+def extract_fields(b: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Gather frame fields at the given start indices.
+
+    Returns frames[F, 5] int64: (FLAG, UE, BS, RSS, CLK).
+    CLK is five little-endian 6-bit limbs -> 30-bit counter
+    (serial_hex_to_excel_v3.py:93-95); RSS is three limbs -> 18 bits (:97).
+    """
+    b = np.asarray(b, dtype=np.int64)
+    w = b[starts[:, None] + np.arange(11)]
+    flag = (w[:, 0] == _DEFAULT.flag_true).astype(np.int64)
+    ue = w[:, 1] & 0x3F
+    bs = w[:, 2] & 0x3F
+    clk = np.zeros(len(starts), dtype=np.int64)
+    for k in range(5):
+        clk |= (w[:, 3 + k] & 0x3F) << (6 * k)
+    rss = (w[:, 8] & 0x3F) | ((w[:, 9] & 0x3F) << 6) | ((w[:, 10] & 0x3F) << 12)
+    return np.stack([flag, ue, bs, rss, clk], axis=1)
+
+
+class DecodeResult(NamedTuple):
+    frames: np.ndarray      # [F, 5] int64 (flag, ue, bs, rss, clk)
+    valid: int              # == F
+    discarded: int          # reference-parity discard counter
+
+
+def decode_frames_np(b: np.ndarray, cfg: DecodeConfig = _DEFAULT) -> DecodeResult:
+    """Host (numpy) decode with exact reference counter semantics.
+
+    The discard counter counts cursor-visited flag bytes that fail the tag
+    checks; a visited flag byte within 10 bytes of the end counts once and
+    stops the parse (serial_hex_to_excel_v3.py:53-57 'break').  Visited ==
+    not covered by an emitted frame (see module docstring).
+    """
+    b = np.asarray(b, dtype=np.uint8)
+    n = b.shape[0]
+    ok = frame_start_mask(b, cfg)
+    starts = np.nonzero(ok)[0]
+    frames = extract_fields(b, starts) if starts.size else np.zeros((0, 5), np.int64)
+
+    # --- reference-parity discard counting (host only, cheap) -------------
+    isflag = (b == cfg.flag_true) | (b == cfg.flag_false)
+    covered = np.zeros(n + 1, dtype=np.int32)
+    if starts.size:
+        covered[starts] += 1
+        covered[np.minimum(starts + cfg.frame_len, n)] -= 1
+    visited = np.cumsum(covered[:n]) == 0
+    visited_flags = isflag & visited
+    # Truncated tail: the FIRST visited flag with < frame_len bytes left
+    # counts one discard and breaks the loop.
+    tail_lo = max(n - cfg.frame_len + 1, 0)
+    tail_hits = np.nonzero(visited_flags[tail_lo:])[0]
+    if tail_hits.size:
+        break_at = tail_lo + tail_hits[0]
+        discarded = int(np.count_nonzero(visited_flags[:break_at] & ~ok[:break_at])) + 1
+    else:
+        discarded = int(np.count_nonzero(visited_flags & ~ok))
+    return DecodeResult(frames, int(starts.size), discarded)
+
+
+def decode_frames_greedy_np(
+    b: np.ndarray, cfg: DecodeConfig = _DEFAULT
+) -> DecodeResult:
+    """Literal sequential-cursor decode (slow; oracle for equivalence tests)."""
+    b = np.asarray(b, dtype=np.uint8)
+    n = b.shape[0]
+    ok = frame_start_mask(b, cfg)
+    isflag = (b == cfg.flag_true) | (b == cfg.flag_false)
+    starts = []
+    discarded = 0
+    i = 0
+    while i < n:
+        if not isflag[i]:
+            i += 1
+            continue
+        if i + cfg.frame_len > n:
+            discarded += 1
+            break
+        if ok[i]:
+            starts.append(i)
+            i += cfg.frame_len
+        else:
+            discarded += 1
+            i += 1
+    starts = np.asarray(starts, dtype=np.int64)
+    frames = extract_fields(b, starts) if starts.size else np.zeros((0, 5), np.int64)
+    return DecodeResult(frames, len(starts), discarded)
+
+
+# ---------------------------------------------------------------------------
+# JAX / device path
+# ---------------------------------------------------------------------------
+
+
+def decode_frames_jax(
+    b,  # jnp.ndarray uint8 [N]
+    capacity: int,
+    cfg: DecodeConfig = _DEFAULT,
+) -> Tuple:
+    """Jittable decode: byte tensor -> padded frame tensor.
+
+    Returns (frames[capacity, 5] int32, count int32).  Rows past ``count``
+    are zero-filled; ``capacity`` must be static (N // 11 + 1 always fits by
+    the >=11-spacing theorem).  Runs entirely on device: ~10 shifted compares
+    over the byte tensor (VPU, HBM-bandwidth bound) + one compaction gather.
+    """
+    import jax.numpy as jnp
+
+    b = b.astype(jnp.uint8)
+    n = b.shape[0]
+    ok = (b == cfg.flag_true) | (b == cfg.flag_false)
+    top = (b >> 6).astype(jnp.uint8)
+    pad_top = jnp.concatenate([top, jnp.full((10,), 255, dtype=jnp.uint8)])
+    for d, tag in enumerate(_OFFSET_TAGS, start=1):
+        ok = ok & (jax_slice(pad_top, d, n) == tag)
+
+    count = jnp.sum(ok.astype(jnp.int32))
+    starts = jnp.nonzero(ok, size=capacity, fill_value=n)[0]
+
+    w_idx = starts[:, None] + jnp.arange(11)[None, :]
+    pad_b = jnp.concatenate([b, jnp.zeros((11,), dtype=jnp.uint8)])
+    w = pad_b[w_idx].astype(jnp.int32)
+
+    flag = (w[:, 0] == cfg.flag_true).astype(jnp.int32)
+    ue = w[:, 1] & 0x3F
+    bs = w[:, 2] & 0x3F
+    clk = (
+        (w[:, 3] & 0x3F)
+        | ((w[:, 4] & 0x3F) << 6)
+        | ((w[:, 5] & 0x3F) << 12)
+        | ((w[:, 6] & 0x3F) << 18)
+        | ((w[:, 7] & 0x3F) << 24)
+    )
+    rss = (w[:, 8] & 0x3F) | ((w[:, 9] & 0x3F) << 6) | ((w[:, 10] & 0x3F) << 12)
+    in_range = (starts < n).astype(jnp.int32)
+    frames = jnp.stack(
+        [flag * in_range, ue * in_range, bs * in_range, rss * in_range, clk * in_range],
+        axis=1,
+    )
+    return frames, count
+
+
+def jax_slice(padded, d: int, n: int):
+    """padded[d : d + n] with a static window (helper for shifted compares)."""
+    import jax.lax as lax
+
+    return lax.dynamic_slice_in_dim(padded, d, n)
+
+
+def frame_capacity(n_bytes: int, cfg: DecodeConfig = _DEFAULT) -> int:
+    """Static frame-count upper bound for a byte-stream length."""
+    return n_bytes // cfg.frame_len + 1

@@ -1,0 +1,90 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding correctness is tested
+on a virtual 8-device CPU topology (the driver separately dry-run-compiles
+the multi-chip path via __graft_entry__.dryrun_multichip)."""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = Path("/root/reference")
+DEBUGDOC = REFERENCE / "debugDoc"
+CACHE = REPO_ROOT / "tests" / "_cache"
+
+# A small session (18.6k frames) used for fast golden tests.
+SMALL_LOG = DEBUGDOC / "256-0x16-Serial Debug 2026-01-26 164520.txt"
+SMALL_PARSED = DEBUGDOC / "Serial Debug 2026-01-26 164520.xlsx"
+SMALL_FILTERED = DEBUGDOC / "Serial Debug 2026-01-26 164520_filtered.xlsx"
+SMALL_LOG_2026_02_06 = DEBUGDOC / "Serial Debug 2026-02-06 091211.txt"
+PARSED_2026_02_06 = DEBUGDOC / "Serial Debug 2026-02-06 091211.xlsx"
+FILTERED_2026_02_06 = DEBUGDOC / "Serial Debug 2026-02-06 091211_filtered.xlsx"
+BEAM_ANGLE = REFERENCE / "beam_angle.xlsx"
+
+
+def _cached(name: str, builder):
+    """Parse-once cache for golden tables (xlsx parsing is the slow part)."""
+    CACHE.mkdir(parents=True, exist_ok=True)
+    path = CACHE / f"{name}.npz"
+    if path.exists():
+        with np.load(path) as z:
+            return z["data"]
+    data = builder()
+    np.savez_compressed(path, data=data)
+    return data
+
+
+@pytest.fixture(scope="session")
+def small_log_bytes():
+    from slam_process_tpu.io import read_hex_log
+
+    return read_hex_log(SMALL_LOG, engine="numpy")
+
+
+@pytest.fixture(scope="session")
+def small_parsed_golden():
+    from slam_process_tpu.io.schemas import read_parsed_table
+
+    return _cached("parsed_164520", lambda: read_parsed_table(SMALL_PARSED))
+
+
+@pytest.fixture(scope="session")
+def small_filtered_golden():
+    from slam_process_tpu.io.schemas import read_filtered_table
+
+    return _cached("filtered_164520", lambda: read_filtered_table(SMALL_FILTERED))
+
+
+@pytest.fixture(scope="session")
+def parsed_golden_020606():
+    from slam_process_tpu.io.schemas import read_parsed_table
+
+    return _cached("parsed_091211", lambda: read_parsed_table(PARSED_2026_02_06))
+
+
+@pytest.fixture(scope="session")
+def filtered_golden_020606():
+    from slam_process_tpu.io.schemas import read_filtered_table
+
+    return _cached("filtered_091211", lambda: read_filtered_table(FILTERED_2026_02_06))
+
+
+@pytest.fixture(scope="session")
+def angle_lut64():
+    from slam_process_tpu.io.angles import load_angle_lut
+
+    return load_angle_lut(BEAM_ANGLE)
