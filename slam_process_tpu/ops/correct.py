@@ -1,0 +1,223 @@
+"""CLK-based BS-beam reconstruction + filtering (stage 2).
+
+The hardware reports a placeholder BS index (0xFF -> 63) on normal frames;
+only rare FLAG=1 baseline frames carry the true index.  The reference
+(bs_beam_correction.py) reconstructs the per-frame BS beam from the 30-bit
+CLK counter knowing the BS advances one beam every CYCLE=61000 ticks:
+
+  * sweep groups: new group where UE_Beam decreases vs the previous row
+    (:43-47);
+  * baselines: rows with a FLAG 0->1 transition AND RSS equal to the
+    previous row; the pair is (CLK of the previous row, BS of the flag row)
+    (:50-61);
+  * per FLAG=0 row: for each baseline, d = clk - clk_b, k = round(d/CYCLE);
+    accept if |d - k*CYCLE| <= TOL; corrected = (bs_b + k) % 64; choose the
+    min-residual candidate, first baseline winning ties (:140-178);
+  * filtered output keeps ONLY corrected rows: (UE, corrected BS, RSS, CLK).
+
+The reference runs a Python iterrows x baselines loop; here the whole
+computation is one broadcast over a padded per-group baseline table
+[G, Bmax] — frames x Bmax integer ops, fully vectorized on host (numpy) and
+device (jit).  Integer arithmetic throughout: CLK < 2^30 so diffs fit int32;
+round-half ties land at residual CYCLE/2 = 30500 >> TOL and can never be
+accepted, so round-half-to-even vs half-up is immaterial (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+from slam_process_tpu.config import CorrectConfig
+
+_DEFAULT = CorrectConfig()
+
+
+# ---------------------------------------------------------------------------
+# numpy host path (oracle + fast host execution)
+# ---------------------------------------------------------------------------
+
+
+def detect_groups_np(ue: np.ndarray) -> np.ndarray:
+    """Sweep segmentation: group id per row (UE decrease starts a group)."""
+    ue = np.asarray(ue)
+    boundary = np.ones(len(ue), dtype=bool)
+    if len(ue) > 1:
+        boundary[1:] = ue[:-1] > ue[1:]
+    return np.cumsum(boundary) - 1
+
+
+def identify_baselines_np(
+    flag: np.ndarray, rss: np.ndarray, bs: np.ndarray, clk: np.ndarray,
+    gid: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Baseline rows across all groups.
+
+    Returns (baseline_gid, clk_b, bs_b) arrays in row order.  The FLAG 0->1 +
+    equal-RSS test is evaluated against the previous row *within the same
+    group* (pandas shift(1) inside groupby).
+    """
+    n = len(flag)
+    mask = np.zeros(n, dtype=bool)
+    if n > 1:
+        mask[1:] = (
+            (flag[1:] == 1)
+            & (flag[:-1] == 0)
+            & (rss[1:] == rss[:-1])
+            & (gid[1:] == gid[:-1])
+        )
+    idx = np.nonzero(mask)[0]
+    return gid[idx], clk[idx - 1], bs[idx]
+
+
+class CorrectResult(NamedTuple):
+    filtered: np.ndarray       # [K, 4] (ue, corrected_bs, rss, clk), kept rows
+    corrected_bs: np.ndarray   # [F] per-row corrected BS (process_excel column)
+    keep: np.ndarray           # [F] bool: row appears in filtered output
+    n_baselines: int
+    n_groups: int
+
+
+def correct_frames_np(
+    frames: np.ndarray, cfg: CorrectConfig = _DEFAULT
+) -> CorrectResult:
+    """Vectorized host implementation of correct+filter.
+
+    frames: [F, 5] int (flag, ue, bs, rss, clk).
+    """
+    frames = np.asarray(frames, dtype=np.int64)
+    flag, ue, bs, rss, clk = (frames[:, i] for i in range(5))
+    n = len(flag)
+    gid = detect_groups_np(ue)
+    b_gid, b_clk, b_bs = identify_baselines_np(flag, rss, bs, clk, gid)
+    n_groups = int(gid[-1]) + 1 if n else 0
+
+    corrected = bs.copy()   # fallback: keep raw BS
+    keep = np.zeros(n, dtype=bool)
+    if b_gid.size:
+        # Pack baselines into a padded [G, Bmax] table.
+        counts = np.bincount(b_gid, minlength=n_groups)
+        bmax = int(counts.max())
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(len(b_gid)) - offs[b_gid]
+        tbl_clk = np.zeros((n_groups, bmax), dtype=np.int64)
+        tbl_bs = np.zeros((n_groups, bmax), dtype=np.int64)
+        tbl_valid = np.zeros((n_groups, bmax), dtype=bool)
+        tbl_clk[b_gid, rank] = b_clk
+        tbl_bs[b_gid, rank] = b_bs
+        tbl_valid[b_gid, rank] = True
+
+        d = clk[:, None] - tbl_clk[gid]                       # [F, Bmax]
+        k = (d + cfg.cycle // 2) // cfg.cycle                  # floor div
+        resid = np.abs(d - k * cfg.cycle)
+        accept = (resid <= cfg.tol) & tbl_valid[gid]
+        score = np.where(accept, resid * (bmax + 1) + np.arange(bmax), 2**60)
+        best = np.argmin(score, axis=1)
+        has = accept[np.arange(n), best]
+        k_best = k[np.arange(n), best]
+        bs_best = tbl_bs[gid, best]
+        cand = (bs_best + k_best) % cfg.mod_base
+
+        normal = flag == 0
+        corrected = np.where(normal & has, cand, corrected)
+        keep = normal & has
+
+    filtered = np.stack([ue[keep], corrected[keep], rss[keep], clk[keep]], axis=1)
+    return CorrectResult(filtered, corrected, keep, int(b_gid.size), n_groups)
+
+
+# ---------------------------------------------------------------------------
+# JAX device path (static shapes; used by batched/streaming pipelines)
+# ---------------------------------------------------------------------------
+
+
+def correct_frames_jax(
+    frames,                 # jnp [F, 5] int32 (padded)
+    count,                  # jnp scalar int32: real rows
+    max_groups: int = 128,
+    max_baselines_per_group: int = 256,
+    cfg: CorrectConfig = _DEFAULT,
+):
+    """Jittable correct+filter.
+
+    Returns (corrected_bs[F] i32, keep[F] bool).  Padded rows (index >=
+    count) are never kept.  ``max_groups`` and ``max_baselines_per_group``
+    are static capacity bounds; overflowing baselines are dropped (the
+    shipped dataset peaks far below the defaults — asserted host-side).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flag = frames[:, 0]
+    ue = frames[:, 1]
+    bs = frames[:, 2]
+    rss = frames[:, 3]
+    clk = frames[:, 4]
+    n = frames.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    real = rows < count
+
+    prev_ue = jnp.concatenate([ue[:1], ue[:-1]])
+    boundary = jnp.where(rows == 0, True, prev_ue > ue)
+    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    gid = jnp.minimum(gid, max_groups - 1)
+
+    prev_flag = jnp.concatenate([flag[:1], flag[:-1]])
+    prev_rss = jnp.concatenate([rss[:1], rss[:-1]])
+    prev_gid = jnp.concatenate([gid[:1], gid[:-1]])
+    prev_clk = jnp.concatenate([clk[:1], clk[:-1]])
+    is_bl = (
+        (rows > 0)
+        & (flag == 1)
+        & (prev_flag == 0)
+        & (rss == prev_rss)
+        & (gid == prev_gid)
+        & real
+    )
+
+    blv = is_bl.astype(jnp.int32)
+    csum = jnp.cumsum(blv)
+    group_counts = jax.ops.segment_sum(blv, gid, num_segments=max_groups)
+    group_offs = jnp.cumsum(group_counts) - group_counts
+    rank = (csum - 1) - group_offs[gid]
+
+    bmax = max_baselines_per_group
+    slot = gid * bmax + rank
+    dump = max_groups * bmax
+    slot = jnp.where(is_bl & (rank < bmax), slot, dump)
+    tbl_clk = jnp.zeros(dump + 1, dtype=jnp.int32).at[slot].set(prev_clk)
+    tbl_bs = jnp.zeros(dump + 1, dtype=jnp.int32).at[slot].set(bs)
+    tbl_valid = jnp.zeros(dump + 1, dtype=jnp.bool_).at[slot].set(True)
+    tbl_clk = tbl_clk[:dump].reshape(max_groups, bmax)
+    tbl_bs = tbl_bs[:dump].reshape(max_groups, bmax)
+    tbl_valid = tbl_valid[:dump].reshape(max_groups, bmax)
+
+    d = clk[:, None] - tbl_clk[gid]                           # [F, Bmax]
+    k = jnp.floor_divide(d + cfg.cycle // 2, cfg.cycle)
+    resid = jnp.abs(d - k * cfg.cycle)
+    accept = (resid <= cfg.tol) & tbl_valid[gid]
+    score = jnp.where(
+        accept, resid * (bmax + 1) + jnp.arange(bmax, dtype=jnp.int32), 2**30
+    )
+    best = jnp.argmin(score, axis=1)
+    has = jnp.take_along_axis(accept, best[:, None], axis=1)[:, 0]
+    k_best = jnp.take_along_axis(k, best[:, None], axis=1)[:, 0]
+    bs_best = jnp.take_along_axis(tbl_bs[gid], best[:, None], axis=1)[:, 0]
+    cand = jnp.mod(bs_best + k_best, cfg.mod_base)
+
+    normal = (flag == 0) & real
+    corrected_bs = jnp.where(normal & has, cand, bs)
+    keep = normal & has
+    return corrected_bs, keep
+
+
+def compact_filtered(frames: np.ndarray, corrected_bs, keep) -> np.ndarray:
+    """Host-side compaction of the device outputs to the filtered table."""
+    frames = np.asarray(frames)
+    corrected_bs = np.asarray(corrected_bs)
+    keep = np.asarray(keep).astype(bool)
+    return np.stack(
+        [frames[keep, 1], corrected_bs[keep], frames[keep, 3], frames[keep, 4]],
+        axis=1,
+    )
