@@ -1,0 +1,215 @@
+"""Benchmark: full-dataset decode+correct+render throughput on one chip.
+
+Runs the fused on-device session pipeline (bytes -> frames -> corrected ->
+intensity -> raster) over every serial log in the reference dataset and
+prints ONE JSON line:
+
+    {"metric": "frames_per_sec_decode_correct_render", "value": N,
+     "unit": "frames/s", "vs_baseline": N, ...}
+
+vs_baseline is measured against BASELINE.json's north-star target of
+10,000 frames/s for a full-session decode+render on one TPU chip (the
+reference itself publishes no numbers; its pure-Python decode loop measures
+~2-4k frames/s on this machine, see "reference_frames_per_sec" in extras).
+Also reports the max premultiplied-RGBA pixel delta between the device
+raster and the float64 matplotlib-oracle render path (budget 1e-3).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+DEBUGDOC = Path("/root/reference/debugDoc")
+
+
+def _oracle_norm_raster(filtered: np.ndarray) -> np.ndarray:
+    """Float64 host oracle for the normalized (pre-colormap) raster.
+
+    The continuous parity surface is the [0,1]-normalized data raster:
+    colormap application quantizes to 256 LUT bins, so two renders whose t
+    values differ by 1e-7 near a bin edge legitimately differ by a full
+    viridis step (~0.01) in RGBA — exactly as two matplotlib runs at
+    different float precision would.  Pixel parity is therefore measured on
+    t (budget 1e-3) with LUT-bin agreement reported alongside.
+    """
+    from slam_process_tpu.config import SceneConfig
+    from slam_process_tpu.ops.raster import blur_nan_aware_np, shifted_log_norm
+    from slam_process_tpu.ops.scene import fill_grid, intensity_grid_np
+
+    cfg = SceneConfig(keep_nan=True, fill_with_min=False)
+    grid = intensity_grid_np(filtered[:, 0], filtered[:, 1], filtered[:, 2], cfg=cfg)
+    matrix = fill_grid(grid, cfg).T
+    return np.asarray(shifted_log_norm(blur_nan_aware_np(matrix, 1.0)))
+
+
+def main() -> None:
+    import jax
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.ops.correct import correct_frames_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.pipeline.device import run_session_on_device
+
+    logs = sorted(glob.glob(str(DEBUGDOC / "*.txt")))
+    if not logs:
+        print(json.dumps({"metric": "frames_per_sec_decode_correct_render",
+                          "value": 0, "unit": "frames/s", "vs_baseline": 0,
+                          "error": "no logs found"}))
+        return
+
+    raw = [read_hex_log(p) for p in logs]
+
+    # Warmup: compile every bucket once.
+    for r in raw:
+        run_session_on_device(r)
+
+    # Timed: tokenized bytes -> device pipeline -> raster, all logs.
+    # No per-log sync: dispatch everything, block once at the end.
+    t0 = time.perf_counter()
+    outs = [run_session_on_device(r) for r in raw]
+    jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
+    elapsed = time.perf_counter() - t0
+    total_frames = int(sum(int(o.n_frames) for o in outs))
+    fps = total_frames / elapsed
+
+    # Fully end-to-end: file read + host tokenization + device pipeline.
+    t1 = time.perf_counter()
+    outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
+    jax.block_until_ready([o.rgba for o in outs2])
+    e2e_elapsed = time.perf_counter() - t1
+    e2e_fps = total_frames / e2e_elapsed
+
+    # Pixel parity: device normalized raster vs float64 host oracle, plus
+    # colormap LUT-bin agreement.
+    t_deltas, bin_flips = [], 0
+    for idx in (0, len(logs) - 1):
+        frames = decode_frames_np(raw[idx]).frames
+        filtered = correct_frames_np(frames).filtered
+        oracle_t = _oracle_norm_raster(filtered)
+        ours_t = np.asarray(outs[idx].norm_t, dtype=np.float64)
+        both = np.isfinite(oracle_t) & np.isfinite(ours_t)
+        t_deltas.append(float(np.max(np.abs(ours_t[both] - oracle_t[both]))))
+        bin_flips += int(
+            (np.clip((ours_t[both] * 256).astype(int), 0, 255)
+             != np.clip((oracle_t[both] * 256).astype(int), 0, 255)).sum()
+        )
+    max_pixel_delta = max(t_deltas)
+
+    # Reference pipeline throughput on this host (tokenize + parse measured
+    # on the smallest log; the iterrows correct stage measured on a 4000-row
+    # subsample — it dominates, reference has no published numbers).
+    ref_fps = _reference_pipeline_fps(raw[0])
+
+    result = {
+        "metric": "frames_per_sec_decode_correct_render",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10_000.0, 3),
+        "e2e_frames_per_sec_with_host_tokenize": round(e2e_fps, 1),
+        "total_frames": total_frames,
+        "n_logs": len(logs),
+        "elapsed_s": round(elapsed, 4),
+        "max_pixel_delta_norm_raster": max_pixel_delta,
+        "lut_bin_flips": bin_flips,
+        "reference_frames_per_sec": round(ref_fps, 1),
+        "speedup_vs_reference": round(fps / max(ref_fps, 1e-9), 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+def _reference_pipeline_fps(b: np.ndarray) -> float:
+    """Measured throughput of the reference's compute path on this host:
+    regex tokenizer (serial_hex_to_excel_v3.py:18-36) + per-byte parse loop
+    (:41-103) + iterrows correction (bs_beam_correction.py:140-178, measured
+    on a 4000-row subsample).  Composes the per-stage rates harmonically."""
+    import time as _time
+
+    from slam_process_tpu.io.hexlog import tokenize_hex_reference
+
+    # Stage 1a: tokenize (regex loop).  Reconstruct approximate raw text.
+    text = b" ".join(b"%02X" % v for v in b.tolist()[:200_000])
+    t0 = _time.perf_counter()
+    toks = tokenize_hex_reference(text)
+    tok_rate_bytes = len(toks) / (_time.perf_counter() - t0)
+
+    # Stage 1b: parse loop.
+    t0 = _time.perf_counter()
+    rows = _reference_decode_loop(b)
+    parse_rate = len(rows) / (_time.perf_counter() - t0)
+
+    # Stage 2: iterrows correction on a subsample.
+    import pandas as pd
+
+    frames = np.asarray(rows[:4000], dtype=np.int64)
+    df = pd.DataFrame(frames, columns=["FLAG", "UE", "BS", "RSS", "CLK"])
+    CYCLE, TOL, MOD = 61_000, 500, 64
+    t0 = _time.perf_counter()
+    gid = ((df["UE"].shift(1) > df["UE"]) | df["UE"].shift(1).isna()).cumsum() - 1
+    for _g, grp in df.groupby(gid):
+        prev_flag = grp["FLAG"].shift(1)
+        prev_rss = grp["RSS"].shift(1)
+        mask = (grp["FLAG"] == 1) & (prev_flag == 0) & (grp["RSS"] == prev_rss)
+        baselines = [
+            (int(grp.loc[i - 1, "CLK"]), int(grp.loc[i, "BS"]))
+            for i in grp.index[mask]
+        ]
+        for _i, row in grp.iterrows():
+            if row["FLAG"] == 1 or not baselines:
+                continue
+            clk = int(row["CLK"])
+            for clk_b, bs_b in baselines:
+                d = clk - clk_b
+                k = int(round(d / CYCLE))
+                if abs(d - k * CYCLE) <= TOL:
+                    _ = (bs_b + k) % MOD
+    correct_rate = len(df) / (_time.perf_counter() - t0)
+
+    # frames/s for tokenize: 11 bytes/frame.
+    tok_rate = tok_rate_bytes / 11.0
+    return 1.0 / (1.0 / tok_rate + 1.0 / parse_rate + 1.0 / correct_rate)
+
+
+def _reference_decode_loop(b: np.ndarray):
+    """A faithful reimplementation of the reference's per-byte Python decode
+    loop (serial_hex_to_excel_v3.py:41-103), used only to report the
+    baseline's achievable throughput on this host."""
+    rows = []
+    i, n = 0, len(b)
+    bl = b.tolist()
+    while i < n:
+        flag = bl[i]
+        if flag not in (0xCC, 0x33):
+            i += 1
+            continue
+        if i + 11 > n:
+            break
+        ue, bs = bl[i + 1], bl[i + 2]
+        if (ue >> 6) != 0 or (bs >> 6) != 3:
+            i += 1
+            continue
+        clk_bytes = bl[i + 3 : i + 8]
+        if any((c >> 6) != 1 for c in clk_bytes):
+            i += 1
+            continue
+        rss_bytes = bl[i + 8 : i + 11]
+        if any((r >> 6) != 2 for r in rss_bytes):
+            i += 1
+            continue
+        clk = 0
+        for k, c in enumerate(clk_bytes):
+            clk |= (c & 0x3F) << (6 * k)
+        rss = (rss_bytes[0] & 0x3F) | ((rss_bytes[1] & 0x3F) << 6) | ((rss_bytes[2] & 0x3F) << 12)
+        rows.append((1 if flag == 0xCC else 0, ue & 0x3F, bs & 0x3F, rss, clk))
+        i += 11
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+from slam_process_tpu.parallel.mesh import make_mesh  # noqa: F401
+from slam_process_tpu.parallel.batch import batched_session_pipeline  # noqa: F401

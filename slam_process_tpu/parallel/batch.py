@@ -1,0 +1,73 @@
+"""Batched multi-session pipeline with mesh sharding.
+
+BASELINE.json's "batched session" config: all debugDoc logs decoded +
+corrected + rendered in one device program.  Sessions are padded to a
+common byte capacity and stacked to [S, N]; the whole per-session pipeline
+is vmapped over S and sharded across the ``data`` mesh axis, with the
+intensity/raster outputs sharding constrained so XLA keeps everything local
+until the (tiny) global statistics, which reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+from slam_process_tpu.ops.decode import frame_capacity
+from slam_process_tpu.pipeline.device import pad_bytes, session_pipeline
+
+
+def batched_session_pipeline(
+    mesh,
+    n_bytes_padded: int,
+    blur_sigma: float = 1.0,
+    use_log: bool = True,
+    max_groups: int = 64,
+    max_baselines_per_group: int = 128,
+):
+    """Build a jitted [S, N]-batched pipeline sharded over mesh axis 'data'.
+
+    Returns fn(byte_batch[S, N] u8, n_bytes[S] i32, lut[256,4] f32) ->
+    DeviceSessionOut with a leading S axis on every field.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cap = frame_capacity(n_bytes_padded)
+    body = functools.partial(
+        session_pipeline,
+        capacity=cap,
+        blur_sigma=blur_sigma,
+        use_log=use_log,
+        max_groups=max_groups,
+        max_baselines_per_group=max_baselines_per_group,
+    )
+
+    def batched(byte_batch, n_bytes, lut):
+        out = jax.vmap(body, in_axes=(0, 0, None))(byte_batch, n_bytes, lut)
+        # Keep per-session tensors sharded over 'data' end to end.
+        out = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            ),
+            out,
+        )
+        return out
+
+    in_shardings = (
+        NamedSharding(mesh, P("data", None)),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P()),
+    )
+    return jax.jit(batched, in_shardings=in_shardings)
+
+
+def stack_sessions(raw_list: Sequence[np.ndarray], n_bytes_padded: Optional[int] = None):
+    """Stack tokenized sessions into a padded [S, N] u8 batch + lengths."""
+    if n_bytes_padded is None:
+        n_bytes_padded = max(len(r) for r in raw_list)
+    batch = np.stack([pad_bytes(r, n_bytes_padded) for r in raw_list])
+    lengths = np.asarray([len(r) for r in raw_list], dtype=np.int32)
+    return batch, lengths

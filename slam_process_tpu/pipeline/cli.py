@@ -1,0 +1,184 @@
+"""Command-line drivers mirroring the reference scripts' CLIs.
+
+    python -m slam_process_tpu.pipeline.cli decode  IN.txt OUT.xlsx
+    python -m slam_process_tpu.pipeline.cli correct --input IN.xlsx [--output OUT]
+    python -m slam_process_tpu.pipeline.cli heatmap --input IN.xlsx --mapping beam_angle.xlsx
+    python -m slam_process_tpu.pipeline.cli estimate --input FILTERED.xlsx --mapping ... --model nn_omp
+    python -m slam_process_tpu.pipeline.cli session --log IN.txt --mapping ... --outdir DIR
+
+Reference CLI surfaces: serial_hex_to_excel_v3.py:122-127 (positional),
+bs_beam_correction.py:285-291 (argparse), excel_heatmap.py:544-590
+(argparse); the estimator scripts had hard-coded paths (SURVEY.md section
+5.6) and gain a real CLI here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import zipfile
+from pathlib import Path
+
+from slam_process_tpu.config import RenderConfig, SceneConfig
+from slam_process_tpu.pipeline.session import Session
+from slam_process_tpu.utils import get_logger
+
+
+def _add_decode(sub):
+    p = sub.add_parser("decode", help="hex serial log -> Parsed xlsx (stage 1)")
+    p.add_argument("input", type=Path)
+    p.add_argument("output", type=Path, nargs="?")
+    p.set_defaults(fn=_run_decode)
+
+
+def _run_decode(args):
+    out = args.output or args.input.with_suffix(".xlsx")
+    s = Session.from_log(args.input)
+    s.export_parsed(out)
+    c = s.counters[-1].counts
+    print(f"有效组数={c['valid']} 丢弃组数={c['discarded']} 输出={out}")
+
+
+def _add_correct(sub):
+    p = sub.add_parser("correct", help="Parsed xlsx -> _filtered xlsx (stage 2)")
+    p.add_argument("--input", type=Path, required=True)
+    p.add_argument("--output", type=Path, default=None)
+    p.set_defaults(fn=_run_correct)
+
+
+def _run_correct(args):
+    if args.input.suffix == ".txt":
+        s = Session.from_log(args.input)
+    else:
+        s = Session.from_parsed_xlsx(args.input)
+    s.correct()
+    out = args.output or args.input.with_name(args.input.stem + "_filtered.xlsx")
+    s.export_filtered(out)
+    print(f"已生成过滤后的修正文件: {out} 行数={len(s.filtered)}")
+
+
+def _add_heatmap(sub):
+    p = sub.add_parser("heatmap", help="render AoA x AoD mean-RSSI heatmap (stage 3a)")
+    p.add_argument("--input", type=Path, required=True,
+                   help="Parsed/filtered xlsx or raw .txt log")
+    p.add_argument("--mapping", type=Path, required=True)
+    p.add_argument("--output", type=Path, default=None)
+    p.add_argument("--variant", choices=["v1", "v2", "v3"], default="v3",
+                   help="v1=Parsed, v2=Parsed FLAG==1 only, v3=filtered input")
+    p.add_argument("--colormap", default="viridis")
+    p.add_argument("--no-logscale", action="store_true")
+    p.add_argument("--vmin", type=float, default=None)
+    p.add_argument("--vmax", type=float, default=None)
+    p.add_argument("--blur-sigma", type=float, default=1.0)
+    p.add_argument("--dpi", type=int, default=150)
+    p.set_defaults(fn=_run_heatmap)
+
+
+def _run_heatmap(args):
+    scene_cfg = SceneConfig(
+        keep_nan=True,
+        fill_with_min=False,
+        flag_filter=1 if args.variant == "v2" else None,
+    )
+    render_cfg = RenderConfig(
+        colormap=args.colormap,
+        use_log=not args.no_logscale,
+        blur_sigma=args.blur_sigma,
+        vmin=args.vmin,
+        vmax=args.vmax,
+        dpi=args.dpi,
+    )
+    if args.input.suffix == ".txt":
+        s = Session.from_log(args.input)
+        source = "filtered" if args.variant == "v3" else "parsed"
+    elif args.variant == "v3":
+        s = Session.from_filtered_xlsx(args.input)
+        source = "filtered"
+    else:
+        s = Session.from_parsed_xlsx(args.input)
+        source = "parsed"
+    out = args.output
+    if out is None:
+        out = args.input.parent / "heatmap_outputs" / f"{args.input.stem}_heatmap.png"
+    s.render_heatmap(args.mapping, out, scene_cfg, render_cfg, source=source,
+                     title=f"BS-UE 波束对平均RSSI热力图 ({args.input.name})")
+    print(f"输出PNG: {out}")
+
+
+def _add_estimate(sub):
+    p = sub.add_parser("estimate", help="multipath estimation + classified plot (stage 3b)")
+    p.add_argument("--input", type=Path, required=True, help="filtered xlsx or raw .txt")
+    p.add_argument("--mapping", type=Path, required=True)
+    p.add_argument("--output", type=Path, default=None)
+    p.add_argument("--model", default="nn_omp",
+                   choices=["nn_omp", "nn_omp_v1", "sm_sic", "svd", "lasso_refine",
+                            "peak_picking", "fusion", "omp_dense"])
+    p.add_argument("--max-paths", type=int, default=None)
+    p.add_argument("--grid-res", type=float, default=None)
+    p.add_argument("--beam-width", type=float, default=None)
+    p.set_defaults(fn=_run_estimate)
+
+
+def _run_estimate(args):
+    from slam_process_tpu.models import run_estimator  # late import: heavy
+
+    if args.input.suffix == ".txt":
+        s = Session.from_log(args.input)
+        s.correct()
+    else:
+        s = Session.from_filtered_xlsx(args.input)
+    overrides = {}
+    if args.max_paths is not None:
+        overrides["max_paths"] = args.max_paths
+    if args.grid_res is not None:
+        overrides["grid_res"] = args.grid_res
+    if args.beam_width is not None:
+        overrides["beam_width"] = args.beam_width
+    out = args.output or (args.input.parent / f"{s.name}_{args.model}.png")
+    paths = run_estimator(args.model, s, args.mapping, out, **overrides)
+    print(paths.to_string(index=False) if hasattr(paths, "to_string") else paths)
+    print(f"输出PNG: {out}")
+
+
+def _add_session(sub):
+    p = sub.add_parser("session", help="full end-to-end: log -> artifacts dir")
+    p.add_argument("--log", type=Path, required=True)
+    p.add_argument("--mapping", type=Path, required=True)
+    p.add_argument("--outdir", type=Path, required=True)
+    p.set_defaults(fn=_run_session)
+
+
+def _run_session(args):
+    s = Session.from_log(args.log)
+    s.correct()
+    args.outdir.mkdir(parents=True, exist_ok=True)
+    s.export_parsed(args.outdir / f"{s.name}.xlsx")
+    s.export_filtered(args.outdir / f"{s.name}_filtered.xlsx")
+    s.render_heatmap(args.mapping, args.outdir / f"{s.name}_heatmap.png")
+    s.save_npz(args.outdir / f"{s.name}.npz")
+    print(json.dumps({"session": s.name, "timings_s": s.timings,
+                      "counters": {c.name: c.counts for c in s.counters}}))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="slam_process_tpu",
+                                     description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_decode(sub)
+    _add_correct(sub)
+    _add_heatmap(sub)
+    _add_estimate(sub)
+    _add_session(sub)
+    args = parser.parse_args(argv)
+    logger = get_logger()
+    try:
+        args.fn(args)
+    except (OSError, ValueError, KeyError, IndexError, zipfile.BadZipFile) as e:
+        logger.error("处理失败: %s", e)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""Session orchestration: one capture session as staged tensors.
+
+Replaces the reference's file-chained scripts (stage artifacts in .xlsx on
+disk between every step) with an in-memory staged pipeline that can still
+import/export every legacy artifact.  Stage artifacts can be cached as npz
+(fast, lossless) with optional xlsx export for drop-in compatibility —
+mirroring the reference's use of xlsx files as durable stage checkpoints
+(SURVEY.md section 5.4) without paying openpyxl costs.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+from slam_process_tpu.config import PipelineConfig, RenderConfig, SceneConfig
+from slam_process_tpu.io import read_hex_log
+from slam_process_tpu.io.angles import load_angle_lut
+from slam_process_tpu.io.schemas import (
+    read_filtered_table,
+    read_parsed_table,
+    write_filtered_table,
+    write_parsed_table,
+)
+from slam_process_tpu.ops.correct import correct_frames_np
+from slam_process_tpu.ops.decode import decode_frames_np
+from slam_process_tpu.ops.scene import intensity_grid_np
+from slam_process_tpu.render.heatmap import RenderedHeatmap, render_intensity, save_heatmap
+from slam_process_tpu.utils import StageCounters, extract_timestamp, get_logger
+
+
+class Session:
+    """One serial-debug capture session, staged decode -> correct -> scene."""
+
+    def __init__(self, name: str = "session", config: Optional[PipelineConfig] = None):
+        self.name = name
+        self.config = config or PipelineConfig()
+        self.logger = get_logger(f"slam_process_tpu.{name}")
+        self.frames: Optional[np.ndarray] = None       # [F, 5]
+        self.filtered: Optional[np.ndarray] = None     # [K, 4]
+        self.counters: list[StageCounters] = []
+        self.timings: dict[str, float] = {}
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_log(cls, path: Union[str, Path], config: Optional[PipelineConfig] = None
+                 ) -> "Session":
+        s = cls(name=extract_timestamp(str(path)) or Path(path).stem, config=config)
+        t0 = time.perf_counter()
+        raw = read_hex_log(path)
+        res = decode_frames_np(raw, s.config.decode)
+        s.timings["decode"] = time.perf_counter() - t0
+        s.frames = res.frames
+        c = StageCounters("decode", {"bytes": len(raw), "valid": res.valid,
+                                     "discarded": res.discarded})
+        s.counters.append(c)
+        c.log(s.logger)
+        return s
+
+    @classmethod
+    def from_parsed_xlsx(cls, path: Union[str, Path],
+                         config: Optional[PipelineConfig] = None) -> "Session":
+        s = cls(name=extract_timestamp(str(path)) or Path(path).stem, config=config)
+        s.frames = read_parsed_table(path)
+        return s
+
+    @classmethod
+    def from_filtered_xlsx(cls, path: Union[str, Path],
+                           config: Optional[PipelineConfig] = None) -> "Session":
+        s = cls(name=extract_timestamp(str(path)) or Path(path).stem, config=config)
+        s.filtered = read_filtered_table(path)
+        return s
+
+    # -- stages --------------------------------------------------------------
+
+    def correct(self) -> np.ndarray:
+        if self.frames is None:
+            raise ValueError("no decoded frames; load a log or Parsed xlsx first")
+        t0 = time.perf_counter()
+        res = correct_frames_np(self.frames, self.config.correct)
+        self.timings["correct"] = time.perf_counter() - t0
+        self.filtered = res.filtered
+        c = StageCounters(
+            "correct",
+            {"groups": res.n_groups, "baselines": res.n_baselines,
+             "corrected": int(res.keep.sum()), "rows": len(self.frames)},
+        )
+        self.counters.append(c)
+        c.log(self.logger)
+        return self.filtered
+
+    def intensity(self, scene_cfg: Optional[SceneConfig] = None,
+                  source: str = "filtered"):
+        """Build the intensity grid from filtered (default) or parsed frames."""
+        cfg = scene_cfg or self.config.scene
+        t0 = time.perf_counter()
+        if source == "filtered":
+            if self.filtered is None:
+                self.correct()
+            ue, bs, rss = (self.filtered[:, i] for i in range(3))
+            grid = intensity_grid_np(ue, bs, rss, cfg=cfg)
+        elif source == "parsed":
+            if self.frames is None:
+                raise ValueError("no decoded frames")
+            grid = intensity_grid_np(
+                self.frames[:, 1], self.frames[:, 2], self.frames[:, 3],
+                flag=self.frames[:, 0], cfg=cfg,
+            )
+        else:
+            raise ValueError(f"unknown source {source!r}")
+        self.timings["scene"] = time.perf_counter() - t0
+        return grid
+
+    def render_heatmap(
+        self,
+        angle_file: Union[str, Path],
+        output_path: Optional[Union[str, Path]] = None,
+        scene_cfg: Optional[SceneConfig] = None,
+        render_cfg: Optional[RenderConfig] = None,
+        source: str = "filtered",
+        title: Optional[str] = None,
+    ) -> RenderedHeatmap:
+        scene_cfg = scene_cfg or SceneConfig(keep_nan=True, fill_with_min=False)
+        render_cfg = render_cfg or self.config.render
+        lut = load_angle_lut(angle_file)
+        grid = self.intensity(scene_cfg, source=source)
+        t0 = time.perf_counter()
+        rendered = render_intensity(grid, lut, scene_cfg, render_cfg)
+        self.timings["render"] = time.perf_counter() - t0
+        if output_path is not None:
+            save_heatmap(rendered, output_path,
+                         title=title or f"BS-UE 波束对平均RSSI热力图 ({self.name})",
+                         render_cfg=render_cfg)
+            self.logger.info("heatmap saved: %s", output_path)
+        return rendered
+
+    # -- export --------------------------------------------------------------
+
+    def export_parsed(self, path: Union[str, Path]) -> Path:
+        return write_parsed_table(path, self.frames)
+
+    def export_filtered(self, path: Union[str, Path]) -> Path:
+        if self.filtered is None:
+            self.correct()
+        return write_filtered_table(path, self.filtered)
+
+    def save_npz(self, path: Union[str, Path]) -> Path:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        arrays = {}
+        if self.frames is not None:
+            arrays["frames"] = self.frames
+        if self.filtered is not None:
+            arrays["filtered"] = self.filtered
+        np.savez_compressed(path, **arrays)
+        return path
+
+    @classmethod
+    def load_npz(cls, path: Union[str, Path]) -> "Session":
+        s = cls(name=Path(path).stem)
+        with np.load(path) as z:
+            if "frames" in z:
+                s.frames = z["frames"]
+            if "filtered" in z:
+                s.filtered = z["filtered"]
+        return s

@@ -8,12 +8,21 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the ambient environment selects a TPU platform: tests
+# must be hermetic and exercise the virtual 8-device mesh.  NOTE: the
+# environment's sitecustomize registers the TPU backend programmatically and
+# overrides JAX_PLATFORMS, so the env var alone is NOT enough — the config
+# update below is what actually pins the platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
