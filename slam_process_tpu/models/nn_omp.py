@@ -1,0 +1,173 @@
+"""Non-negative orthogonal matching pursuit (the flagship estimator).
+
+Reference: heatmap_gemini_v1.py:168-221 (original, max_paths=3, keep
+coeff>0) and v1-7.py:200-268 (terminal revision: stop on non-positive
+correlation or duplicate atom, keep coeff > max_coeff*min_power_ratio).
+
+Per iteration: correlation via the Kronecker identity
+``Phi_RX^T @ residual_matrix @ Phi_TX`` (two MXU matmuls over the
+[~887 x 64 x 64 x ~887] chain), grid argmax, atom refit with NNLS over the
+selected outer-product atoms, residual update.  The jittable path keeps a
+static max_paths-slot atom table and a done flag; the numpy path is the
+float64 oracle with reference-exact control flow.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from slam_process_tpu.config import OmpConfig
+from slam_process_tpu.models.dictionary import BeamDictionary
+
+
+class OmpPaths(NamedTuple):
+    """Estimated paths (fixed max_paths slots + validity mask)."""
+
+    aoa: np.ndarray       # [K] grid angle per path
+    aod: np.ndarray       # [K]
+    power: np.ndarray     # [K] NNLS coefficient
+    valid: np.ndarray     # [K] bool — kept by the power-ratio filter
+    n_iters: int          # iterations actually executed
+    aoa_idx: np.ndarray   # [K] grid indices (for parity checks)
+    aod_idx: np.ndarray
+
+
+def nn_omp_np(
+    dictionary: BeamDictionary,
+    rss_matrix: np.ndarray,
+    cfg: OmpConfig = OmpConfig(),
+    keep_rule: str = "ratio",   # "ratio" (v1-7) | "positive" (v1)
+    stop_nonpositive: bool = True,  # v1-7 stops when max corr <= 0; v1 doesn't
+) -> OmpPaths:
+    """Float64 host oracle with reference-exact control flow."""
+    from scipy.optimize import nnls as scipy_nnls
+
+    phi_rx, phi_tx = dictionary.phi_rx, dictionary.phi_tx
+    y = rss_matrix.astype(np.float64).ravel()
+    shape = rss_matrix.shape
+    residual = y.copy()
+    selected: list[tuple[int, int]] = []
+    coeffs = np.zeros(0)
+    it = 0
+    for k in range(cfg.max_paths):
+        corr = phi_rx.T @ residual.reshape(shape) @ phi_tx
+        if stop_nonpositive and np.max(corr) <= 0:
+            break
+        i_r, i_t = np.unravel_index(np.argmax(corr), corr.shape)
+        if (i_r, i_t) in selected:
+            break
+        selected.append((int(i_r), int(i_t)))
+        A = np.column_stack(
+            [np.outer(phi_rx[:, r], phi_tx[:, t]).ravel() for r, t in selected]
+        )
+        coeffs, _ = scipy_nnls(A, y)
+        residual = y - A @ coeffs
+        it = k + 1
+
+    K = cfg.max_paths
+    aoa = np.zeros(K)
+    aod = np.zeros(K)
+    power = np.zeros(K)
+    valid = np.zeros(K, dtype=bool)
+    aoa_idx = np.full(K, -1, dtype=np.int64)
+    aod_idx = np.full(K, -1, dtype=np.int64)
+    if len(coeffs):
+        max_coeff = coeffs.max()
+        for j, (r, t) in enumerate(selected):
+            aoa[j] = dictionary.aoa_grid[r]
+            aod[j] = dictionary.aod_grid[t]
+            power[j] = coeffs[j]
+            aoa_idx[j] = r
+            aod_idx[j] = t
+            if keep_rule == "ratio":
+                valid[j] = coeffs[j] > max_coeff * cfg.min_power_ratio
+            else:
+                valid[j] = coeffs[j] > 0
+    return OmpPaths(aoa, aod, power, valid, it, aoa_idx, aod_idx)
+
+
+def nn_omp_jax(
+    phi_rx,            # jnp [U, Ga]
+    phi_tx,            # jnp [B, Gd]
+    aoa_grid,          # jnp [Ga]
+    aod_grid,          # jnp [Gd]
+    rss_matrix,        # jnp [U, B]
+    cfg: OmpConfig = OmpConfig(),
+    keep_rule: str = "ratio",
+    stop_nonpositive: bool = True,
+):
+    """Jittable NN-OMP with static max_paths slots.
+
+    Returns OmpPaths of jnp arrays.  The NNLS refit runs on the Gram system
+    of the selected outer-product atoms; unselected slots hold zero columns
+    and are provably never activated by the solver.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.nnls import nnls_gram
+
+    K = cfg.max_paths
+    U, Ga = phi_rx.shape
+    B, Gd = phi_tx.shape
+    y = rss_matrix.reshape(-1)
+
+    def body(carry, _):
+        residual, sel_r, sel_t, coeffs, nsel, done = carry
+        corr = phi_rx.T @ residual.reshape(U, B) @ phi_tx
+        max_corr = jnp.max(corr)
+        flat_idx = jnp.argmax(corr)
+        i_r, i_t = flat_idx // Gd, flat_idx % Gd
+
+        dup = jnp.any((sel_r == i_r) & (sel_t == i_t) &
+                      (jnp.arange(K) < nsel))
+        stop = done | dup | (stop_nonpositive & (max_corr <= 0))
+
+        sel_r2 = jnp.where(stop, sel_r, sel_r.at[nsel].set(i_r))
+        sel_t2 = jnp.where(stop, sel_t, sel_t.at[nsel].set(i_t))
+        nsel2 = jnp.where(stop, nsel, nsel + 1)
+
+        # Atom matrix [U*B, K]: zero columns for unselected slots.
+        active = jnp.arange(K) < nsel2
+        cols_rx = phi_rx[:, sel_r2] * active[None, :]       # [U, K]
+        cols_tx = phi_tx[:, sel_t2] * active[None, :]       # [B, K]
+        A = (cols_rx[:, None, :] * cols_tx[None, :, :]).reshape(U * B, K)
+        G = A.T @ A
+        b = A.T @ y
+        coeffs2, _ = nnls_gram(G, b, max_outer=cfg.nnls_max_iter)
+        residual2 = y - A @ coeffs2
+
+        coeffs_out = jnp.where(stop, coeffs, coeffs2)
+        residual_out = jnp.where(stop, residual, residual2)
+        return (residual_out, sel_r2, sel_t2, coeffs_out, nsel2, stop), None
+
+    init = (
+        y,
+        jnp.zeros(K, dtype=jnp.int32),
+        jnp.zeros(K, dtype=jnp.int32),
+        jnp.zeros(K, dtype=y.dtype),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    (residual, sel_r, sel_t, coeffs, nsel, _), _ = jax.lax.scan(
+        body, init, None, length=K
+    )
+
+    slots = jnp.arange(K)
+    in_sel = slots < nsel
+    max_coeff = jnp.max(jnp.where(in_sel, coeffs, -jnp.inf))
+    if keep_rule == "ratio":
+        valid = in_sel & (coeffs > max_coeff * cfg.min_power_ratio)
+    else:
+        valid = in_sel & (coeffs > 0)
+    return OmpPaths(
+        aoa=aoa_grid[sel_r],
+        aod=aod_grid[sel_t],
+        power=coeffs,
+        valid=valid,
+        n_iters=nsel,
+        aoa_idx=jnp.where(in_sel, sel_r, -1),
+        aod_idx=jnp.where(in_sel, sel_t, -1),
+    )

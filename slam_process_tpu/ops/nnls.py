@@ -1,0 +1,102 @@
+"""Jittable non-negative least squares (Lawson-Hanson active set).
+
+The reference refits NN-OMP atom coefficients with ``scipy.optimize.nnls``
+every iteration (heatmap_gemini_v1-7.py:239).  scipy's implementation is
+the classic Lawson-Hanson algorithm with data-dependent iteration count —
+here it is reformulated with a bounded ``lax.while_loop`` over an active-set
+bitmask so it jits (SURVEY.md hard part #3).  The problem sizes in this
+engine are tiny (K <= 20 atoms over M = 4096 samples), so the solver works
+on the Gram system G = A^T A, b = A^T y with [K, K] dense solves — the
+M-dimensional work is two matmuls outside the loop (MXU), and the loop body
+is O(K^2) scalar-ish work (VPU).
+
+The masked subproblem solve uses the identity-padding trick: rows/cols
+outside the passive set P are replaced by identity so the solution is
+exactly zero there, keeping shapes static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+
+def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16, tol: float = 1e-10):
+    """Solve min ||A x - y||, x >= 0 given G = A^T A and b = A^T y.
+
+    Returns (x, passive_mask).  ``max_outer`` bounds active-set additions
+    (>= K suffices for exact termination in exact arithmetic).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k = G.shape[0]
+    eye = jnp.eye(k, dtype=G.dtype)
+
+    def solve_passive(P):
+        # Rows/cols outside P are replaced by identity -> exact zeros there.
+        Pf = P.astype(G.dtype)
+        Gp = G * (Pf[:, None] * Pf[None, :]) + jnp.diag(1.0 - Pf)
+        return jnp.linalg.solve(Gp, b * Pf)
+
+    def outer_cond(state):
+        x, P, it, done = state
+        return (~done) & (it < max_outer)
+
+    def outer_body(state):
+        x, P, it, _ = state
+        w = b - G @ x
+        w_masked = jnp.where(P, -jnp.inf, w)
+        j = jnp.argmax(w_masked)
+        can_add = (w_masked[j] > tol) & (~jnp.all(P))
+        P_new = P.at[j].set(True)
+
+        def inner_body(carry):
+            x_c, P_c, inner_it, inner_done = carry
+            z = solve_passive(P_c)
+            neg = P_c & (z <= tol)
+            any_neg = jnp.any(neg)
+
+            def fix(_):
+                alpha_cands = jnp.where(neg, x_c / jnp.maximum(x_c - z, 1e-300), jnp.inf)
+                alpha = jnp.min(alpha_cands)
+                x_n = x_c + alpha * (z - x_c)
+                P_n = P_c & (x_n > tol)
+                return x_n, P_n, inner_it + 1, False
+
+            def accept(_):
+                return z, P_c, inner_it + 1, True
+
+            return jax.lax.cond(any_neg, fix, accept, None)
+
+        def inner_cond(carry):
+            _, _, inner_it, inner_done = carry
+            return (~inner_done) & (inner_it < max_inner)
+
+        x_upd, P_upd, _, _ = jax.lax.while_loop(
+            inner_cond, inner_body, (x, P_new, 0, False)
+        )
+        x_out = jnp.where(can_add, jnp.maximum(x_upd, 0.0), x)
+        P_out = jnp.where(can_add, P_upd, P)
+        return x_out, P_out, it + 1, ~can_add
+
+    x0 = jnp.zeros(k, dtype=G.dtype)
+    P0 = jnp.zeros(k, dtype=bool)
+    x, P, _, _ = jax.lax.while_loop(outer_cond, outer_body, (x0, P0, 0, False))
+    return x, P
+
+
+def nnls(A, y, max_outer: int = 64) -> Tuple:
+    """min ||A x - y||, x >= 0 for a dense [M, K] design matrix (jittable)."""
+    import jax.numpy as jnp
+
+    G = A.T @ A
+    b = A.T @ y
+    return nnls_gram(G, b, max_outer=max_outer)
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_nnls():
+    import jax
+
+    return jax.jit(nnls)
