@@ -108,6 +108,68 @@ def classify_advanced(
     return ClassifiedPaths(aoa, aod, power, label, valid)
 
 
+def classify_cross_region(
+    aoa, aod, power, valid,
+    sidelobe_width_aoa: float = 45.0,
+    sidelobe_width_aod: float = 45.0,
+    nlos_power_thresh_db: float = 10.0,
+    nlos_min_angle_sep: float = 20.0,
+) -> ClassifiedPaths:
+    """v1-5 PathClassifier (heatmap_gemini_v1-5.py:255-466).
+
+    Order matters: sidelobes are labeled BEFORE NLoS (unlike v1-6/7):
+    any path sharing the LoS AoD or AoA within the widths is Sidelobe; the
+    remaining candidates (power-descending) become NLoS if weak enough,
+    outside the cross on BOTH axes, and separated from accepted NLoS;
+    rejected candidates are Noise.
+    """
+    aoa, aod, power, valid = map(np.asarray, (aoa, aod, power, valid))
+    k = len(power)
+    label = np.full(k, NOISE, dtype=np.int32)
+    if not valid.any():
+        return ClassifiedPaths(aoa, aod, power, label, valid)
+
+    unclassified = valid.copy()
+    los = int(np.argmax(np.where(valid, power, -np.inf)))
+    label[los] = LOS
+    unclassified[los] = False
+    los_p, los_aoa, los_aod = power[los], aoa[los], aod[los]
+
+    for idx in range(k):
+        if not unclassified[idx]:
+            continue
+        diff_aod = abs(aod[idx] - los_aod)
+        diff_aoa = abs(aoa[idx] - los_aoa)
+        aod_side = diff_aod <= sidelobe_width_aod and diff_aoa > sidelobe_width_aoa
+        aoa_side = diff_aoa <= sidelobe_width_aoa and diff_aod > sidelobe_width_aod
+        near_los = diff_aod <= sidelobe_width_aod and diff_aoa <= sidelobe_width_aoa
+        if aod_side or aoa_side or near_los:
+            label[idx] = SIDELOBE
+            unclassified[idx] = False
+
+    order = np.argsort(-np.where(unclassified, power, -np.inf), kind="stable")
+    accepted: list[int] = []
+    for idx in order:
+        if not unclassified[idx]:
+            continue
+        p = power[idx]
+        ratio_db = 10.0 * np.log10(p / los_p) if (p > 0 and los_p > 0) else -100.0
+        weak = ratio_db < -nlos_power_thresh_db
+        diff_aod = abs(aod[idx] - los_aod)
+        diff_aoa = abs(aoa[idx] - los_aoa)
+        outside = diff_aod > sidelobe_width_aod and diff_aoa > sidelobe_width_aoa
+        separated = all(
+            np.hypot(aod[idx] - aod[j], aoa[idx] - aoa[j]) >= nlos_min_angle_sep
+            for j in accepted
+        )
+        if weak and outside and separated:
+            label[idx] = NLOS
+            accepted.append(int(idx))
+        # else stays Noise
+        unclassified[idx] = False
+    return ClassifiedPaths(aoa, aod, power, label, valid)
+
+
 def classify_weak_far(
     aoa, aod, power, valid,
     nlos_max_ratio: float = 0.5,

@@ -1,0 +1,113 @@
+"""Fusion estimator: v1 NN-OMP LoS + v3 SM-SIC NLoS (heatmap_gemini_v4.py).
+
+Driver parameters (v4.py:500-529): LoS via NN-OMP (grid 0.1 deg, beam 1.4
+deg, max 3 paths, argmax LoS); NLoS via SM-SIC on an inclusive-arange 0.1
+deg grid with the LoS position seeding the masks (proximity 10 deg, cross
+10 deg, NLoS local mask 1 deg, max 3, stop below 0.1x the FIRST NLoS
+metric — note the LoS metric is not in the SM-SIC list).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from slam_process_tpu.config import DictionaryConfig, OmpConfig
+from slam_process_tpu.models.dictionary import make_dictionary
+from slam_process_tpu.models.nn_omp import nn_omp_np
+from slam_process_tpu.models.registry import build_scene, register
+
+
+def fusion_nlos_np(dictionary, rss_matrix, los_aoa, los_aod,
+                   max_paths: int = 3, proximity: float = 10.0,
+                   cross: float = 10.0, local: float = 1.0,
+                   stop_ratio: float = 0.1):
+    """NLoSEstimator.estimate_nlos_paths semantics (v4.py:289-364)."""
+    corr = dictionary.phi_rx.T @ rss_matrix.astype(np.float64) @ dictionary.phi_tx
+    aoa_g, aod_g = dictionary.aoa_grid, dictionary.aod_grid
+    AOA, AOD = np.meshgrid(aoa_g, aod_g, indexing="ij")
+    mask = np.ones_like(corr)
+    if los_aoa is not None:
+        dist_sq = (AOA - los_aoa) ** 2 + (AOD - los_aod) ** 2
+        mask *= dist_sq > proximity**2
+        mask *= np.abs(AOD - los_aod) > cross / 2
+        mask *= np.abs(AOA - los_aoa) > cross / 2
+
+    rows = []
+    for k in range(max_paths):
+        masked = corr * mask
+        i, j = np.unravel_index(np.argmax(masked), masked.shape)
+        peak = masked[i, j]
+        if k > 0 and rows and peak < stop_ratio * rows[0]["metric"]:
+            break
+        rows.append({"id": k + 1, "type": "NLoS", "aoa": aoa_g[i],
+                     "aod": aod_g[j], "metric": float(peak)})
+        dist_sq = (AOA - aoa_g[i]) ** 2 + (AOD - aod_g[j]) ** 2
+        mask *= dist_sq > local**2
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
+@register("fusion")
+def _run_fusion(session, angle_file, output_path=None, **overrides):
+    import pandas as pd
+
+    matrix, ue_ang, bs_ang = build_scene(session, angle_file, log_transform=False)
+
+    # LoS: verbatim v1 NN-OMP (arange grid, max 3, argmax LoS).
+    d_los = make_dictionary(
+        ue_ang, bs_ang,
+        DictionaryConfig(grid_res=overrides.get("grid_res", 0.1),
+                         beam_width=overrides.get("beam_width", 1.4),
+                         grid_kind="arange"),
+    )
+    los = nn_omp_np(d_los, matrix, OmpConfig(max_paths=3),
+                    keep_rule="positive", stop_nonpositive=False)
+    kept = np.nonzero(los.valid)[0]
+    if kept.size:
+        los_idx = kept[np.argmax(los.power[kept])]
+        los_aoa, los_aod = float(los.aoa[los_idx]), float(los.aod[los_idx])
+        los_power = float(los.power[los_idx])
+    else:
+        los_aoa = los_aod = los_power = None
+
+    # NLoS: SM-SIC seeded with the LoS masks.
+    d_nlos = make_dictionary(
+        ue_ang, bs_ang,
+        DictionaryConfig(grid_res=overrides.get("grid_res", 0.1),
+                         beam_width=overrides.get("beam_width", 1.4),
+                         grid_kind="arange_inclusive"),
+    )
+    nlos_df = fusion_nlos_np(
+        d_nlos, matrix, los_aoa, los_aod,
+        max_paths=overrides.get("max_paths", 3),
+        proximity=overrides.get("proximity_mask_radius", 10.0),
+        cross=overrides.get("cross_mask_width", 10.0),
+    )
+
+    if output_path is not None:
+        from slam_process_tpu.models.classifiers import (
+            ClassifiedPaths,
+            LOS,
+            NLOS,
+        )
+        from slam_process_tpu.render.estimation import estimation_plot
+
+        aoa = ([los_aoa] if los_aoa is not None else []) + list(nlos_df.get("aoa", []))
+        aod = ([los_aod] if los_aod is not None else []) + list(nlos_df.get("aod", []))
+        pwr = ([los_power] if los_power is not None else []) + list(nlos_df.get("metric", []))
+        lab = ([LOS] if los_aoa is not None else []) + [NLOS] * len(nlos_df)
+        classified = ClassifiedPaths(
+            np.asarray(aoa), np.asarray(aod), np.asarray(pwr),
+            np.asarray(lab, dtype=np.int32), np.ones(len(aoa), dtype=bool),
+        )
+        estimation_plot(matrix, ue_ang, bs_ang, classified, output_path,
+                        style="v1-7",
+                        title="mmWave Fusion: v1 LoS + v3 SM-SIC NLoS\n")
+
+    rows = []
+    if los_aoa is not None:
+        rows.append({"id": 0, "type": "LoS", "aoa": los_aoa, "aod": los_aod,
+                     "metric": los_power})
+    out = pd.concat([pd.DataFrame(rows), nlos_df], ignore_index=True)
+    return out

@@ -97,3 +97,25 @@ def angle_lut64():
     from slam_process_tpu.io.angles import load_angle_lut
 
     return load_angle_lut(BEAM_ANGLE)
+
+
+def load_reference_module(name: str, path: str):
+    """Import a reference script as a module for use as a live test oracle.
+
+    Several reference scripts mutate global matplotlib rcParams at import
+    time (e.g. heatmap_gemini_v1-7.py:13-14 sets font.sans-serif and
+    axes.unicode_minus), which would silently change every later render in
+    the test session — snapshot and restore around the import.
+    """
+    import importlib.util
+
+    import matplotlib
+
+    saved = matplotlib.rcParams.copy()
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        dict.update(matplotlib.rcParams, saved)

@@ -1,7 +1,5 @@
 """NN-OMP estimator tests: NNLS vs scipy, jax==np, reference-module oracle."""
 
-import importlib.util
-
 import numpy as np
 import pytest
 
@@ -12,10 +10,9 @@ from slam_process_tpu.ops.scene import compact_grid, fill_grid, intensity_grid_n
 
 
 def _load_reference(name, path):
-    spec = importlib.util.spec_from_file_location(name, path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    from tests.conftest import load_reference_module
+
+    return load_reference_module(name, path)
 
 
 @pytest.fixture(scope="module")
