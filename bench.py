@@ -100,6 +100,14 @@ def main() -> None:
         )
     max_pixel_delta = max(t_deltas)
 
+    # Streaming replay config (BASELINE config 5): chunked ingest with
+    # alignment carry + sweep-granular correction, host state machine.
+    from slam_process_tpu.parallel.streaming import replay_log
+
+    t2 = time.perf_counter()
+    stream_frames = sum(replay_log(r, chunk_bytes=1 << 16).n_frames for r in raw)
+    stream_fps = stream_frames / (time.perf_counter() - t2)
+
     # Reference pipeline throughput on this host (tokenize + parse measured
     # on the smallest log; the iterrows correct stage measured on a 4000-row
     # subsample — it dominates, reference has no published numbers).
@@ -114,6 +122,7 @@ def main() -> None:
         "total_frames": total_frames,
         "n_logs": len(logs),
         "elapsed_s": round(elapsed, 4),
+        "streaming_frames_per_sec": round(stream_fps, 1),
         "max_pixel_delta_norm_raster": max_pixel_delta,
         "lut_bin_flips": bin_flips,
         "reference_frames_per_sec": round(ref_fps, 1),

@@ -53,9 +53,9 @@ def frame_start_mask(b: np.ndarray, cfg: DecodeConfig = _DEFAULT) -> np.ndarray:
     ok = (b == cfg.flag_true) | (b == cfg.flag_false)
     top = (b >> 6).astype(np.uint8)
     for d, tag in enumerate(_OFFSET_TAGS, start=1):
-        shifted = np.empty(n, dtype=bool)
-        shifted[: n - d] = top[d:] == tag
-        shifted[n - d :] = False
+        m = max(n - d, 0)  # buffers shorter than the frame are all-False
+        shifted = np.zeros(n, dtype=bool)
+        shifted[:m] = top[d : d + m] == tag
         ok &= shifted
     return ok
 

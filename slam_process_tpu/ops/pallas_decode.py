@@ -1,0 +1,176 @@
+"""Pallas streaming decode: double-buffered HBM->VMEM frame scanning.
+
+The BASELINE "streaming replay" config calls for decode with
+double-buffered HBM ingest and no host round-trips.  This kernel keeps the
+byte stream in HBM and manually pipelines chunk DMAs against compute using
+two VMEM slots (the guide's double-buffering pattern):
+
+  * stream layout: bytes as int32 [R, 128] (one VREG lane row per 128
+    bytes; Mosaic has no 1-D vectors, and shifted views become
+    concat(row[d:], next_row[:d]));
+  * grid = (R / Rc,) chunks; each step waits on its slot's DMA, launches
+    the next chunk's DMA into the other slot, then evaluates the 10
+    tag-class checks + CLK/RSS limb assembly entirely in registers;
+  * each chunk reads one halo row (128 bytes >= 10-byte frame tail) from
+    the next chunk; outputs are per-byte aligned (ok mask + field values at
+    start positions) and compacted to the frame table by XLA `nonzero`
+    outside the kernel.
+
+Equivalent to ops/decode (greedy == mask theorem); validated in interpret
+mode and on device against decode_frames_np.
+
+PRODUCTION NOTE (measured on TPU v5e, 2026-08-16): the XLA decode path
+(ops/decode.decode_frames_jax) runs the whole 19-log dataset in ~30 ms —
+it is HBM-bandwidth bound and already optimal; this kernel's per-chunk DMA
+round trips make it ~30x slower at reference scale.  It is kept as the
+validated manual-ingest pattern for true streaming deployments (byte
+streams arriving in HBM ring buffers, where chunk-at-a-time processing is
+a requirement, not a choice).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+from slam_process_tpu.config import DecodeConfig
+
+_CFG = DecodeConfig()
+_OFFSET_TAGS = (0b00, 0b11, 0b01, 0b01, 0b01, 0b01, 0b01, 0b10, 0b10, 0b10)
+LANE = 128
+
+
+def _decode_kernel(hbm_ref, ok_ref, flag_ref, ue_ref, bs_ref, rss_ref,
+                   clk_ref, buf_ref, sem_ref, *, rows_per_chunk: int,
+                   n_chunks: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rc = rows_per_chunk
+    i = pl.program_id(0)
+
+    def dma(slot, chunk):
+        # chunk rows + 1 halo row (the final chunk's halo row is the
+        # zero-padded guard row appended by the host wrapper).
+        return pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(chunk * rc, rc + 1), :],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n_chunks)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    b = buf_ref[i % 2]                     # [rc+1, 128] int32
+
+    cur = b[:rc]
+    nxt = b[1 : rc + 1]
+
+    # Byte-shift within the [rc, 128] layout: Mosaic cannot concatenate
+    # lane-misaligned slices, but lane rolls are native.  Lane l of
+    # shift(d) is cur[l+d] for l < 128-d, else nxt[l+d-128]; both equal
+    # roll(x, -d) at lane l, so a single lane-index select suffices.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rc, LANE), 1)
+
+    def shift(d):
+        a = pltpu.roll(cur, LANE - d, axis=1)   # == roll by -d (mod LANE)
+        bn = pltpu.roll(nxt, LANE - d, axis=1)
+        return jnp.where(lanes < LANE - d, a, bn)
+
+    ok = (cur == 0xCC) | (cur == 0x33)
+    shifted = []
+    for d, tag in enumerate(_OFFSET_TAGS, start=1):
+        s = shift(d)
+        shifted.append(s)
+        ok = ok & ((s >> 6) == tag)
+
+    okf = ok.astype(jnp.int32)
+    ue = shifted[0] & 0x3F
+    bs = shifted[1] & 0x3F
+    clk = (
+        (shifted[2] & 0x3F)
+        | ((shifted[3] & 0x3F) << 6)
+        | ((shifted[4] & 0x3F) << 12)
+        | ((shifted[5] & 0x3F) << 18)
+        | ((shifted[6] & 0x3F) << 24)
+    )
+    rss = (shifted[7] & 0x3F) | ((shifted[8] & 0x3F) << 6) | ((shifted[9] & 0x3F) << 12)
+
+    ok_ref[...] = okf
+    flag_ref[...] = jnp.where(ok, (cur == 0xCC).astype(jnp.int32), 0)
+    ue_ref[...] = ue * okf
+    bs_ref[...] = bs * okf
+    rss_ref[...] = rss * okf
+    clk_ref[...] = clk * okf
+
+
+@functools.lru_cache(maxsize=8)
+def _build(n_rows: int, rows_per_chunk: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks = n_rows // rows_per_chunk
+    rc = rows_per_chunk
+    body = functools.partial(_decode_kernel, rows_per_chunk=rc,
+                             n_chunks=n_chunks)
+    out_spec = pl.BlockSpec((rc, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        body,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[out_spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((n_rows, LANE), jnp.int32)] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((2, rc + 1, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def decode_frames_pallas(
+    raw_bytes,                 # jnp/np uint8 [N]
+    capacity: int,
+    rows_per_chunk: int = 512,  # 64 KiB chunks
+    interpret: bool = False,
+) -> Tuple:
+    """Full streaming decode: returns (frames[capacity, 5] i32, count)."""
+    import jax.numpy as jnp
+
+    raw = jnp.asarray(raw_bytes, dtype=jnp.int32)
+    n = raw.shape[0]
+    chunk_elems = rows_per_chunk * LANE
+    n_rows = -(-max(n, 1) // chunk_elems) * rows_per_chunk
+    # +1 guard row: the last chunk's halo DMA reads one row past the end.
+    padded = jnp.zeros(((n_rows + 1) * LANE,), dtype=jnp.int32)
+    padded = padded.at[:n].set(raw)
+    grid_in = padded.reshape(n_rows + 1, LANE)
+
+    fn = _build(n_rows, rows_per_chunk, bool(interpret))
+    ok, flag, ue, bs, rss, clk = fn(grid_in)
+
+    okf = ok.reshape(-1)
+    idx = jnp.nonzero(okf, size=capacity, fill_value=n_rows * LANE)[0]
+    count = jnp.sum(okf, dtype=jnp.int32)
+
+    def take(x):
+        flat = jnp.concatenate([x.reshape(-1), jnp.zeros((1,), jnp.int32)])
+        return flat[jnp.minimum(idx, n_rows * LANE)]
+
+    frames = jnp.stack([take(flag), take(ue), take(bs), take(rss), take(clk)],
+                       axis=1)
+    return frames, count

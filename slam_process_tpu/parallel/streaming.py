@@ -1,0 +1,150 @@
+"""Streaming replay: chunked real-time decode -> correct -> render.
+
+The reference slurps whole log files (SURVEY.md section 5.7); deployment
+streams are unbounded, so this module processes byte chunks incrementally
+with exact offline-parity semantics:
+
+  * decode carry: a frame can straddle a chunk boundary.  By the >=11-byte
+    spacing theorem, positions with a full 11-byte window are accepted or
+    rejected definitively, so the carry is exactly the last
+    ``min(10, bytes after the last emitted frame)`` bytes — the only
+    positions whose verdict can change with more data.
+  * correction granularity: a row's correction depends on every baseline in
+    its sweep group, so rows are buffered until the group closes (UE
+    decrease), then corrected and folded into the running intensity
+    accumulators.  Per-cell means are sum/count, hence order-independent
+    and equal to the offline pivot.
+
+The device-side ingest counterpart (double-buffered HBM->VMEM DMA decode)
+lives in ops/pallas_decode.py; this class is the session-state machine
+around it.  tests/test_streaming.py proves chunked == offline byte-for-byte
+on real logs at multiple chunk sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Union
+
+import numpy as np
+
+from slam_process_tpu.config import PipelineConfig, SceneConfig
+from slam_process_tpu.ops.correct import correct_frames_np
+from slam_process_tpu.ops.decode import extract_fields, frame_start_mask
+from slam_process_tpu.ops.scene import IntensityGrid
+
+
+class StreamingSession:
+    def __init__(self, config: Optional[PipelineConfig] = None,
+                 n_beams: int = 64):
+        self.config = config or PipelineConfig()
+        self._carry = np.zeros(0, dtype=np.uint8)
+        self._group_rows: list[np.ndarray] = []   # frames of the open sweep
+        self._last_ue: Optional[int] = None
+        self.n_frames = 0
+        self.n_kept = 0
+        self.n_groups = 0
+        self.filtered_parts: list[np.ndarray] = []
+        nb = n_beams
+        self._sums = np.zeros((nb, nb))
+        self._counts = np.zeros((nb, nb), dtype=np.int64)
+
+    # -- ingest --------------------------------------------------------------
+
+    def feed(self, chunk: Union[bytes, np.ndarray]) -> int:
+        """Consume one chunk of tokenized bytes; returns frames decoded."""
+        if isinstance(chunk, (bytes, bytearray)):
+            chunk = np.frombuffer(chunk, dtype=np.uint8)
+        buf = np.concatenate([self._carry, np.asarray(chunk, dtype=np.uint8)])
+        n = len(buf)
+        ok = frame_start_mask(buf, self.config.decode)
+        starts = np.nonzero(ok)[0]
+        frames = (extract_fields(buf, starts) if starts.size
+                  else np.zeros((0, 5), np.int64))
+
+        # Carry: suffix that may still become a frame with more data.
+        last_end = int(starts[-1]) + self.config.decode.frame_len if starts.size else 0
+        carry_start = max(n - (self.config.decode.frame_len - 1), last_end)
+        self._carry = buf[carry_start:].copy()
+
+        self.n_frames += len(frames)
+        self._push_frames(frames)
+        return len(frames)
+
+    def _push_frames(self, frames: np.ndarray) -> None:
+        for row in frames:
+            ue = int(row[1])
+            if self._last_ue is not None and ue < self._last_ue:
+                self._close_group()
+            self._group_rows.append(row)
+            self._last_ue = ue
+
+    def _close_group(self) -> None:
+        if not self._group_rows:
+            return
+        group = np.stack(self._group_rows)
+        self._group_rows = []
+        self.n_groups += 1
+        res = correct_frames_np(group, self.config.correct)
+        if len(res.filtered):
+            self.filtered_parts.append(res.filtered)
+            self.n_kept += len(res.filtered)
+            ue = res.filtered[:, 0]
+            bs = res.filtered[:, 1]
+            rss = res.filtered[:, 2].astype(np.float64)
+            np.add.at(self._sums, (ue, bs), rss)
+            np.add.at(self._counts, (ue, bs), 1)
+
+    def finalize(self) -> None:
+        """Flush the open sweep group (end of stream)."""
+        self._close_group()
+        self._last_ue = None
+
+    # -- results -------------------------------------------------------------
+
+    @property
+    def filtered(self) -> np.ndarray:
+        if not self.filtered_parts:
+            return np.zeros((0, 4), dtype=np.int64)
+        return np.concatenate(self.filtered_parts)
+
+    def intensity(self) -> IntensityGrid:
+        with np.errstate(invalid="ignore"):
+            mean = np.where(self._counts > 0,
+                            self._sums / np.maximum(self._counts, 1), np.nan)
+        row_mask = self._counts.sum(axis=1) > 0
+        col_mask = self._counts.sum(axis=0) > 0
+        observed = self._counts > 0
+        fill = mean[observed].min() if observed.any() else np.nan
+        return IntensityGrid(mean, self._counts.astype(np.int32), row_mask,
+                             col_mask, np.float64(fill))
+
+    def render(self, angle_lut: np.ndarray, render_cfg=None):
+        from slam_process_tpu.config import RenderConfig
+        from slam_process_tpu.render.heatmap import render_intensity
+
+        return render_intensity(
+            self.intensity(), angle_lut,
+            SceneConfig(keep_nan=True, fill_with_min=False),
+            render_cfg or RenderConfig(),
+        )
+
+
+def replay_log(raw: np.ndarray, chunk_bytes: int = 1 << 16,
+               config: Optional[PipelineConfig] = None,
+               render_every: int = 0, angle_lut: Optional[np.ndarray] = None,
+               ) -> StreamingSession:
+    """Replay one tokenized log through the streaming pipeline."""
+    s = StreamingSession(config)
+    n_chunks = 0
+    for off in range(0, len(raw), chunk_bytes):
+        s.feed(raw[off : off + chunk_bytes])
+        n_chunks += 1
+        if render_every and angle_lut is not None and n_chunks % render_every == 0:
+            s.render(angle_lut)
+    s.finalize()
+    return s
+
+
+def iter_chunks(raw: np.ndarray, chunk_bytes: int) -> Iterator[np.ndarray]:
+    for off in range(0, len(raw), chunk_bytes):
+        yield raw[off : off + chunk_bytes]

@@ -78,3 +78,44 @@ def test_golden_pic_parity_all(tmp_path, stem):
         d = np.abs(ours.astype(np.float64) - gold.astype(np.float64))
         assert d.mean() < 2e-4
         assert (d > 1e-3).mean() < 0.01
+
+
+@pytest.mark.parametrize(
+    "stem", ["Serial Debug 2026-01-26 164520"],
+)
+def test_excel_heatmap_golden_structure(tmp_path, stem):
+    """debugDoc/heatmap_outputs goldens (excel_heatmap renders).
+
+    These were rendered with a LINEAR color scale (colorbar label 线性刻度)
+    even though the shipped excel_heatmap.py forces logscale default-on —
+    another artifact-vintage drift — and with a Windows CJK font that shifts
+    the Agg layout by a few pixels.  Exact pixel parity is therefore not
+    attainable in this environment; we assert identical canvas size and
+    strong structural similarity of the drawn heatmap region.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from slam_process_tpu.config import RenderConfig, SceneConfig
+    from slam_process_tpu.pipeline.session import Session
+
+    s = Session.from_filtered_xlsx(DEBUGDOC / f"{stem}_filtered.xlsx")
+    out = tmp_path / "eh.png"
+    s.render_heatmap(
+        BEAM_ANGLE, out,
+        SceneConfig(keep_nan=True, fill_with_min=False),
+        RenderConfig(blur_sigma=1.0, use_log=False, dpi=150),
+        source="filtered",
+        title=f"BS-UE 波束对平均RSSI热力图 ({stem}_filtered.xlsx)",
+    )
+    ours = plt.imread(out)
+    gold = plt.imread(
+        DEBUGDOC / "heatmap_outputs" / f"{stem}_filtered_heatmap.png"
+    )
+    assert ours.shape == gold.shape
+    o = ours[120:1050, 150:1150, :3].mean(axis=2).ravel()
+    g = gold[120:1050, 150:1150, :3].mean(axis=2).ravel()
+    r = np.corrcoef(o, g)[0, 1]
+    assert r > 0.95, f"structural similarity too low: r={r:.4f}"
