@@ -44,6 +44,9 @@ def _add_correct(sub):
     p = sub.add_parser("correct", help="Parsed xlsx -> _filtered xlsx (stage 2)")
     p.add_argument("--input", type=Path, required=True)
     p.add_argument("--output", type=Path, default=None)
+    p.add_argument("--in-place", action="store_true",
+                   help="process_excel mode: rewrite the input with a "
+                        "Corrected_BS_Beam column instead of filtering")
     p.set_defaults(fn=_run_correct)
 
 
@@ -53,6 +56,11 @@ def _run_correct(args):
     else:
         s = Session.from_parsed_xlsx(args.input)
     s.correct()
+    if args.in_place:
+        out = args.output or args.input
+        s.export_corrected(out)
+        print(f"已写回修正文件: {out}")
+        return
     out = args.output or args.input.with_name(args.input.stem + "_filtered.xlsx")
     s.export_filtered(out)
     print(f"已生成过滤后的修正文件: {out} 行数={len(s.filtered)}")

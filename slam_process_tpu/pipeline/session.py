@@ -41,6 +41,7 @@ class Session:
         self.logger = get_logger(f"slam_process_tpu.{name}")
         self.frames: Optional[np.ndarray] = None       # [F, 5]
         self.filtered: Optional[np.ndarray] = None     # [K, 4]
+        self.corrected_bs: Optional[np.ndarray] = None  # [F] per-row corrected
         self.counters: list[StageCounters] = []
         self.timings: dict[str, float] = {}
 
@@ -84,6 +85,7 @@ class Session:
         res = correct_frames_np(self.frames, self.config.correct)
         self.timings["correct"] = time.perf_counter() - t0
         self.filtered = res.filtered
+        self.corrected_bs = res.corrected_bs
         c = StageCounters(
             "correct",
             {"groups": res.n_groups, "baselines": res.n_baselines,
@@ -147,6 +149,22 @@ class Session:
         if self.filtered is None:
             self.correct()
         return write_filtered_table(path, self.filtered)
+
+    def export_corrected(self, path: Union[str, Path]) -> Path:
+        """process_excel-style export: the 5 Parsed columns plus a
+        Corrected_BS_Beam column for every row (bs_beam_correction.py:
+        119-138 overwrites its input file with this layout)."""
+        from slam_process_tpu.io.schemas import PARSED_COLUMNS
+        from slam_process_tpu.io.xlsx import write_xlsx_table
+
+        if self.corrected_bs is None:
+            self.correct()
+        table = np.concatenate(
+            [self.frames, self.corrected_bs[:, None]], axis=1
+        )
+        return write_xlsx_table(
+            path, PARSED_COLUMNS + ["Corrected_BS_Beam"], table
+        )
 
     def save_npz(self, path: Union[str, Path]) -> Path:
         path = Path(path)
