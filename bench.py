@@ -88,11 +88,40 @@ def main() -> None:
     fps = total_frames / elapsed
 
     # Fully end-to-end: file read + host tokenization + device pipeline.
+    # Host ingest runs in a thread pool so tokenization of log k+1 overlaps
+    # the device pipeline of log k.
+    from concurrent.futures import ThreadPoolExecutor
+
     t1 = time.perf_counter()
-    outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        outs2 = [run_session_on_device(r)
+                 for r in pool.map(read_hex_log, logs)]
     jax.block_until_ready([o.rgba for o in outs2])
     e2e_elapsed = time.perf_counter() - t1
     e2e_fps = total_frames / e2e_elapsed
+
+    # Batched-session config: ONE jitted program over the stacked [S, Nmax]
+    # byte batch (the multi-chip layout, here on a single chip).
+    from slam_process_tpu.ops.raster import colormap_lut
+    from slam_process_tpu.parallel.batch import batched_session_pipeline, stack_sessions
+    from slam_process_tpu.parallel.mesh import make_mesh
+    import jax.numpy as jnp
+
+    n_padded = max(len(r) for r in raw)
+    n_padded = ((n_padded + (1 << 20) - 1) >> 20) << 20
+    batch, lengths = stack_sessions(raw, n_padded)
+    mesh = make_mesh((1, 1), ("data", "model"))
+    # Static bounds sized to the dataset (58 groups / 93 baselines max).
+    bfn = batched_session_pipeline(mesh, n_padded, max_groups=64,
+                                   max_baselines_per_group=96)
+    lut_j = jnp.asarray(colormap_lut("viridis"))
+    with mesh:
+        bout = bfn(batch, lengths, lut_j)   # compile + warm
+        jax.block_until_ready(bout.rgba)
+        t3 = time.perf_counter()
+        bout = bfn(batch, lengths, lut_j)
+        jax.block_until_ready(bout.rgba)
+        batched_fps = total_frames / (time.perf_counter() - t3)
 
     # Pixel parity: device normalized raster vs float64 host oracle, plus
     # colormap LUT-bin agreement.
@@ -132,6 +161,7 @@ def main() -> None:
         "total_frames": total_frames,
         "n_logs": len(logs),
         "elapsed_s": round(elapsed, 4),
+        "batched_vmap_frames_per_sec": round(batched_fps, 1),
         "streaming_frames_per_sec": round(stream_fps, 1),
         "max_pixel_delta_norm_raster": max_pixel_delta,
         "lut_bin_flips": bin_flips,

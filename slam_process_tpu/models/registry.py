@@ -153,6 +153,7 @@ def _register_extended():
     import slam_process_tpu.models.fusion  # noqa: F401
     import slam_process_tpu.models.omp_dense  # noqa: F401
     import slam_process_tpu.models.geometric  # noqa: F401
+    import slam_process_tpu.models.nn_omp_v13  # noqa: F401
 
 
 try:

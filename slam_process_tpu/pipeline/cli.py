@@ -120,8 +120,9 @@ def _add_estimate(sub):
     p.add_argument("--mapping", type=Path, required=True)
     p.add_argument("--output", type=Path, default=None)
     p.add_argument("--model", default="nn_omp",
-                   choices=["nn_omp", "nn_omp_v1", "sm_sic", "svd", "lasso_refine",
-                            "peak_picking", "fusion", "omp_dense"])
+                   choices=["nn_omp", "nn_omp_v1", "nn_omp_v13", "sm_sic", "svd",
+                            "lasso_refine", "peak_picking", "fusion",
+                            "omp_dense", "geometric"])
     p.add_argument("--max-paths", type=int, default=None)
     p.add_argument("--grid-res", type=float, default=None)
     p.add_argument("--beam-width", type=float, default=None)
