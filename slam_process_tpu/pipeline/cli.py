@@ -29,15 +29,44 @@ def _add_decode(sub):
     p = sub.add_parser("decode", help="hex serial log -> Parsed xlsx (stage 1)")
     p.add_argument("input", type=Path)
     p.add_argument("output", type=Path, nargs="?")
+    p.add_argument("--format", choices=["v1", "v2", "v3"], default="v3",
+                   help="wire format generation (v3 = 11-byte, current)")
     p.set_defaults(fn=_run_decode)
 
 
 def _run_decode(args):
     out = args.output or args.input.with_suffix(".xlsx")
+    if args.format != "v3":
+        _run_decode_legacy(args, out)
+        return
     s = Session.from_log(args.input)
     s.export_parsed(out)
     c = s.counters[-1].counts
     print(f"有效组数={c['valid']} 丢弃组数={c['discarded']} 输出={out}")
+
+
+def _run_decode_legacy(args, out):
+    import numpy as np
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.io.xlsx import write_xlsx_table
+    from slam_process_tpu.ops.decode_legacy import (
+        V1_COLUMNS,
+        V2_COLUMNS,
+        decode_frames_v1_np,
+        decode_frames_v2_np,
+    )
+
+    raw = read_hex_log(args.input)
+    if args.format == "v1":
+        res = decode_frames_v1_np(raw)
+        # numeric columns only (hex columns carry no extra information)
+        write_xlsx_table(out, [V1_COLUMNS[1], V1_COLUMNS[3], V1_COLUMNS[7]],
+                         res.frames.astype(np.float64))
+    else:
+        res = decode_frames_v2_np(raw)
+        write_xlsx_table(out, V2_COLUMNS[:4], res.frames.astype(np.float64))
+    print(f"有效组数={res.valid} 丢弃组数={res.discarded} 输出={out}")
 
 
 def _add_correct(sub):
@@ -155,11 +184,22 @@ def _add_session(sub):
     p.add_argument("--log", type=Path, required=True)
     p.add_argument("--mapping", type=Path, required=True)
     p.add_argument("--outdir", type=Path, required=True)
+    p.add_argument("--engine", choices=["host", "device"], default="host",
+                   help="device = fused jitted TPU pipeline")
+    p.add_argument("--profile", type=Path, default=None,
+                   help="capture a jax.profiler trace into this directory")
     p.set_defaults(fn=_run_session)
 
 
 def _run_session(args):
-    s = Session.from_log(args.log)
+    from slam_process_tpu.utils.profiling import trace
+
+    with trace(args.profile):
+        _run_session_inner(args)
+
+
+def _run_session_inner(args):
+    s = Session.from_log(args.log, engine=args.engine)
     s.correct()
     args.outdir.mkdir(parents=True, exist_ok=True)
     s.export_parsed(args.outdir / f"{s.name}.xlsx")

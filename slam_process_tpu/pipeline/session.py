@@ -48,11 +48,37 @@ class Session:
     # -- construction -------------------------------------------------------
 
     @classmethod
-    def from_log(cls, path: Union[str, Path], config: Optional[PipelineConfig] = None
-                 ) -> "Session":
+    def from_log(cls, path: Union[str, Path], config: Optional[PipelineConfig] = None,
+                 engine: str = "host") -> "Session":
+        """Load + decode a raw log.
+
+        engine="host": numpy decode (float64-exact oracle path).
+        engine="device": the fused jitted TPU pipeline (decode+correct+scene
+        in one program; results pulled back only for export).
+        """
         s = cls(name=extract_timestamp(str(path)) or Path(path).stem, config=config)
         t0 = time.perf_counter()
         raw = read_hex_log(path)
+        if engine == "device":
+            from slam_process_tpu.pipeline.device import run_session_on_device
+
+            out = run_session_on_device(raw)
+            n = int(out.n_frames)
+            s.frames = np.asarray(out.frames)[:n].astype(np.int64)
+            corrected = np.asarray(out.corrected_bs)[:n].astype(np.int64)
+            keep = np.asarray(out.keep)[:n]
+            s.corrected_bs = corrected
+            s.filtered = np.stack(
+                [s.frames[keep, 1], corrected[keep], s.frames[keep, 3],
+                 s.frames[keep, 4]], axis=1,
+            )
+            s.timings["device_pipeline"] = time.perf_counter() - t0
+            c = StageCounters("decode+correct(device)",
+                              {"bytes": len(raw), "valid": n,
+                               "corrected": int(keep.sum())})
+            s.counters.append(c)
+            c.log(s.logger)
+            return s
         res = decode_frames_np(raw, s.config.decode)
         s.timings["decode"] = time.perf_counter() - t0
         s.frames = res.frames

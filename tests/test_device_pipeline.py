@@ -45,3 +45,17 @@ def test_device_pipeline_matches_host(small_log_bytes):
     oa = ref_rgba * ref_rgba[..., 3:4]
     ua = ours * ours[..., 3:4]
     assert np.max(np.abs(oa - ua)) <= 1e-3
+
+
+def test_session_device_engine_matches_host():
+    import numpy as np
+
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import SMALL_LOG_2026_02_06
+
+    h = Session.from_log(SMALL_LOG_2026_02_06)
+    h.correct()
+    d = Session.from_log(SMALL_LOG_2026_02_06, engine="device")
+    np.testing.assert_array_equal(h.frames, d.frames)
+    np.testing.assert_array_equal(h.filtered, d.filtered)
+    np.testing.assert_array_equal(h.corrected_bs, d.corrected_bs)
