@@ -2,12 +2,12 @@
 
 The reference round-trips every stage through .xlsx via openpyxl row loops
 (serial_hex_to_excel_v3.py:105-120) — ~100k ``ws.append`` calls per log.
-Stage artifacts here are npz-first (see io.artifacts), but xlsx import of
-the shipped golden files and xlsx export for drop-in compatibility are still
-required.  openpyxl parses a 100k-row sheet in tens of seconds; this module
-reads the sheet XML directly (regex over <row> blocks) and writes sheets by
-string assembly + zipfile, which is ~20-50x faster for the numeric tables
-this pipeline uses.  Falls back to pandas/openpyxl for exotic files.
+Stage artifacts here are npz-first (Session.save_npz), but xlsx import of
+the shipped golden files and xlsx export for drop-in compatibility are
+still required — and this environment has no openpyxl at all, so this
+module IS the xlsx layer: it reads sheet XML directly (regex over <row>
+blocks) and writes sheets by string assembly + zipfile, ~20-50x faster
+than openpyxl for the numeric tables this pipeline uses.
 """
 
 from __future__ import annotations
@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 import zipfile
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -150,14 +150,6 @@ _XLSX_STATIC = {
 
 def _esc(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-
-def _fmt_num(v: float) -> str:
-    if np.isnan(v):
-        return ""
-    if float(v).is_integer() and abs(v) < 1e15:
-        return str(int(v))
-    return repr(float(v))
 
 
 def write_xlsx_table(

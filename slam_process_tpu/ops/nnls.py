@@ -31,7 +31,6 @@ def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16, tol: float = 1e-10
     import jax.numpy as jnp
 
     k = G.shape[0]
-    eye = jnp.eye(k, dtype=G.dtype)
 
     def solve_passive(P):
         # Rows/cols outside P are replaced by identity -> exact zeros there.

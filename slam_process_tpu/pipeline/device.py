@@ -55,7 +55,6 @@ def session_pipeline(
     """
     import jax.numpy as jnp
 
-    from slam_process_tpu.ops.raster import rasterize
     from slam_process_tpu.ops.scene import fill_grid, intensity_grid_jax
 
     frames, count = decode_frames_jax(byte_tensor, capacity=capacity, cfg=decode_cfg)

@@ -11,7 +11,7 @@ the device raster colors while matplotlib contributes only the chrome.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 

@@ -16,7 +16,7 @@ UE-major scene grid (excel_heatmap.py:272-300 pivots index='AoD').
 from __future__ import annotations
 
 from pathlib import Path
-from typing import NamedTuple, Optional, Union
+from typing import NamedTuple, Union
 
 import numpy as np
 
