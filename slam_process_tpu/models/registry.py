@@ -8,6 +8,7 @@ reference's output format (AoA, AoD, Power, PathType).
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Optional, Union
 
@@ -84,8 +85,24 @@ def _estimate_nn_omp(session, angle_file, output_path, *, flavor: str,
 
     matrix, ue_ang, bs_ang = build_scene(session, angle_file, log_transform)
     dictionary = make_dictionary(ue_ang, bs_ang, dict_cfg)
-    paths = nn_omp_np(dictionary, matrix, omp_cfg, keep_rule=keep_rule,
-                      stop_nonpositive=stop_np)
+    if overrides.get("engine") == "device":
+        import jax
+        import jax.numpy as jnp
+
+        from slam_process_tpu.models.nn_omp import nn_omp_jax
+
+        fn = jax.jit(functools.partial(nn_omp_jax, cfg=omp_cfg,
+                                       keep_rule=keep_rule,
+                                       stop_nonpositive=stop_np))
+        out = fn(jnp.asarray(dictionary.phi_rx, jnp.float32),
+                 jnp.asarray(dictionary.phi_tx, jnp.float32),
+                 jnp.asarray(dictionary.aoa_grid, jnp.float32),
+                 jnp.asarray(dictionary.aod_grid, jnp.float32),
+                 jnp.asarray(matrix, jnp.float32))
+        paths = type(out)(*(np.asarray(x) for x in out))
+    else:
+        paths = nn_omp_np(dictionary, matrix, omp_cfg, keep_rule=keep_rule,
+                          stop_nonpositive=stop_np)
 
     if flavor == "v1-7":
         cls_cfg = ClassifierConfig(

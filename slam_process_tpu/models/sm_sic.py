@@ -138,7 +138,21 @@ def _run_sm_sic(session, angle_file, output_path=None, **overrides):
         DictionaryConfig(grid_res=cfg.grid_res, beam_width=cfg.beam_width,
                          grid_kind="arange_inclusive"),
     )
-    paths = sm_sic_np(d, matrix, cfg)
+    if overrides.get("engine") == "device":
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        fn = jax.jit(functools.partial(sm_sic_jax, cfg=cfg))
+        out = fn(jnp.asarray(d.phi_rx, jnp.float32),
+                 jnp.asarray(d.phi_tx, jnp.float32),
+                 jnp.asarray(d.aoa_grid, jnp.float32),
+                 jnp.asarray(d.aod_grid, jnp.float32),
+                 jnp.asarray(matrix, jnp.float32))
+        paths = SmSicPaths(*(np.asarray(x) for x in out))
+    else:
+        paths = sm_sic_np(d, matrix, cfg)
     label = np.where(paths.is_los, LOS, np.where(paths.valid, NLOS, NOISE))
     classified = ClassifiedPaths(paths.aoa, paths.aod, paths.metric,
                                  label.astype(np.int32), paths.valid)

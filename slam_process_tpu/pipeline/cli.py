@@ -155,6 +155,8 @@ def _add_estimate(sub):
     p.add_argument("--max-paths", type=int, default=None)
     p.add_argument("--grid-res", type=float, default=None)
     p.add_argument("--beam-width", type=float, default=None)
+    p.add_argument("--engine", choices=["host", "device"], default="host",
+                   help="device = jitted TPU estimator (nn_omp/sm_sic)")
     p.set_defaults(fn=_run_estimate)
 
 
@@ -173,6 +175,8 @@ def _run_estimate(args):
         overrides["grid_res"] = args.grid_res
     if args.beam_width is not None:
         overrides["beam_width"] = args.beam_width
+    if args.engine != "host":
+        overrides["engine"] = args.engine
     out = args.output or (args.input.parent / f"{s.name}_{args.model}.png")
     paths = run_estimator(args.model, s, args.mapping, out, **overrides)
     print(paths.to_string(index=False) if hasattr(paths, "to_string") else paths)

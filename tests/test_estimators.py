@@ -271,3 +271,23 @@ def test_preprocess_modes():
     # power/adaptive preserve the original value range envelope
     out = preprocess_power(data, "power")
     assert out.min() >= data.min() - 1e-9 and out.max() <= data.max() + 1e-9
+
+
+def test_estimator_device_engine(tmp_path):
+    """engine='device' routes through the jitted estimators and agrees."""
+    from slam_process_tpu.models import run_estimator
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import BEAM_ANGLE, FILTERED_2026_02_06
+
+    s = Session.from_filtered_xlsx(FILTERED_2026_02_06)
+    host = run_estimator("sm_sic", s, BEAM_ANGLE, None)
+    dev = run_estimator("sm_sic", s, BEAM_ANGLE, None, engine="device")
+    assert list(host["type"]) == list(dev["type"])
+    np.testing.assert_allclose(host["aoa"], dev["aoa"], atol=1e-4)
+
+    host2 = run_estimator("nn_omp", s, BEAM_ANGLE, None, grid_res=0.5,
+                          max_paths=6)
+    dev2 = run_estimator("nn_omp", s, BEAM_ANGLE, None, grid_res=0.5,
+                         max_paths=6, engine="device")
+    assert list(host2["PathType"]) == list(dev2["PathType"])
+    np.testing.assert_allclose(host2["AoA"], dev2["AoA"], atol=1e-3)
