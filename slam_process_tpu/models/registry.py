@@ -148,6 +148,72 @@ def _nn_omp_v1(session, angle_file, output_path=None, **overrides):
                             **overrides)
 
 
+def _estimate_with_classifier(session, angle_file, output_path, classify,
+                              max_paths=10, **overrides):
+    """Shared core for the v1-4/v1-5/v1-6 revisions: v1 scene + linspace
+    dictionary + NN-OMP with the power-ratio keep rule, then the given
+    classifier (SURVEY.md section 2.4 revision deltas)."""
+    dict_cfg = DictionaryConfig(
+        grid_res=overrides.get("grid_res", 0.1),
+        beam_width=overrides.get("beam_width", 1.4),
+        grid_kind="linspace",
+    )
+    omp_cfg = OmpConfig(
+        max_paths=overrides.get("max_paths", max_paths),
+        min_power_ratio=overrides.get("min_power_ratio", 0.01),
+    )
+    matrix, ue_ang, bs_ang = build_scene(session, angle_file,
+                                         log_transform=False)
+    dictionary = make_dictionary(ue_ang, bs_ang, dict_cfg)
+    paths = nn_omp_np(dictionary, matrix, omp_cfg)
+    classified = classify(paths)
+    if output_path is not None:
+        estimation_plot(matrix, ue_ang, bs_ang, classified, output_path,
+                        style="v1-7")
+    return paths_dataframe(classified)
+
+
+@register("nn_omp_v14")
+def _nn_omp_v14(session, angle_file, output_path=None, **overrides):
+    """v1-4: robust linspace grids + inline weak-and-far classifier."""
+    from slam_process_tpu.models.classifiers import classify_weak_far
+
+    return _estimate_with_classifier(
+        session, angle_file, output_path,
+        lambda p: classify_weak_far(p.aoa, p.aod, p.power, p.valid),
+        **overrides,
+    )
+
+
+@register("nn_omp_v15")
+def _nn_omp_v15(session, angle_file, output_path=None, **overrides):
+    """v1-5: cross-region PathClassifier (sidelobes before NLoS)."""
+    from slam_process_tpu.models.classifiers import classify_cross_region
+
+    return _estimate_with_classifier(
+        session, angle_file, output_path,
+        lambda p: classify_cross_region(
+            p.aoa, p.aod, p.power, p.valid,
+            sidelobe_width_aoa=overrides.get("sidelobe_width_aoa", 45.0),
+            sidelobe_width_aod=overrides.get("sidelobe_width_aod", 45.0),
+            nlos_power_thresh_db=overrides.get("nlos_power_thresh_db", 10.0),
+            nlos_min_angle_sep=overrides.get("nlos_min_angle_sep", 20.0),
+        ),
+        **overrides,
+    )
+
+
+@register("nn_omp_v16")
+def _nn_omp_v16(session, angle_file, output_path=None, **overrides):
+    """v1-6: AdvancedPathClassifier without the v1-7 log pre-transform."""
+    return _estimate_with_classifier(
+        session, angle_file, output_path,
+        lambda p: classify_advanced(p.aoa, p.aod, p.power, p.valid,
+                                    ClassifierConfig()),
+        **overrides,
+    )
+
+
 def run_estimator(
     name: str,
     session,

@@ -149,7 +149,8 @@ def _add_estimate(sub):
     p.add_argument("--mapping", type=Path, required=True)
     p.add_argument("--output", type=Path, default=None)
     p.add_argument("--model", default="nn_omp",
-                   choices=["nn_omp", "nn_omp_v1", "nn_omp_v13", "sm_sic", "svd",
+                   choices=["nn_omp", "nn_omp_v1", "nn_omp_v13", "nn_omp_v14",
+                            "nn_omp_v15", "nn_omp_v16", "sm_sic", "svd",
                             "lasso_refine", "peak_picking", "fusion",
                             "omp_dense", "geometric"])
     p.add_argument("--max-paths", type=int, default=None)
@@ -214,6 +215,55 @@ def _run_session_inner(args):
                       "counters": {c.name: c.counts for c in s.counters}}))
 
 
+def _add_replay(sub):
+    p = sub.add_parser("replay", help="streaming replay: chunked real-time "
+                                      "decode -> correct -> render")
+    p.add_argument("--logs", type=Path, nargs="+", required=True)
+    p.add_argument("--mapping", type=Path, required=True)
+    p.add_argument("--outdir", type=Path, required=True)
+    p.add_argument("--chunk-bytes", type=int, default=1 << 16)
+    p.add_argument("--render-every", type=int, default=0,
+                   help="re-render the live heatmap every N chunks")
+    p.set_defaults(fn=_run_replay)
+
+
+def _run_replay(args):
+    import time
+
+    import numpy as np
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.io.angles import load_angle_lut
+    from slam_process_tpu.io.schemas import write_filtered_table
+    from slam_process_tpu.parallel.streaming import replay_log
+    from slam_process_tpu.render.figures import save_heatmap_figure
+    from slam_process_tpu.utils import extract_timestamp
+
+    lut = load_angle_lut(args.mapping)
+    args.outdir.mkdir(parents=True, exist_ok=True)
+    stats = []
+    for log in args.logs:
+        name = extract_timestamp(str(log)) or log.stem
+        raw = read_hex_log(log)
+        t0 = time.perf_counter()
+        s = replay_log(raw, chunk_bytes=args.chunk_bytes,
+                       render_every=args.render_every, angle_lut=lut)
+        dt = time.perf_counter() - t0
+        rendered = s.render(lut)
+        save_heatmap_figure(
+            rendered.blurred, rendered.aod_angles, rendered.aoa_angles,
+            args.outdir / f"{name}_replay.png",
+            title=f"streaming replay ({name})",
+        )
+        write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
+        stats.append({"session": name, "frames": s.n_frames,
+                      "kept": s.n_kept, "sweeps": s.n_groups,
+                      "frames_per_sec": round(s.n_frames / dt, 1)})
+        print(json.dumps(stats[-1]))
+    total = sum(x["frames"] for x in stats)
+    print(json.dumps({"sessions": len(stats), "total_frames": total}))
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="slam_process_tpu",
                                      description=__doc__.split("\n")[0])
@@ -223,6 +273,7 @@ def main(argv=None) -> int:
     _add_heatmap(sub)
     _add_estimate(sub)
     _add_session(sub)
+    _add_replay(sub)
     args = parser.parse_args(argv)
     logger = get_logger()
     try:
