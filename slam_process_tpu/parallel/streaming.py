@@ -71,18 +71,31 @@ class StreamingSession:
         return len(frames)
 
     def _push_frames(self, frames: np.ndarray) -> None:
-        for row in frames:
-            ue = int(row[1])
-            if self._last_ue is not None and ue < self._last_ue:
-                self._close_group()
-            self._group_rows.append(row)
-            self._last_ue = ue
+        """Vectorized sweep segmentation: split the chunk's frames at UE
+        decreases, close every completed group, buffer the open tail."""
+        if not len(frames):
+            return
+        ue = frames[:, 1]
+        boundary = np.zeros(len(frames), dtype=bool)
+        boundary[0] = self._last_ue is not None and ue[0] < self._last_ue
+        boundary[1:] = ue[:-1] > ue[1:]
+        cuts = np.nonzero(boundary)[0]
+        start = 0
+        for cut in cuts:
+            if cut > start:
+                self._group_rows.append(frames[start:cut])
+            self._correct_and_fold_open()
+            start = int(cut)
+        self._group_rows.append(frames[start:])
+        self._last_ue = int(ue[-1])
 
-    def _close_group(self) -> None:
+    def _correct_and_fold_open(self) -> None:
         if not self._group_rows:
             return
-        group = np.stack(self._group_rows)
+        group = np.concatenate(self._group_rows)
         self._group_rows = []
+        if not len(group):
+            return
         self.n_groups += 1
         res = correct_frames_np(group, self.config.correct)
         if len(res.filtered):
@@ -96,7 +109,7 @@ class StreamingSession:
 
     def finalize(self) -> None:
         """Flush the open sweep group (end of stream)."""
-        self._close_group()
+        self._correct_and_fold_open()
         self._last_ue = None
 
     # -- results -------------------------------------------------------------
