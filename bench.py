@@ -100,6 +100,20 @@ def main() -> None:
     e2e_elapsed = time.perf_counter() - t1
     e2e_fps = total_frames / e2e_elapsed
 
+    # Pixel parity needs one sequential output; keep it, free the rest.
+    # NOTE: the batched single-program config reproducibly measures ~1.2 s
+    # per call inside THIS process but ~0.1 ms (HBM speed-of-light) in a
+    # fresh process running the identical stage — a platform-side dispatch
+    # anomaly we could not attribute (not the compilation cache, not input
+    # shardings, not freed buffers; per-trial timings are recorded in the
+    # JSON).  The sequential-dispatch number is the headline; see
+    # batched_trials_s for the raw data.
+    import gc
+
+    parity_outs = {idx: outs[idx] for idx in (0, len(logs) - 1)}
+    del outs, outs2
+    gc.collect()
+
     # Batched-session config: ONE jitted program over the stacked [S, Nmax]
     # byte batch (the multi-chip layout, here on a single chip).
     from slam_process_tpu.ops.raster import colormap_lut
@@ -147,7 +161,7 @@ def main() -> None:
         frames = decode_frames_np(raw[idx]).frames
         filtered = correct_frames_np(frames).filtered
         oracle_t = _oracle_norm_raster(filtered)
-        ours_t = np.asarray(outs[idx].norm_t, dtype=np.float64)
+        ours_t = np.asarray(parity_outs[idx].norm_t, dtype=np.float64)
         both = np.isfinite(oracle_t) & np.isfinite(ours_t)
         t_deltas.append(float(np.max(np.abs(ours_t[both] - oracle_t[both]))))
         bin_flips += int(

@@ -146,6 +146,55 @@ def intensity_grid_jax(
     return IntensityGrid(mean, counts.astype(jnp.int32), row_mask, col_mask, fill)
 
 
+def intensity_per_sweep_jax(
+    ue,                       # jnp [F] int32 (padded)
+    bs,                       # jnp [F] int32
+    rss,                      # jnp [F] f32
+    gid,                      # jnp [F] int32 sweep ids (0..max_sweeps-1)
+    valid,                    # jnp [F] bool
+    max_sweeps: int,
+    cfg: SceneConfig = _DEFAULT,
+):
+    """Per-sweep intensity tensor [S, U, B] via one 3-way one-hot contraction.
+
+    The SURVEY design keeps the session as ``intensity[S, 64, 64]`` so
+    renders/estimators can ``vmap`` across sweeps; this assembles it with a
+    single einsum over (frame -> sweep) x (frame -> ue) x (frame -> bs)
+    one-hots — still MXU work, [F, S]x[F, U]x[F, B].
+    Returns (mean [S, U, B] with NaN empties, counts [S, U, B] i32).
+    """
+    import jax.numpy as jnp
+
+    keep = valid & (ue >= 0) & (ue < cfg.n_beams) & (bs >= 0) & (bs < cfg.n_beams)
+    val = rss.astype(jnp.float32)
+    if cfg.log_transform:
+        keep = keep & (val > 0)
+        val = jnp.log(jnp.maximum(val, 1e-30))
+    import jax
+
+    kf = keep.astype(jnp.float32)
+    oh_u = (ue[:, None] == jnp.arange(cfg.n_beams)[None, :]).astype(jnp.float32)
+    oh_b = (bs[:, None] == jnp.arange(cfg.n_beams)[None, :]).astype(jnp.float32)
+
+    # Scan over sweeps: per sweep the cell stats are the session einsum with
+    # a sweep-membership weight folded into the UE one-hot.  Peak memory
+    # stays at [F, n_beams] instead of [F, S * n_beams].
+    def one_sweep(_, s):
+        w = (gid == s).astype(jnp.float32) * kf
+        ohu = oh_u * w[:, None]
+        sums = jnp.einsum("fu,f,fb->ub", ohu, val, oh_b,
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        counts = jnp.einsum("fu,fb->ub", ohu, oh_b,
+                            preferred_element_type=jnp.float32)
+        return None, (sums, counts)
+
+    _, (sums, counts) = jax.lax.scan(one_sweep, None,
+                                     jnp.arange(max_sweeps, dtype=gid.dtype))
+    mean = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), jnp.nan)
+    return mean, counts.astype(jnp.int32)
+
+
 def fill_grid(grid: IntensityGrid, cfg: SceneConfig = _DEFAULT):
     """Apply the fill policy: empty observed-row/col cells -> global min.
 

@@ -56,6 +56,12 @@ def batched_session_pipeline(
         )
         return out
 
+    if mesh.devices.size == 1:
+        # Single device: every sharding is equivalent, and committing inputs
+        # to a NamedSharding is pathologically slow on relay-style PJRT
+        # transports (measured ~1.2 s per 70 MB on the axon tunnel) — let
+        # jit take the inputs as they come.
+        return jax.jit(batched)
     in_shardings = (
         NamedSharding(mesh, P("data", None)),
         NamedSharding(mesh, P("data")),

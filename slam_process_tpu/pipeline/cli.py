@@ -264,6 +264,26 @@ def _run_replay(args):
     print(json.dumps({"sessions": len(stats), "total_frames": total}))
 
 
+def _add_run_config(sub):
+    p = sub.add_parser("run-config",
+                       help="run one of the five named benchmark configs")
+    p.add_argument("name", choices=["serial_hex_to_excel_v3",
+                                    "excel_heatmap_v3", "bs_beam_correction",
+                                    "batched_session", "streaming_replay"])
+    p.add_argument("--data-dir", type=Path, default=None)
+    p.add_argument("--mapping", type=Path, default=None)
+    p.add_argument("--outdir", type=Path, default=None)
+    p.set_defaults(fn=_run_named_config)
+
+
+def _run_named_config(args):
+    from slam_process_tpu.pipeline.configs import run_named_config
+
+    result = run_named_config(args.name, args.data_dir, args.mapping,
+                              args.outdir)
+    print(json.dumps(result, default=str))
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="slam_process_tpu",
                                      description=__doc__.split("\n")[0])
@@ -274,6 +294,7 @@ def main(argv=None) -> int:
     _add_estimate(sub)
     _add_session(sub)
     _add_replay(sub)
+    _add_run_config(sub)
     args = parser.parse_args(argv)
     logger = get_logger()
     try:

@@ -143,6 +143,32 @@ class Session:
         self.timings["scene"] = time.perf_counter() - t0
         return grid
 
+    def sweep_intensity(self, max_sweeps: Optional[int] = None):
+        """Per-sweep intensity tensor [S, 64, 64] (+ counts), on device.
+
+        The SURVEY design keeps sweeps as a leading tensor axis so renders
+        and estimators can vmap across them (e.g. feed the [S, 64, 64]
+        result to ops.pallas_raster.pallas_rasterize_batch).
+        """
+        import jax.numpy as jnp
+
+        from slam_process_tpu.ops.correct import detect_groups_np
+        from slam_process_tpu.ops.scene import intensity_per_sweep_jax
+
+        if self.filtered is None:
+            self.correct()
+        gid = detect_groups_np(self.filtered[:, 0])
+        s = max_sweeps or int(gid.max()) + 1
+        mean, counts = intensity_per_sweep_jax(
+            jnp.asarray(self.filtered[:, 0], jnp.int32),
+            jnp.asarray(self.filtered[:, 1], jnp.int32),
+            jnp.asarray(self.filtered[:, 2], jnp.float32),
+            jnp.asarray(gid, jnp.int32),
+            jnp.ones(len(self.filtered), dtype=bool),
+            max_sweeps=s,
+        )
+        return np.asarray(mean), np.asarray(counts)
+
     def render_heatmap(
         self,
         angle_file: Union[str, Path],

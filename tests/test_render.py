@@ -99,3 +99,20 @@ def test_cli_decode_correct_roundtrip(tmp_path):
     ours = read_filtered_table(tmp_path / "filtered.xlsx")
     golden = read_filtered_table(FILTERED_2026_02_06)
     np.testing.assert_array_equal(ours, golden)
+
+
+def test_run_named_config_heatmap(tmp_path):
+    from slam_process_tpu.pipeline.configs import run_named_config
+
+    result = run_named_config("excel_heatmap_v3", outdir=tmp_path)
+    assert result["config"] == "excel_heatmap_v3"
+    assert Path(result["png"]).stat().st_size > 10_000
+
+
+def test_run_named_config_unknown():
+    import pytest as _pytest
+
+    from slam_process_tpu.pipeline.configs import run_named_config
+
+    with _pytest.raises(KeyError):
+        run_named_config("nope")

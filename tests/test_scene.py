@@ -129,3 +129,60 @@ def test_golden_session_pivot(filtered_golden_020606, angle_lut64):
     np.testing.assert_array_equal(bs_ids, ref_bs)
     np.testing.assert_allclose(matrix, ref_m, atol=1e-12)
     assert matrix.shape[0] == len(ue_ang) and matrix.shape[1] == len(bs_ang)
+
+
+def test_per_sweep_intensity():
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.scene import intensity_per_sweep_jax
+
+    rng = np.random.default_rng(60)
+    n, S = 4000, 6
+    ue = rng.integers(0, 64, n)
+    bs = rng.integers(0, 64, n)
+    rss = rng.integers(1, 1 << 18, n).astype(np.float64)
+    gid = np.sort(rng.integers(0, S, n))
+    valid = np.ones(n, dtype=bool)
+    valid[::17] = False
+
+    fn = jax.jit(lambda *a: intensity_per_sweep_jax(*a, max_sweeps=S))
+    mean, counts = fn(jnp.asarray(ue, jnp.int32), jnp.asarray(bs, jnp.int32),
+                      jnp.asarray(rss, jnp.float32), jnp.asarray(gid, jnp.int32),
+                      jnp.asarray(valid))
+    mean, counts = np.asarray(mean), np.asarray(counts)
+
+    for s in range(S):
+        m = valid & (gid == s)
+        ref = intensity_grid_np(ue[m], bs[m], rss[m])
+        np.testing.assert_array_equal(counts[s], ref.counts)
+        np.testing.assert_allclose(np.nan_to_num(mean[s]),
+                                   np.nan_to_num(ref.mean), rtol=3e-5,
+                                   atol=3e-4)
+
+
+def test_per_sweep_vmapped_pallas_raster(small_log_bytes):
+    """Per-sweep grids feed the batch raster kernel (interpret mode)."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.correct import correct_frames_np, detect_groups_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.ops.pallas_raster import pallas_rasterize_batch
+    from slam_process_tpu.ops.raster import colormap_lut
+    from slam_process_tpu.ops.scene import intensity_per_sweep_jax
+
+    frames = decode_frames_np(small_log_bytes).frames
+    res = correct_frames_np(frames)
+    filt = res.filtered
+    gid = detect_groups_np(filt[:, 0])
+    S = int(gid.max()) + 1
+    mean, counts = intensity_per_sweep_jax(
+        jnp.asarray(filt[:, 0], jnp.int32), jnp.asarray(filt[:, 1], jnp.int32),
+        jnp.asarray(filt[:, 2], jnp.float32), jnp.asarray(gid, jnp.int32),
+        jnp.ones(len(filt), dtype=bool), max_sweeps=S,
+    )
+    rgba, t = pallas_rasterize_batch(np.asarray(mean).transpose(0, 2, 1),
+                                     colormap_lut("viridis"), interpret=True)
+    assert rgba.shape == (S, 64, 64, 4)
+    # every sweep raster has signal
+    assert all(np.isfinite(np.asarray(t)[s]).any() for s in range(S))
