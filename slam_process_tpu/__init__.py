@@ -32,3 +32,17 @@ from slam_process_tpu.config import (  # noqa: F401
     RenderConfig,
     SceneConfig,
 )
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax/matplotlib at
+    # package import time).
+    if name == "Session":
+        from slam_process_tpu.pipeline.session import Session
+
+        return Session
+    if name == "run_estimator":
+        from slam_process_tpu.models import run_estimator
+
+        return run_estimator
+    raise AttributeError(name)

@@ -61,7 +61,7 @@ def read_parsed_table(path: Union[str, Path]) -> np.ndarray:
         # First-five-columns fallback, mirroring the renderers' tolerance.
         idx = list(range(5))
     out = data[:, idx]
-    return np.rint(out).astype(np.int64)
+    return _to_int_rows(out, nan_flag_to_zero=True)
 
 
 def read_filtered_table(path: Union[str, Path]) -> np.ndarray:
@@ -88,7 +88,23 @@ def read_filtered_table(path: Union[str, Path]) -> np.ndarray:
     out = data[:, cols]
     if clk < 0:
         out = np.concatenate([out, np.zeros((out.shape[0], 1))], axis=1)
-    return np.rint(out).astype(np.int64)
+    return _to_int_rows(out)
+
+
+def _to_int_rows(out: np.ndarray, nan_flag_to_zero: bool = False) -> np.ndarray:
+    """Guard against NaN cells in legacy files before the int cast.
+
+    The reference coerces unparseable cells to NaN and then special-cases
+    them (NaN FLAG counts as 0, NaN CLK rows are skipped —
+    bs_beam_correction.py:35-40, :84-93).  A NaN slipping through np.rint
+    -> int64 would silently poison downstream integers, so: NaN FLAG -> 0,
+    any other NaN drops the row.
+    """
+    out = np.asarray(out, dtype=np.float64)
+    if nan_flag_to_zero and out.shape[1] >= 1:
+        out[np.isnan(out[:, 0]), 0] = 0.0
+    good = ~np.isnan(out).any(axis=1)
+    return np.rint(out[good]).astype(np.int64)
 
 
 def write_parsed_table(path: Union[str, Path], frames: np.ndarray) -> Path:

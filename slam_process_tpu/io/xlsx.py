@@ -12,6 +12,7 @@ than openpyxl for the numeric tables this pipeline uses.
 
 from __future__ import annotations
 
+import html
 import re
 import zipfile
 from pathlib import Path
@@ -45,7 +46,7 @@ def _read_shared_strings(zf: zipfile.ZipFile) -> List[str]:
     out = []
     for m in _SHARED_RE.finditer(xml):
         s = m.group(1)
-        out.append(s.decode("utf-8") if s is not None else "")
+        out.append(html.unescape(s.decode("utf-8")) if s is not None else "")
     return out
 
 
@@ -85,12 +86,12 @@ def read_xlsx_table(
             elif ctype == b"s":
                 val = shared[int(raw)]
             elif ctype in (b"str", b"inlineStr"):
-                val = raw.decode("utf-8")
+                val = html.unescape(raw.decode("utf-8"))
             else:
                 try:
                     val = float(raw)
                 except ValueError:
-                    val = raw.decode("utf-8", "ignore")
+                    val = html.unescape(raw.decode("utf-8", "ignore"))
             while len(row) < ci:
                 row.append(None)
             row.append(val)

@@ -56,3 +56,43 @@ def test_equivalence_on_shipped_logs(log):
     fast = tokenize_hex(data)
     ref = tokenize_hex_reference(data)
     np.testing.assert_array_equal(fast, ref)
+
+
+def test_xlsx_roundtrip_fuzz(tmp_path):
+    """Random numeric tables round-trip through the minimal xlsx layer."""
+    from slam_process_tpu.io.xlsx import read_xlsx_table, write_xlsx_table
+
+    rng = np.random.default_rng(70)
+    for trial in range(5):
+        rows = int(rng.integers(1, 200))
+        cols = int(rng.integers(1, 8))
+        data = rng.normal(size=(rows, cols)) * 10.0 ** float(rng.integers(-3, 6))
+        if rng.random() < 0.5:
+            data = np.rint(data)
+        data[rng.random(data.shape) < 0.1] = np.nan
+        names = [f"col<&>{i}" for i in range(cols)]  # needs XML escaping
+        p = write_xlsx_table(tmp_path / f"t{trial}.xlsx", names, data)
+        rnames, rdata = read_xlsx_table(p)
+        assert rnames == names
+        np.testing.assert_allclose(
+            np.nan_to_num(rdata, nan=-1), np.nan_to_num(data, nan=-1),
+            rtol=1e-15, atol=0,
+        )
+
+
+def test_parsed_reader_nan_guard(tmp_path):
+    """NaN FLAG -> 0; rows with other NaN cells are dropped, not poisoned."""
+    from slam_process_tpu.io.schemas import read_parsed_table
+    from slam_process_tpu.io.xlsx import write_xlsx_table
+    from slam_process_tpu.io.schemas import PARSED_COLUMNS
+
+    data = np.array([
+        [np.nan, 1, 2, 3, 4],      # NaN FLAG -> row kept with FLAG 0
+        [1, 2, np.nan, 4, 5],      # NaN BS -> dropped
+        [0, 5, 6, 7, 8],
+    ])
+    p = write_xlsx_table(tmp_path / "p.xlsx", PARSED_COLUMNS, data)
+    out = read_parsed_table(p)
+    assert out.shape == (2, 5)
+    assert out[0].tolist() == [0, 1, 2, 3, 4]
+    assert out[1].tolist() == [0, 5, 6, 7, 8]
