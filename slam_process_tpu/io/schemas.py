@@ -47,9 +47,9 @@ def _match_column(names: List[str], *keys: str) -> int:
     return -1
 
 
-def read_parsed_table(path: Union[str, Path]) -> np.ndarray:
+def read_parsed_table(path: Union[str, Path], sheet: int = 0) -> np.ndarray:
     """Read a stage-1 Parsed xlsx -> frames[F, 5] int64 (flag,ue,bs,rss,clk)."""
-    names, data = read_xlsx_table(path)
+    names, data = read_xlsx_table(path, sheet=sheet)
     idx = [
         _match_column(names, "FLAG"),
         _match_column(names, "UE_Beam"),
@@ -64,14 +64,14 @@ def read_parsed_table(path: Union[str, Path]) -> np.ndarray:
     return _to_int_rows(out, nan_flag_to_zero=True)
 
 
-def read_filtered_table(path: Union[str, Path]) -> np.ndarray:
+def read_filtered_table(path: Union[str, Path], sheet: int = 0) -> np.ndarray:
     """Read any _filtered xlsx variant -> filtered[F, 4] int64 (ue,bs,rss,clk).
 
     Handles the schema drift described above: column name matching first
     ("CLK差值" is excluded when picking the CLK column), positional fallback
     last.
     """
-    names, data = read_xlsx_table(path)
+    names, data = read_xlsx_table(path, sheet=sheet)
     upper = [str(n).upper() for n in names]
     ue = _match_column(names, "UE_BEAM", "UE")
     bs = _match_column(names, "BS_BEAM", "BS")

@@ -40,8 +40,14 @@ def nn_omp_np(
     cfg: OmpConfig = OmpConfig(),
     keep_rule: str = "ratio",   # "ratio" (v1-7) | "positive" (v1)
     stop_nonpositive: bool = True,  # v1-7 stops when max corr <= 0; v1 doesn't
+    logger=None,
 ) -> OmpPaths:
-    """Float64 host oracle with reference-exact control flow."""
+    """Float64 host oracle with reference-exact control flow.
+
+    ``logger`` (optional) receives the reference's per-iteration health
+    counters: selected atom angles, coefficient, residual norm
+    (heatmap_gemini_v1-7.py:247-249).
+    """
     from scipy.optimize import nnls as scipy_nnls
 
     phi_rx, phi_tx = dictionary.phi_rx, dictionary.phi_tx
@@ -65,6 +71,12 @@ def nn_omp_np(
         coeffs, _ = scipy_nnls(A, y)
         residual = y - A @ coeffs
         it = k + 1
+        if logger is not None:
+            logger.debug(
+                "iter %d: AoA=%.1f AoD=%.1f coeff=%.4f residual=%.4f",
+                k, dictionary.aoa_grid[i_r], dictionary.aod_grid[i_t],
+                coeffs[-1], float(np.linalg.norm(residual)),
+            )
 
     K = cfg.max_paths
     aoa = np.zeros(K)
