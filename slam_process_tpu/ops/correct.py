@@ -141,10 +141,12 @@ def correct_frames_jax(
 ):
     """Jittable correct+filter.
 
-    Returns (corrected_bs[F] i32, keep[F] bool).  Padded rows (index >=
-    count) are never kept.  ``max_groups`` and ``max_baselines_per_group``
-    are static capacity bounds; overflowing baselines are dropped (the
-    shipped dataset peaks far below the defaults — asserted host-side).
+    Returns (corrected_bs[F] i32, keep[F] bool, overflow bool).  Padded
+    rows (index >= count) are never kept.  ``max_groups`` and
+    ``max_baselines_per_group`` are static capacity bounds; ``overflow`` is
+    True when either bound was exceeded (results would then silently drop
+    baselines/merge trailing sweeps — callers must fall back to the host
+    path or re-run with larger bounds).
     """
     import jax
     import jax.numpy as jnp
@@ -209,7 +211,11 @@ def correct_frames_jax(
     normal = (flag == 0) & real
     corrected_bs = jnp.where(normal & has, cand, bs)
     keep = normal & has
-    return corrected_bs, keep
+    overflow = (jnp.max(group_counts) > bmax) | (
+        jnp.sum(boundary.astype(jnp.int32) * real.astype(jnp.int32))
+        > max_groups
+    )
+    return corrected_bs, keep, overflow
 
 
 def compact_filtered(frames: np.ndarray, corrected_bs, keep) -> np.ndarray:

@@ -26,6 +26,7 @@ class DeviceSessionOut(NamedTuple):
     n_frames: "np.ndarray"      # scalar i32
     corrected_bs: "np.ndarray"  # [cap] i32
     keep: "np.ndarray"          # [cap] bool
+    correct_overflow: "np.ndarray"  # scalar bool: static bounds exceeded
     n_kept: "np.ndarray"        # scalar i32
     mean_grid: "np.ndarray"     # [64, 64] f32 UE-major (NaN empty)
     counts: "np.ndarray"        # [64, 64] i32
@@ -58,7 +59,7 @@ def session_pipeline(
     from slam_process_tpu.ops.scene import fill_grid, intensity_grid_jax
 
     frames, count = decode_frames_jax(byte_tensor, capacity=capacity, cfg=decode_cfg)
-    corrected_bs, keep = correct_frames_jax(
+    corrected_bs, keep, overflow = correct_frames_jax(
         frames, count, max_groups=max_groups,
         max_baselines_per_group=max_baselines_per_group, cfg=correct_cfg,
     )
@@ -86,6 +87,7 @@ def session_pipeline(
         n_frames=count,
         corrected_bs=corrected_bs,
         keep=keep,
+        correct_overflow=overflow,
         n_kept=jnp.sum(keep.astype(jnp.int32)),
         mean_grid=grid.mean,
         counts=grid.counts,

@@ -63,6 +63,11 @@ class Session:
             from slam_process_tpu.pipeline.device import run_session_on_device
 
             out = run_session_on_device(raw)
+            if bool(out.correct_overflow):
+                s.logger.warning(
+                    "device corrector capacity exceeded; falling back to host"
+                )
+                return cls.from_log(path, config=config, engine="host")
             n = int(out.n_frames)
             s.frames = np.asarray(out.frames)[:n].astype(np.int64)
             corrected = np.asarray(out.corrected_bs)[:n].astype(np.int64)

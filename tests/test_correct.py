@@ -168,7 +168,8 @@ def test_jax_matches_np_synthetic():
     fn = jax.jit(
         lambda x, c: correct_frames_jax(x, c, max_groups=32, max_baselines_per_group=64)
     )
-    corrected, keep = fn(jnp.asarray(fp), jnp.int32(len(f)))
+    corrected, keep, overflow = fn(jnp.asarray(fp), jnp.int32(len(f)))
+    assert not bool(overflow)
     np.testing.assert_array_equal(np.asarray(corrected)[: len(f)], ref.corrected_bs)
     np.testing.assert_array_equal(np.asarray(keep)[: len(f)], ref.keep)
     assert not np.any(np.asarray(keep)[len(f):])
@@ -199,7 +200,7 @@ def test_jax_golden_parity_020606(parsed_golden_020606, filtered_golden_020606):
 
     f = parsed_golden_020606
     fn = jax.jit(lambda x, c: correct_frames_jax(x, c))
-    corrected, keep = fn(jnp.asarray(f, dtype=jnp.int32), jnp.int32(len(f)))
+    corrected, keep, _overflow = fn(jnp.asarray(f, dtype=jnp.int32), jnp.int32(len(f)))
     filt = compact_filtered(f, corrected, keep)
     np.testing.assert_array_equal(filt, filtered_golden_020606)
 
@@ -221,3 +222,34 @@ def test_all_logs_filtered_parity(log):
     golden = read_filtered_table(golden_path)
     assert res.filtered.shape == golden.shape
     np.testing.assert_array_equal(res.filtered, golden)
+
+
+def test_jax_overflow_detection():
+    import jax
+    import jax.numpy as jnp
+
+    # 6 sweeps of 2 rows -> overflows max_groups=4.
+    rows = []
+    clk = 1_000_000
+    for g in range(6):
+        clk += 2000
+        rows.append((0, 0, 63, 5, clk))
+        clk += 2000
+        rows.append((0, 1, 63, 5, clk))
+    f = np.asarray(rows, dtype=np.int32)
+    fn = jax.jit(lambda x, c: correct_frames_jax(x, c, max_groups=4,
+                                                 max_baselines_per_group=8))
+    _, _, overflow = fn(jnp.asarray(f), jnp.int32(len(f)))
+    assert bool(overflow)
+
+    # Baseline overflow: 4 baselines in one group with bmax=2.  Each
+    # (FLAG=0, FLAG=1) pair with equal RSS and increasing UE is a baseline.
+    rows = []
+    for i in range(4):
+        rows.append((0, 2 * i, 10, 5 + i, clk + 100 * i))
+        rows.append((1, 2 * i + 1, 12, 5 + i, clk + 100 * i + 50))
+    f = np.asarray(rows, dtype=np.int32)
+    fn2 = jax.jit(lambda x, c: correct_frames_jax(x, c, max_groups=8,
+                                                  max_baselines_per_group=2))
+    _, _, overflow2 = fn2(jnp.asarray(f), jnp.int32(len(f)))
+    assert bool(overflow2)
