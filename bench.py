@@ -74,9 +74,10 @@ def main() -> None:
 
     raw = [read_hex_log(p) for p in logs]
 
-    # Warmup: compile every bucket once.
-    for r in raw:
-        run_session_on_device(r)
+    # Warmup: compile every bucket once; drain the queue before timing.
+    warm = [run_session_on_device(r) for r in raw]
+    jax.block_until_ready([o.rgba for o in warm])
+    del warm
 
     # Timed: tokenized bytes -> device pipeline -> raster, all logs.
     # No per-log sync: dispatch everything, block once at the end.

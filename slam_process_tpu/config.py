@@ -25,12 +25,9 @@ class DecodeConfig:
     frame_len: int = 11
     flag_true: int = 0xCC   # FLAG column value 1 (baseline marker)
     flag_false: int = 0x33  # FLAG column value 0 (normal frame)
-    ue_tag: int = 0b00
-    bs_tag: int = 0b11
-    clk_tag: int = 0b01
-    rss_tag: int = 0b10
-    n_clk_bytes: int = 5
-    n_rss_bytes: int = 3
+    # Interior tag classes are structural to the wire format (the >=11-byte
+    # spacing theorem depends on them) and are fixed in ops/decode.py's
+    # _OFFSET_TAGS rather than configurable here.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,7 +23,7 @@ import numpy as np
 # Cells may omit the r="A1" reference (our own writer does); column index
 # then falls back to "next column after the previous cell".
 _CELL_RE = re.compile(
-    rb'<c(?: r="([A-Z]+)\d+")?(?:[^>/]*?t="([a-z]+)")?[^>/]*(?:/>|>'
+    rb'<c(?: r="([A-Z]+)\d+")?(?:[^>/]*?t="([a-zA-Z]+)")?[^>/]*(?:/>|>'
     rb"(?:.*?<(?:v|t)[^>]*>([^<]*)</(?:v|t)>)?)",
     re.S,
 )
@@ -150,7 +150,8 @@ _XLSX_STATIC = {
 
 
 def _esc(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;"))
 
 
 def write_xlsx_table(

@@ -81,7 +81,15 @@ def intensity_grid_np(
     counts = np.zeros((cfg.n_beams, cfg.n_beams), dtype=np.int64)
     np.add.at(sums, (u, b), v)
     np.add.at(counts, (u, b), 1)
+    return grid_from_sums_np(sums, counts)
 
+
+def grid_from_sums_np(sums: np.ndarray, counts: np.ndarray) -> IntensityGrid:
+    """Finalize (sums, counts) accumulators into an IntensityGrid (host).
+
+    Shared by the batch path above and the streaming accumulators so the
+    NaN-empty-mean / observed-min-fill rule exists exactly once.
+    """
     with np.errstate(invalid="ignore"):
         mean = np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
     row_mask = counts.sum(axis=1) > 0

@@ -121,15 +121,9 @@ class StreamingSession:
         return np.concatenate(self.filtered_parts)
 
     def intensity(self) -> IntensityGrid:
-        with np.errstate(invalid="ignore"):
-            mean = np.where(self._counts > 0,
-                            self._sums / np.maximum(self._counts, 1), np.nan)
-        row_mask = self._counts.sum(axis=1) > 0
-        col_mask = self._counts.sum(axis=0) > 0
-        observed = self._counts > 0
-        fill = mean[observed].min() if observed.any() else np.nan
-        return IntensityGrid(mean, self._counts.astype(np.int32), row_mask,
-                             col_mask, np.float64(fill))
+        from slam_process_tpu.ops.scene import grid_from_sums_np
+
+        return grid_from_sums_np(self._sums, self._counts)
 
     def render(self, angle_lut: np.ndarray, render_cfg=None):
         from slam_process_tpu.config import RenderConfig

@@ -69,8 +69,9 @@ def config_batched(data_dir: Path, mapping: Path, outdir: Path) -> dict:
 
     logs = _default_logs(data_dir)
     raw = [read_hex_log(p) for p in logs]
-    for r in raw:
-        run_session_on_device(r)   # warm every bucket
+    warm = [run_session_on_device(r) for r in raw]   # warm every bucket
+    jax.block_until_ready([o.rgba for o in warm])
+    del warm
     t0 = time.perf_counter()
     outs = [run_session_on_device(r) for r in raw]
     jax.block_until_ready([o.rgba for o in outs])

@@ -64,26 +64,28 @@ class Session:
 
             out = run_session_on_device(raw)
             if bool(out.correct_overflow):
+                # Fall through to the host path on the already-tokenized
+                # bytes (no second file read).
                 s.logger.warning(
                     "device corrector capacity exceeded; falling back to host"
                 )
-                return cls.from_log(path, config=config, engine="host")
-            n = int(out.n_frames)
-            s.frames = np.asarray(out.frames)[:n].astype(np.int64)
-            corrected = np.asarray(out.corrected_bs)[:n].astype(np.int64)
-            keep = np.asarray(out.keep)[:n]
-            s.corrected_bs = corrected
-            s.filtered = np.stack(
-                [s.frames[keep, 1], corrected[keep], s.frames[keep, 3],
-                 s.frames[keep, 4]], axis=1,
-            )
-            s.timings["device_pipeline"] = time.perf_counter() - t0
-            c = StageCounters("decode+correct(device)",
-                              {"bytes": len(raw), "valid": n,
-                               "corrected": int(keep.sum())})
-            s.counters.append(c)
-            c.log(s.logger)
-            return s
+            else:
+                n = int(out.n_frames)
+                s.frames = np.asarray(out.frames)[:n].astype(np.int64)
+                corrected = np.asarray(out.corrected_bs)[:n].astype(np.int64)
+                keep = np.asarray(out.keep)[:n]
+                s.corrected_bs = corrected
+                s.filtered = np.stack(
+                    [s.frames[keep, 1], corrected[keep], s.frames[keep, 3],
+                     s.frames[keep, 4]], axis=1,
+                )
+                s.timings["device_pipeline"] = time.perf_counter() - t0
+                c = StageCounters("decode+correct(device)",
+                                  {"bytes": len(raw), "valid": n,
+                                   "corrected": int(keep.sum())})
+                s.counters.append(c)
+                c.log(s.logger)
+                return s
         res = decode_frames_np(raw, s.config.decode)
         s.timings["decode"] = time.perf_counter() - t0
         s.frames = res.frames

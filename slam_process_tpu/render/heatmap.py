@@ -21,7 +21,7 @@ from typing import NamedTuple, Union
 import numpy as np
 
 from slam_process_tpu.config import RenderConfig, SceneConfig
-from slam_process_tpu.ops.raster import rasterize
+from slam_process_tpu.ops.raster import colormap_lut, rasterize
 from slam_process_tpu.ops.scene import IntensityGrid, compact_grid, fill_grid
 from slam_process_tpu.render.figures import save_heatmap_figure
 
@@ -50,6 +50,7 @@ def render_intensity(
         use_log=render_cfg.use_log,
         vmin=render_cfg.vmin,
         vmax=render_cfg.vmax,
+        lut=colormap_lut(render_cfg.colormap),
         as_u8=as_u8,
     )
     return RenderedHeatmap(np.asarray(rgba), np.asarray(blurred), bs_ang, ue_ang)
