@@ -81,7 +81,11 @@ def test_golden_pic_parity_all(tmp_path, stem):
 
 
 @pytest.mark.parametrize(
-    "stem", ["Serial Debug 2026-01-26 164520"],
+    "stem", [
+        "Serial Debug 2026-01-26 164520",
+        pytest.param("Serial Debug 2026-01-26 165358", marks=pytest.mark.slow),
+        pytest.param("Serial Debug 2026-01-26 170305", marks=pytest.mark.slow),
+    ],
 )
 def test_excel_heatmap_golden_structure(tmp_path, stem):
     """debugDoc/heatmap_outputs goldens (excel_heatmap renders).
@@ -115,7 +119,16 @@ def test_excel_heatmap_golden_structure(tmp_path, stem):
         DEBUGDOC / "heatmap_outputs" / f"{stem}_filtered_heatmap.png"
     )
     assert ours.shape == gold.shape
-    o = ours[120:1050, 150:1150, :3].mean(axis=2).ravel()
-    g = gold[120:1050, 150:1150, :3].mean(axis=2).ravel()
-    r = np.corrcoef(o, g)[0, 1]
+    o = ours[120:1050, 150:1150, :3].mean(axis=2)
+    g = gold[120:1050, 150:1150, :3].mean(axis=2)
+    # The golden's Windows CJK font shifts the axes box by a few pixels;
+    # take the best correlation over small x/y offsets.
+    r = max(
+        np.corrcoef(
+            o[10:-10, 10:-10].ravel(),
+            np.roll(np.roll(g, dy, axis=0), dx, axis=1)[10:-10, 10:-10].ravel(),
+        )[0, 1]
+        for dx in range(-6, 7, 2)
+        for dy in range(-6, 7, 2)
+    )
     assert r > 0.95, f"structural similarity too low: r={r:.4f}"
