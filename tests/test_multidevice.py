@@ -1,0 +1,157 @@
+"""Multi-device sharding correctness on the 8-device virtual CPU mesh.
+
+These tests exercise the REAL multi-chip layout (``parallel/batch.py``'s
+``in_shardings``/``with_sharding_constraint`` path, which
+``__graft_entry__.dryrun_multichip`` compiles) with real logs, asserting
+that sharding is a pure layout choice: every output is bit-identical to the
+single-device batched run, and matches the host (numpy) oracle pipeline.
+Conftest pins JAX to an 8-device virtual CPU platform, so mesh shapes
+(8, 1) and (4, 2) both materialize here.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import SMALL_LOG, SMALL_LOG_2026_02_06
+
+# Static capacity bounds sized like bench.py's full-dataset run (the two
+# logs here have <= 58 groups / <= 93 baselines per group).
+MAX_GROUPS = 64
+MAX_BASELINES = 96
+
+
+@pytest.fixture(scope="module")
+def two_logs():
+    from slam_process_tpu.io import read_hex_log
+
+    return [read_hex_log(SMALL_LOG), read_hex_log(SMALL_LOG_2026_02_06)]
+
+
+@pytest.fixture(scope="module")
+def stacked(two_logs):
+    """8 sessions (the two real logs cycled) stacked to [8, N] + lut."""
+    from slam_process_tpu.ops.raster import colormap_lut
+    from slam_process_tpu.parallel.batch import stack_sessions
+
+    raws = [two_logs[i % 2] for i in range(8)]
+    batch, lengths = stack_sessions(raws)
+    lut = jnp.asarray(colormap_lut("viridis"))
+    return raws, batch, lengths, lut
+
+
+def _run_batched(mesh_shape, batch, lengths, lut):
+    from slam_process_tpu.parallel.batch import batched_session_pipeline
+    from slam_process_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(mesh_shape, ("data", "model"))
+    fn = batched_session_pipeline(
+        mesh, batch.shape[1], max_groups=MAX_GROUPS,
+        max_baselines_per_group=MAX_BASELINES,
+    )
+    with mesh:
+        out = fn(jnp.asarray(batch), jnp.asarray(lengths), lut)
+        jax.block_until_ready(out.rgba)
+    return jax.device_get(out)
+
+
+@pytest.fixture(scope="module")
+def single_device_out(stacked):
+    _, batch, lengths, lut = stacked
+    return _run_batched((1, 1), batch, lengths, lut)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_batched_pipeline_bitwise_equals_single_device(
+    mesh_shape, stacked, single_device_out
+):
+    """Data-parallel sharding must not change a single bit of any output."""
+    _, batch, lengths, lut = stacked
+    sharded = _run_batched(mesh_shape, batch, lengths, lut)
+    ref = single_device_out
+    for name in sharded._fields:
+        a = np.asarray(getattr(sharded, name))
+        b = np.asarray(getattr(ref, name))
+        np.testing.assert_array_equal(
+            a, b, err_msg=f"field {name} differs at mesh {mesh_shape}"
+        )
+
+
+def test_sharded_batched_pipeline_matches_host_oracle(stacked, single_device_out):
+    """Each session slice of the sharded run equals the numpy pipeline."""
+    from slam_process_tpu.config import SceneConfig
+    from slam_process_tpu.ops.correct import correct_frames_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.ops.scene import intensity_grid_np
+
+    raws, _, _, _ = stacked
+    out = single_device_out
+    for s in (0, 1):   # one slice per unique log
+        host = decode_frames_np(raws[s])
+        n = int(out.n_frames[s])
+        assert n == host.valid
+        np.testing.assert_array_equal(out.frames[s, :n], host.frames)
+
+        res = correct_frames_np(host.frames)
+        assert not bool(out.correct_overflow[s])
+        np.testing.assert_array_equal(out.keep[s, :n], res.keep)
+        np.testing.assert_array_equal(out.corrected_bs[s, :n], res.corrected_bs)
+        assert int(out.n_kept[s]) == len(res.filtered)
+
+        grid = intensity_grid_np(
+            res.filtered[:, 0], res.filtered[:, 1], res.filtered[:, 2],
+            cfg=SceneConfig(keep_nan=True, fill_with_min=False),
+        )
+        np.testing.assert_array_equal(out.counts[s], grid.counts)
+        np.testing.assert_allclose(
+            out.mean_grid[s], grid.mean, rtol=1e-5, atol=1e-3, equal_nan=True
+        )
+
+
+def test_model_parallel_estimator_matches_unsharded(single_device_out):
+    """The dryrun's tensor-parallel correlation argmax as a pytest.
+
+    The dictionary-grid axis shards over 'model'; XLA inserts the
+    collectives for the global argmax.  Results must equal the unsharded
+    einsum exactly.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from slam_process_tpu.models.dictionary import gaussian_beam
+    from slam_process_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    grid = np.linspace(-43.6, 45.0, 128).astype(np.float32)
+    angles = np.linspace(-43.6, 45.0, 64).astype(np.float32)
+    phi = jnp.asarray(gaussian_beam(angles[:, None], grid[None, :], 1.4))
+
+    mats = jnp.nan_to_num(jnp.asarray(single_device_out.mean_grid), nan=0.0)
+
+    def estimate(mean_grid, sharded: bool):
+        corr = jnp.einsum("ug,sub,bh->sgh", phi, mean_grid, phi,
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        if sharded:
+            corr = jax.lax.with_sharding_constraint(
+                corr, NamedSharding(mesh, P("data", "model", None))
+            )
+        flat_idx = jnp.argmax(corr.reshape(corr.shape[0], -1), axis=1)
+        return flat_idx, jnp.max(corr, axis=(1, 2))
+
+    with mesh:
+        idx_sh, val_sh = jax.jit(lambda m: estimate(m, True))(
+            jax.device_put(mats, NamedSharding(mesh, P("data", None, None)))
+        )
+        jax.block_until_ready(val_sh)
+    idx_ref, val_ref = jax.jit(lambda m: estimate(m, False))(mats)
+    np.testing.assert_array_equal(np.asarray(idx_sh), np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(val_sh), np.asarray(val_ref))
+
+
+def test_dryrun_multichip_inprocess():
+    """The driver's dryrun body must pass on the conftest's 8-device mesh."""
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
