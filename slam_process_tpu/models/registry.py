@@ -227,19 +227,36 @@ def run_estimator(
 
 
 # Late imports register the remaining model families (kept in separate
-# modules; import errors surface only when the estimator is requested).
+# modules).  A broken module must fail loudly — silently dropping an
+# estimator from the registry would surface as a confusing KeyError at
+# run_estimator time instead of the real import failure.
 def _register_extended():
-    import slam_process_tpu.models.sm_sic  # noqa: F401
-    import slam_process_tpu.models.svd_est  # noqa: F401
-    import slam_process_tpu.models.lasso_refine  # noqa: F401
-    import slam_process_tpu.models.peak_picking  # noqa: F401
-    import slam_process_tpu.models.fusion  # noqa: F401
-    import slam_process_tpu.models.omp_dense  # noqa: F401
-    import slam_process_tpu.models.geometric  # noqa: F401
-    import slam_process_tpu.models.nn_omp_v13  # noqa: F401
+    import importlib
+    import logging
+
+    failures = []
+    for mod in (
+        "sm_sic",
+        "svd_est",
+        "lasso_refine",
+        "peak_picking",
+        "fusion",
+        "omp_dense",
+        "geometric",
+        "nn_omp_v13",
+    ):
+        try:
+            importlib.import_module(f"slam_process_tpu.models.{mod}")
+        except Exception as e:  # pragma: no cover - exercised via unit test
+            logging.getLogger(__name__).error(
+                "estimator module %s failed to import: %s", mod, e
+            )
+            failures.append((mod, e))
+    if failures:
+        names = ", ".join(m for m, _ in failures)
+        raise ImportError(
+            f"estimator modules failed to register: {names}"
+        ) from failures[0][1]
 
 
-try:
-    _register_extended()
-except ImportError:
-    pass  # extended estimators land module by module
+_register_extended()
