@@ -206,9 +206,18 @@ def write_xlsx_table(
         "</workbook>"
     )
 
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for name, content in _XLSX_STATIC.items():
-            zf.writestr(name, content)
-        zf.writestr("xl/workbook.xml", workbook_xml)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    def _save(target: Path) -> None:
+        with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as zf:
+            for name, content in _XLSX_STATIC.items():
+                zf.writestr(name, content)
+            zf.writestr("xl/workbook.xml", workbook_xml)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+    try:
+        _save(path)
+    except PermissionError:
+        # Reference parity: when the target is locked (e.g. open in Excel),
+        # retry once to <stem>_out.xlsx (serial_hex_to_excel.py:114-118).
+        path = path.with_name(path.stem + "_out.xlsx")
+        _save(path)
     return path

@@ -96,3 +96,33 @@ def test_parsed_reader_nan_guard(tmp_path):
     assert out.shape == (2, 5)
     assert out[0].tolist() == [0, 1, 2, 3, 4]
     assert out[1].tolist() == [0, 5, 6, 7, 8]
+
+
+def test_xlsx_permission_fallback(tmp_path, monkeypatch):
+    """Locked target retries once to <stem>_out.xlsx (reference parity:
+    serial_hex_to_excel.py:114-118)."""
+    import zipfile as _zipfile
+    from pathlib import Path
+
+    from slam_process_tpu.io import xlsx as xlsx_mod
+    from slam_process_tpu.io.xlsx import read_xlsx_table, write_xlsx_table
+
+    target = tmp_path / "locked.xlsx"
+    real_zip = _zipfile.ZipFile
+
+    class DenyTarget:
+        ZIP_DEFLATED = _zipfile.ZIP_DEFLATED
+
+        @staticmethod
+        def ZipFile(path, *a, **k):
+            if Path(path).name == "locked.xlsx":
+                raise PermissionError(13, "Permission denied", str(path))
+            return real_zip(path, *a, **k)
+
+    monkeypatch.setattr(xlsx_mod, "zipfile", DenyTarget)
+    data = np.array([[1.0, 2.0], [3.0, 4.0]])
+    out = write_xlsx_table(target, ["a", "b"], data)
+    assert out == tmp_path / "locked_out.xlsx"
+    names, rdata = read_xlsx_table(out)
+    assert names == ["a", "b"]
+    np.testing.assert_array_equal(rdata, data)
