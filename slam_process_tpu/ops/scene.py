@@ -105,7 +105,7 @@ def grid_from_sums_np(sums: np.ndarray, counts: np.ndarray) -> IntensityGrid:
 # ---------------------------------------------------------------------------
 
 
-def intensity_grid_jax(
+def intensity_sums_jax(
     ue,                       # jnp [F] int32 (padded)
     bs,                       # jnp [F] int32
     rss,                      # jnp [F] f32 (raw RSS values)
@@ -113,9 +113,11 @@ def intensity_grid_jax(
     flag=None,                # jnp [F] int32, for flag_filter configs
     cfg: SceneConfig = _DEFAULT,
 ):
-    """Jittable intensity assembly via one-hot MXU contractions.
+    """Jittable (sums, counts) accumulators via one-hot MXU contractions.
 
-    Returns an IntensityGrid of jnp arrays (mean has NaN in empty cells).
+    The streaming path folds these per-chunk partials into running device
+    accumulators; the batch path finalizes them into a mean grid directly.
+    Returns (sums [U, B] f32, counts [U, B] f32).
     """
     import jax.numpy as jnp
 
@@ -146,6 +148,24 @@ def intensity_grid_jax(
     counts = jnp.einsum(
         "fu,fb->ub", onehot_ue, onehot_bs, preferred_element_type=jnp.float32
     )
+    return sums, counts
+
+
+def intensity_grid_jax(
+    ue,                       # jnp [F] int32 (padded)
+    bs,                       # jnp [F] int32
+    rss,                      # jnp [F] f32 (raw RSS values)
+    valid,                    # jnp [F] bool: real (non-padding) rows
+    flag=None,                # jnp [F] int32, for flag_filter configs
+    cfg: SceneConfig = _DEFAULT,
+):
+    """Jittable intensity assembly via one-hot MXU contractions.
+
+    Returns an IntensityGrid of jnp arrays (mean has NaN in empty cells).
+    """
+    import jax.numpy as jnp
+
+    sums, counts = intensity_sums_jax(ue, bs, rss, valid, flag, cfg)
     mean = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), jnp.nan)
     row_mask = counts.sum(axis=1) > 0
     col_mask = counts.sum(axis=0) > 0

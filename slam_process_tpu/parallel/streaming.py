@@ -104,6 +104,11 @@ class StreamingSession:
             ue = res.filtered[:, 0]
             bs = res.filtered[:, 1]
             rss = res.filtered[:, 2].astype(np.float64)
+            if self.config.scene.log_transform:
+                # v1-7 pre-log semantics: drop RSS<=0, fold ln(RSS), so the
+                # streaming accumulators equal the offline pivot's mean(ln).
+                pos = rss > 0
+                ue, bs, rss = ue[pos], bs[pos], np.log(rss[pos])
             np.add.at(self._sums, (ue, bs), rss)
             np.add.at(self._counts, (ue, bs), 1)
 

@@ -1,0 +1,394 @@
+"""Device-resident streaming replay: chunked ingest with on-device state.
+
+SURVEY.md §5.7 defines streaming as the sequence-scaling axis: chunked,
+double-buffered HBM ingest with no host round-trips.  This module keeps the
+WHOLE streaming state machine on device — decode, sweep segmentation,
+correction, and the (sums, counts) intensity accumulators — as one jitted
+step with donated state, so an unbounded byte stream is processed at device
+speed with only the raw chunks crossing PCIe/ICI.
+
+Exact-parity semantics (same invariants as the host ``StreamingSession``):
+
+  * byte carry — by the >=11-byte start-spacing theorem (ops/decode.py),
+    positions with a full 11-byte window are accepted or rejected
+    definitively and interior positions of an accepted frame can never
+    validate, so overlapping consecutive chunk windows by exactly 10 bytes
+    loses no frame and double-counts none;
+  * frame carry — a row's correction depends on every baseline in its sweep
+    group, so the open (last) group's frames stay in a device carry buffer
+    until a UE-decrease boundary closes them; closed groups run through
+    ``correct_frames_jax`` and fold into the accumulators.  Per-cell means
+    are sum/count, hence order-independent and equal to the offline pivot.
+  * ``SceneConfig.log_transform`` is honored on this path (drop RSS<=0,
+    fold ln RSS), matching pivot_data's pre-log (heatmap_gemini_v1-7.py:
+    108-132).
+
+The decode stage is selectable: the XLA formulation (default; HBM-bandwidth
+bound and fastest at these shapes) or the Pallas double-buffered DMA kernel
+(``decoder='pallas'``), wiring ops/pallas_decode.py into a production path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Union
+
+import numpy as np
+
+from slam_process_tpu.config import PipelineConfig
+from slam_process_tpu.ops.decode import decode_frames_jax, frame_capacity
+from slam_process_tpu.ops.scene import IntensityGrid, intensity_sums_jax
+
+CARRY_BYTES = 10   # frame_len - 1: the only positions without a verdict
+
+
+class DeviceStreamState(NamedTuple):
+    carry_frames: "np.ndarray"   # [Gcap, 5] i32 — open sweep group
+    carry_count: "np.ndarray"    # scalar i32
+    sums: "np.ndarray"           # [64, 64] f32 running intensity sums
+    counts: "np.ndarray"         # [64, 64] f32 running cell counts
+    n_frames: "np.ndarray"       # scalar i32
+    n_kept: "np.ndarray"         # scalar i32
+    n_groups: "np.ndarray"       # scalar i32 (closed groups)
+    overflow: "np.ndarray"       # scalar bool (any static bound exceeded)
+
+
+class StreamEmit(NamedTuple):
+    """Per-step corrected-row emission (optional; for export/parity)."""
+
+    frames: "np.ndarray"         # [T, 5] i32 combined carry+new frames
+    corrected_bs: "np.ndarray"   # [T] i32
+    keep: "np.ndarray"           # [T] bool (only rows < closed are kept)
+    closed: "np.ndarray"         # scalar i32: rows belonging to closed groups
+
+
+def _step_body(
+    state: DeviceStreamState,
+    chunk,                     # jnp [C] u8 (zero-padded past n_bytes)
+    n_bytes,                   # jnp scalar i32
+    *,
+    cap: int,
+    group_capacity: int,
+    max_groups: int,
+    max_baselines_per_group: int,
+    cfg: PipelineConfig,
+    decoder: str,
+    emit_rows: bool,
+):
+    import jax.numpy as jnp
+
+    if decoder == "pallas":
+        import jax
+
+        from slam_process_tpu.ops.pallas_decode import decode_frames_pallas
+
+        new_frames, n_new = decode_frames_pallas(
+            chunk, capacity=cap, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        new_frames, n_new = decode_frames_jax(chunk, capacity=cap,
+                                              cfg=cfg.decode)
+
+    cc = state.carry_count
+    total = cc + n_new
+    gcap = group_capacity
+    t = gcap + cap
+
+    # combined[i] = carry[i] for i < cc else new_frames[i - cc]; both
+    # gathers are clamped so every index is in range (masked rows are dead).
+    rows = jnp.arange(t, dtype=jnp.int32)
+    from_carry = rows < cc
+    carry_idx = jnp.minimum(rows, gcap - 1)
+    new_idx = jnp.clip(rows - cc, 0, cap - 1)
+    combined = jnp.where(
+        from_carry[:, None],
+        state.carry_frames[carry_idx],
+        new_frames[new_idx],
+    )
+    real = rows < total
+
+    # Sweep boundaries: a UE decrease starts a new group.  Row 0 continues
+    # the carried-over open group by construction.
+    ue = combined[:, 1]
+    prev_ue = jnp.concatenate([ue[:1], ue[:-1]])
+    boundary = (rows > 0) & real & (prev_ue > ue)
+    closed = jnp.max(jnp.where(boundary, rows, 0))   # 0 when no boundary
+
+    from slam_process_tpu.ops.correct import correct_frames_jax
+
+    corrected, keep, c_overflow = correct_frames_jax(
+        combined, closed, max_groups=max_groups,
+        max_baselines_per_group=max_baselines_per_group, cfg=cfg.correct,
+    )
+
+    d_sums, d_counts = intensity_sums_jax(
+        combined[:, 1], corrected, combined[:, 3].astype(jnp.float32), keep,
+        combined[:, 0], cfg.scene,
+    )
+
+    # New carry: the open group's rows [closed, total).
+    n_carry = total - closed
+    carry_src = jnp.minimum(closed + jnp.arange(gcap, dtype=jnp.int32), t - 1)
+    new_carry = jnp.where(
+        (jnp.arange(gcap, dtype=jnp.int32) < n_carry)[:, None],
+        combined[carry_src],
+        0,
+    )
+
+    new_state = DeviceStreamState(
+        carry_frames=new_carry.astype(jnp.int32),
+        carry_count=jnp.minimum(n_carry, gcap),
+        sums=state.sums + d_sums,
+        counts=state.counts + d_counts,
+        n_frames=state.n_frames + n_new,
+        n_kept=state.n_kept + jnp.sum(keep.astype(jnp.int32)),
+        n_groups=state.n_groups + jnp.sum(boundary.astype(jnp.int32)),
+        overflow=state.overflow | c_overflow | (n_carry > gcap),
+    )
+    if emit_rows:
+        return new_state, StreamEmit(combined, corrected, keep, closed)
+    return new_state
+
+
+def _flush_body(
+    state: DeviceStreamState,
+    *,
+    max_groups: int,
+    max_baselines_per_group: int,
+    cfg: PipelineConfig,
+    emit_rows: bool,
+):
+    """Close the final open group at end of stream."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.correct import correct_frames_jax
+
+    corrected, keep, c_overflow = correct_frames_jax(
+        state.carry_frames, state.carry_count, max_groups=max_groups,
+        max_baselines_per_group=max_baselines_per_group, cfg=cfg.correct,
+    )
+    d_sums, d_counts = intensity_sums_jax(
+        state.carry_frames[:, 1], corrected,
+        state.carry_frames[:, 3].astype(jnp.float32), keep,
+        state.carry_frames[:, 0], cfg.scene,
+    )
+    new_state = DeviceStreamState(
+        carry_frames=jnp.zeros_like(state.carry_frames),
+        carry_count=jnp.zeros_like(state.carry_count),
+        sums=state.sums + d_sums,
+        counts=state.counts + d_counts,
+        n_frames=state.n_frames,
+        n_kept=state.n_kept + jnp.sum(keep.astype(jnp.int32)),
+        n_groups=state.n_groups + (state.carry_count > 0).astype(jnp.int32),
+        overflow=state.overflow | c_overflow,
+    )
+    if emit_rows:
+        return new_state, StreamEmit(
+            state.carry_frames, corrected, keep, state.carry_count
+        )
+    return new_state
+
+
+@functools.lru_cache(maxsize=16)
+def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_rows):
+    """Shared jitted step per static configuration (the config dataclasses
+    are frozen/hashable), so many sessions reuse one compiled executable."""
+    import jax
+
+    return jax.jit(
+        functools.partial(
+            _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
+            max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
+            emit_rows=emit_rows,
+        ),
+        donate_argnums=0,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _build_flush(max_groups, max_bpg, cfg, emit_rows):
+    import jax
+
+    return jax.jit(
+        functools.partial(
+            _flush_body, max_groups=max_groups,
+            max_baselines_per_group=max_bpg, cfg=cfg, emit_rows=emit_rows,
+        ),
+        donate_argnums=0,
+    )
+
+
+class DeviceStreamingSession:
+    """Unbounded-stream session with all state resident on device.
+
+    ``feed`` enqueues one jitted step per ``chunk_bytes`` window with the
+    state buffers donated (no reallocation, no host sync); scalars/grids
+    transfer only when a result property is read.
+    """
+
+    def __init__(
+        self,
+        config: Optional[PipelineConfig] = None,
+        chunk_bytes: int = 1 << 20,
+        group_capacity: int = 4096,
+        max_groups: int = 64,
+        max_baselines_per_group: int = 96,
+        decoder: str = "xla",
+        collect_filtered: bool = False,
+        n_beams: int = 64,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.config = config or PipelineConfig()
+        self.chunk_bytes = int(chunk_bytes)
+        if self.chunk_bytes <= CARRY_BYTES:
+            raise ValueError("chunk_bytes must exceed the 10-byte carry")
+        self.collect_filtered = bool(collect_filtered)
+        self._gcap = int(group_capacity)
+        cap = frame_capacity(self.chunk_bytes, self.config.decode)
+
+        # Donated state: accumulators update in place on device; the
+        # compiled step is shared across sessions with the same config.
+        self._step = _build_step(
+            cap, self._gcap, max_groups, max_baselines_per_group,
+            self.config, decoder, self.collect_filtered,
+        )
+        self._flush = _build_flush(
+            max_groups, max_baselines_per_group, self.config,
+            self.collect_filtered,
+        )
+
+        nb = n_beams
+        self._state = DeviceStreamState(
+            carry_frames=jnp.zeros((self._gcap, 5), jnp.int32),
+            carry_count=jnp.int32(0),
+            sums=jnp.zeros((nb, nb), jnp.float32),
+            counts=jnp.zeros((nb, nb), jnp.float32),
+            n_frames=jnp.int32(0),
+            n_kept=jnp.int32(0),
+            n_groups=jnp.int32(0),
+            overflow=jnp.bool_(False),
+        )
+        self._byte_carry = np.zeros(0, dtype=np.uint8)
+        self._emits: list = []
+        self._finalized = False
+
+    # -- ingest --------------------------------------------------------------
+
+    def feed(self, chunk: Union[bytes, np.ndarray]) -> None:
+        """Consume one chunk of tokenized bytes (any length)."""
+        import jax.numpy as jnp
+
+        if isinstance(chunk, (bytes, bytearray)):
+            chunk = np.frombuffer(chunk, dtype=np.uint8)
+        buf = np.concatenate(
+            [self._byte_carry, np.asarray(chunk, dtype=np.uint8)]
+        )
+        n = len(buf)
+        c = self.chunk_bytes
+        off = 0
+        # Consecutive windows overlap by 10 bytes: a frame straddling a
+        # window edge is decoded exactly once in the window that holds its
+        # full 11-byte span (see module docstring for why this is lossless).
+        while n - off > CARRY_BYTES:
+            piece = buf[off : off + c]
+            m = len(piece)
+            if m < c:
+                piece = np.pad(piece, (0, c - m))
+            out = self._step(self._state, jnp.asarray(piece), jnp.int32(m))
+            if self.collect_filtered:
+                self._state, emit = out
+                self._collect(emit)
+            else:
+                self._state = out
+            off = min(off + c, n) - CARRY_BYTES
+        self._byte_carry = buf[off:].copy()
+
+    def _collect(self, emit: StreamEmit) -> None:
+        frames = np.asarray(emit.frames)
+        corrected = np.asarray(emit.corrected_bs)
+        keep = np.asarray(emit.keep)
+        k = np.nonzero(keep)[0]
+        if k.size:
+            self._emits.append(np.stack(
+                [frames[k, 1], corrected[k], frames[k, 3], frames[k, 4]],
+                axis=1,
+            ))
+
+    def finalize(self) -> None:
+        """Flush the final open sweep group (end of stream)."""
+        if self._finalized:
+            return
+        out = self._flush(self._state)
+        if self.collect_filtered:
+            self._state, emit = out
+            self._collect(emit)
+        else:
+            self._state = out
+        self._byte_carry = np.zeros(0, dtype=np.uint8)
+        self._finalized = True
+
+    # -- results -------------------------------------------------------------
+
+    @property
+    def n_frames(self) -> int:
+        return int(self._state.n_frames)
+
+    @property
+    def n_kept(self) -> int:
+        return int(self._state.n_kept)
+
+    @property
+    def n_groups(self) -> int:
+        return int(self._state.n_groups)
+
+    @property
+    def overflow(self) -> bool:
+        return bool(self._state.overflow)
+
+    @property
+    def filtered(self) -> np.ndarray:
+        if not self.collect_filtered:
+            raise ValueError("built with collect_filtered=False")
+        if not self._emits:
+            return np.zeros((0, 4), dtype=np.int64)
+        return np.concatenate(self._emits).astype(np.int64)
+
+    def intensity(self) -> IntensityGrid:
+        from slam_process_tpu.ops.scene import grid_from_sums_np
+
+        return grid_from_sums_np(
+            np.asarray(self._state.sums, dtype=np.float64),
+            np.asarray(self._state.counts, dtype=np.int64),
+        )
+
+    def render(self, angle_lut: np.ndarray, render_cfg=None):
+        from slam_process_tpu.config import RenderConfig, SceneConfig
+        from slam_process_tpu.render.heatmap import render_intensity
+
+        return render_intensity(
+            self.intensity(), angle_lut,
+            SceneConfig(keep_nan=True, fill_with_min=False),
+            render_cfg or RenderConfig(),
+        )
+
+    def block_until_ready(self):
+        import jax
+
+        jax.block_until_ready(self._state.sums)
+        return self
+
+
+def replay_log_device(
+    raw: np.ndarray,
+    chunk_bytes: int = 1 << 20,
+    config: Optional[PipelineConfig] = None,
+    **kwargs,
+) -> DeviceStreamingSession:
+    """Replay one tokenized log through the device streaming pipeline."""
+    s = DeviceStreamingSession(config, chunk_bytes=chunk_bytes, **kwargs)
+    for off in range(0, len(raw), chunk_bytes):
+        s.feed(raw[off : off + chunk_bytes])
+    s.finalize()
+    return s

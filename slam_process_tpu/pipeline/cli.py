@@ -224,6 +224,10 @@ def _add_replay(sub):
     p.add_argument("--chunk-bytes", type=int, default=1 << 16)
     p.add_argument("--render-every", type=int, default=0,
                    help="re-render the live heatmap every N chunks")
+    p.add_argument("--engine", choices=["host", "device"], default="host",
+                   help="device = on-device streaming state machine")
+    p.add_argument("--decoder", choices=["xla", "pallas"], default="xla",
+                   help="device-engine decode stage (pallas = DMA kernel)")
     p.set_defaults(fn=_run_replay)
 
 
@@ -246,8 +250,18 @@ def _run_replay(args):
         name = extract_timestamp(str(log)) or log.stem
         raw = read_hex_log(log)
         t0 = time.perf_counter()
-        s = replay_log(raw, chunk_bytes=args.chunk_bytes,
-                       render_every=args.render_every, angle_lut=lut)
+        if args.engine == "device":
+            from slam_process_tpu.parallel.streaming_device import (
+                replay_log_device,
+            )
+
+            s = replay_log_device(raw, chunk_bytes=args.chunk_bytes,
+                                  decoder=args.decoder,
+                                  collect_filtered=True)
+            s.block_until_ready()
+        else:
+            s = replay_log(raw, chunk_bytes=args.chunk_bytes,
+                           render_every=args.render_every, angle_lut=lut)
         dt = time.perf_counter() - t0
         rendered = s.render(lut)
         save_heatmap_figure(
