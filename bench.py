@@ -89,8 +89,16 @@ def main() -> None:
         jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
         times.append(time.perf_counter() - t0)
     elapsed = sorted(times)[1]
-    total_frames = int(sum(int(o.n_frames) for o in outs))
-    fps = total_frames / elapsed
+    # NO D2H reads until every timed section is done: the FIRST read of any
+    # device buffer flips the relay transport into a persistent degraded
+    # mode (subsequent 40 MB-input program calls: 0.05 ms -> 1196 ms,
+    # deterministic; build/diag_reads.py + build/diag_bisect.py phase 'a').
+    # This ordering discipline — time everything, then read — was the
+    # entire round-1 "batched dispatch anomaly".
+    import jax.numpy as jnp
+
+    total_frames_dev = jax.jit(lambda *xs: sum(xs))(
+        *[o.n_frames for o in outs])   # read in the report phase below
 
     # Fully end-to-end: file read + host tokenization + device pipeline.
     # Sequential ingest: the native tokenizer runs at ~536 MB/s so thread
@@ -99,16 +107,8 @@ def main() -> None:
     outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
     jax.block_until_ready([o.rgba for o in outs2])
     e2e_elapsed = time.perf_counter() - t1
-    e2e_fps = total_frames / e2e_elapsed
 
     # Pixel parity needs one sequential output; keep it, free the rest.
-    # NOTE: the batched single-program config reproducibly measures ~1.2 s
-    # per call inside THIS process but ~0.1 ms (HBM speed-of-light) in a
-    # fresh process running the identical stage — a platform-side dispatch
-    # anomaly we could not attribute (not the compilation cache, not input
-    # shardings, not freed buffers; per-trial timings are recorded in the
-    # JSON).  The sequential-dispatch number is the headline; see
-    # batched_trials_s for the raw data.
     import gc
 
     parity_outs = {idx: outs[idx] for idx in (0, len(logs) - 1)}
@@ -117,6 +117,19 @@ def main() -> None:
 
     # Batched-session config: ONE jitted program over the stacked [S, Nmax]
     # byte batch (the multi-chip layout, here on a single chip).
+    #
+    # Round-1's "dispatch anomaly" (1.2 s/call) is root-caused as TWO
+    # independent relay-transport behaviors (build/diag_batched.py,
+    # build/diag_reads.py, build/diag_bisect.py):
+    #   1. blocking on a program whose large outputs stay live waits for
+    #      their eager host mirroring (~77 MB/s; 93 MB of [S, cap] frame
+    #      tensors = 1.2 s) -> the hot loop runs the 'summary' program;
+    #   2. the FIRST D2H read of ANY device buffer (even one aggregated
+    #      scalar) flips the transport into a persistent degraded mode
+    #      where this program costs 1196 ms/call (deterministic; bisect
+    #      phase 'a') -> bench performs NO reads until every timed
+    #      section is done (see the report phase below).
+    # With both fixes the whole-dataset single program measures ~0.1 ms.
     from slam_process_tpu.ops.raster import colormap_lut
     from slam_process_tpu.parallel.batch import batched_session_pipeline, stack_sessions
     from slam_process_tpu.parallel.mesh import make_mesh
@@ -128,32 +141,82 @@ def main() -> None:
     mesh = make_mesh((1, 1), ("data", "model"))
     # Static bounds sized to the dataset (58 groups / 93 baselines max).
     bfn = batched_session_pipeline(mesh, n_padded, max_groups=64,
-                                   max_baselines_per_group=96)
+                                   max_baselines_per_group=96,
+                                   outputs="summary")
+    bfn_full = batched_session_pipeline(mesh, n_padded, max_groups=64,
+                                        max_baselines_per_group=96)
     lut_j = jnp.asarray(colormap_lut("viridis"))
     with mesh:
         batch_dev = jax.device_put(batch)
         len_dev = jax.device_put(lengths)
         bout = bfn(batch_dev, len_dev, lut_j)   # compile + warm
         jax.block_until_ready(bout.rgba)
-        # Median of 5: single-dispatch latency through the device transport
-        # can spike on a cold queue.
+        # Median of 9 (sub-ms measurement; queue spikes are possible).
         times = []
-        for _ in range(5):
+        for _ in range(9):
             t3 = time.perf_counter()
             bout = bfn(batch_dev, len_dev, lut_j)
             jax.block_until_ready((bout.rgba, bout.n_kept, bout.counts))
             times.append(time.perf_counter() - t3)
-        batched_s = sorted(times)[2]
-        batched_fps = total_frames / batched_s
-        batched_trials = [round(t, 5) for t in times]
+        batched_s = sorted(times)[len(times) // 2]
+        batched_trials = [round(t, 6) for t in times]
+        del bout
         # Including the H2D transfer of the padded byte batch.
         times = []
         for _ in range(3):
             t4 = time.perf_counter()
-            bout = bfn(jax.device_put(batch), jax.device_put(lengths), lut_j)
-            jax.block_until_ready((bout.rgba, bout.n_kept, bout.counts))
+            bout2 = bfn(jax.device_put(batch), jax.device_put(lengths), lut_j)
+            jax.block_until_ready((bout2.rgba, bout2.n_kept, bout2.counts))
             times.append(time.perf_counter() - t4)
-        batched_h2d_fps = total_frames / sorted(times)[1]
+            del bout2
+        batched_h2d_s = sorted(times)[1]
+
+    # Streaming replay config (BASELINE config 5): chunked ingest with
+    # alignment carry + sweep-granular correction, host state machine
+    # (pure numpy — performs no device reads).
+    from slam_process_tpu.parallel.streaming import replay_log
+
+    t2 = time.perf_counter()
+    stream_frames = sum(replay_log(r, chunk_bytes=1 << 16).n_frames for r in raw)
+    stream_fps = stream_frames / (time.perf_counter() - t2)
+
+    # Device-resident streaming: decode + sweep-close + correct + fold all
+    # on device with donated state (parallel/streaming_device.py); the
+    # timed region blocks on device completion only.
+    from slam_process_tpu.parallel.streaming_device import replay_log_device
+
+    replay_log_device(raw[0], chunk_bytes=1 << 20).block_until_ready()  # warm
+    t2 = time.perf_counter()
+    dev_sessions = [replay_log_device(r, chunk_bytes=1 << 20) for r in raw]
+    for s in dev_sessions:
+        s.block_until_ready()
+    dev_elapsed = time.perf_counter() - t2
+    dev_stream_frames_dev = jax.jit(lambda *xs: sum(xs))(
+        *[s._state.n_frames for s in dev_sessions])
+    del dev_sessions
+
+    # Full-output program with all outputs held live: measures the relay's
+    # eager output mirroring (platform characterization; ~1.2 s by design).
+    with mesh:
+        fout = bfn_full(batch_dev, len_dev, lut_j)
+        jax.block_until_ready(fout.rgba)
+        t5 = time.perf_counter()
+        fout = bfn_full(batch_dev, len_dev, lut_j)
+        jax.block_until_ready((fout.rgba, fout.n_kept, fout.counts))
+        fullout_mirror_s = time.perf_counter() - t5
+        del fout
+
+    # ------------------------------------------------------------------
+    # Report phase: every timed section is done — D2H reads are safe now.
+    # ------------------------------------------------------------------
+    total_frames = int(total_frames_dev)
+    fps = total_frames / elapsed
+    e2e_fps = total_frames / e2e_elapsed
+    batched_fps = total_frames / batched_s
+    batched_h2d_fps = total_frames / batched_h2d_s
+    dev_stream_frames = int(dev_stream_frames_dev)
+    assert dev_stream_frames == total_frames, (dev_stream_frames, total_frames)
+    dev_stream_fps = dev_stream_frames / dev_elapsed
 
     # Pixel parity: device normalized raster vs float64 host oracle, plus
     # colormap LUT-bin agreement.
@@ -170,14 +233,6 @@ def main() -> None:
              != np.clip((oracle_t[both] * 256).astype(int), 0, 255)).sum()
         )
     max_pixel_delta = max(t_deltas)
-
-    # Streaming replay config (BASELINE config 5): chunked ingest with
-    # alignment carry + sweep-granular correction, host state machine.
-    from slam_process_tpu.parallel.streaming import replay_log
-
-    t2 = time.perf_counter()
-    stream_frames = sum(replay_log(r, chunk_bytes=1 << 16).n_frames for r in raw)
-    stream_fps = stream_frames / (time.perf_counter() - t2)
 
     # Reference pipeline throughput on this host (tokenize + parse measured
     # on the smallest log; the iterrows correct stage measured on a 4000-row
@@ -197,7 +252,9 @@ def main() -> None:
         "batched_with_h2d_frames_per_sec": round(batched_h2d_fps, 1),
         "batched_device_seconds_full_dataset": round(batched_s, 6),
         "batched_trials_s": batched_trials,
+        "batched_fullout_mirror_s": round(fullout_mirror_s, 4),
         "streaming_frames_per_sec": round(stream_fps, 1),
+        "streaming_device_frames_per_sec": round(dev_stream_fps, 1),
         "max_pixel_delta_norm_raster": max_pixel_delta,
         "lut_bin_flips": bin_flips,
         "reference_frames_per_sec": round(ref_fps, 1),

@@ -11,12 +11,25 @@ until the (tiny) global statistics, which reduce over ICI.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
 
 from slam_process_tpu.ops.decode import frame_capacity
 from slam_process_tpu.pipeline.device import pad_bytes, session_pipeline
+
+
+class SessionSummaryOut(NamedTuple):
+    """Per-session results without the [S, capacity] frame tensors."""
+
+    n_frames: "np.ndarray"          # [S] i32
+    correct_overflow: "np.ndarray"  # [S] bool
+    n_kept: "np.ndarray"            # [S] i32
+    mean_grid: "np.ndarray"         # [S, 64, 64] f32
+    counts: "np.ndarray"            # [S, 64, 64] i32
+    rgba: "np.ndarray"              # [S, 64, 64, 4] f32
+    blurred: "np.ndarray"           # [S, 64, 64] f32
+    norm_t: "np.ndarray"            # [S, 64, 64] f32
 
 
 def batched_session_pipeline(
@@ -26,11 +39,22 @@ def batched_session_pipeline(
     use_log: bool = True,
     max_groups: int = 64,
     max_baselines_per_group: int = 128,
+    outputs: str = "full",
 ):
     """Build a jitted [S, N]-batched pipeline sharded over mesh axis 'data'.
 
     Returns fn(byte_batch[S, N] u8, n_bytes[S] i32, lut[256,4] f32) ->
     DeviceSessionOut with a leading S axis on every field.
+
+    ``outputs='summary'`` drops the [S, capacity] per-frame tensors
+    (frames/keep/corrected_bs) from the return value, keeping only the
+    per-session grids/rasters/scalars.  This matters on relay-style PJRT
+    transports: execution outputs that remain live are eagerly mirrored to
+    the host at tunnel bandwidth (~77 MB/s measured on the axon relay), so
+    a resident hot loop must only return what it consumes — the summary
+    program runs the full 19-log dataset in ~0.1 ms where the full-output
+    program pays ~1.2 s of output mirroring (diagnosed in round 2; see
+    docs/STATUS.md).
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -44,6 +68,8 @@ def batched_session_pipeline(
         max_groups=max_groups,
         max_baselines_per_group=max_baselines_per_group,
     )
+    if outputs not in ("full", "summary"):
+        raise ValueError(f"outputs must be 'full' or 'summary', got {outputs!r}")
 
     def batched(byte_batch, n_bytes, lut):
         out = jax.vmap(body, in_axes=(0, 0, None))(byte_batch, n_bytes, lut)
@@ -54,6 +80,17 @@ def batched_session_pipeline(
             ),
             out,
         )
+        if outputs == "summary":
+            return SessionSummaryOut(
+                n_frames=out.n_frames,
+                correct_overflow=out.correct_overflow,
+                n_kept=out.n_kept,
+                mean_grid=out.mean_grid,
+                counts=out.counts,
+                rgba=out.rgba,
+                blurred=out.blurred,
+                norm_t=out.norm_t,
+            )
         return out
 
     if mesh.devices.size == 1:

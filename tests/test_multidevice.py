@@ -110,6 +110,28 @@ def test_sharded_batched_pipeline_matches_host_oracle(stacked, single_device_out
         )
 
 
+def test_summary_outputs_match_full(stacked, single_device_out):
+    """outputs='summary' drops the [S, cap] tensors but changes no value."""
+    from slam_process_tpu.parallel.batch import batched_session_pipeline
+    from slam_process_tpu.parallel.mesh import make_mesh
+
+    _, batch, lengths, lut = stacked
+    mesh = make_mesh((8, 1), ("data", "model"))
+    fn = batched_session_pipeline(
+        mesh, batch.shape[1], max_groups=MAX_GROUPS,
+        max_baselines_per_group=MAX_BASELINES, outputs="summary",
+    )
+    with mesh:
+        out = fn(jnp.asarray(batch), jnp.asarray(lengths), lut)
+        jax.block_until_ready(out.rgba)
+    for name in out._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(single_device_out, name)),
+            err_msg=f"summary field {name} differs",
+        )
+
+
 def test_model_parallel_estimator_matches_unsharded(single_device_out):
     """The dryrun's tensor-parallel correlation argmax as a pytest.
 
