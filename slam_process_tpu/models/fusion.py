@@ -48,11 +48,62 @@ def fusion_nlos_np(dictionary, rss_matrix, los_aoa, los_aod,
     return pd.DataFrame(rows)
 
 
+def fusion_nlos_jax(phi_rx, phi_tx, aoa_grid, aod_grid, rss_matrix,
+                    los_aoa, los_aod, has_los,
+                    max_paths: int = 3, proximity: float = 10.0,
+                    cross: float = 10.0, local: float = 1.0,
+                    stop_ratio: float = 0.1):
+    """Jittable NLoS SIC loop (device counterpart of fusion_nlos_np).
+
+    Returns (aoa[K], aod[K], metric[K], valid[K]); the LoS seed masks are
+    applied when ``has_los`` (traced bool).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    corr = jnp.einsum("ug,ub,bh->gh", phi_rx, rss_matrix, phi_tx,
+                      preferred_element_type=jnp.float32,
+                      precision="highest")
+    Ga, Gd = corr.shape
+    AOA = aoa_grid[:, None] * jnp.ones((1, Gd), corr.dtype)
+    AOD = jnp.ones((Ga, 1), corr.dtype) * aod_grid[None, :]
+
+    dist_sq = (AOA - los_aoa) ** 2 + (AOD - los_aod) ** 2
+    los_mask = (
+        (dist_sq > proximity**2)
+        & (jnp.abs(AOD - los_aod) > cross / 2)
+        & (jnp.abs(AOA - los_aoa) > cross / 2)
+    ).astype(corr.dtype)
+    mask0 = jnp.where(has_los, los_mask, jnp.ones_like(corr))
+
+    def body(carry, k):
+        mask, first_metric, stopped = carry
+        masked = corr * mask
+        flat = jnp.argmax(masked)
+        i, j = flat // Gd, flat % Gd
+        peak = masked[i, j]
+        a, d = aoa_grid[i], aod_grid[j]
+        # Reference stop rule (v4.py:340-344): compare against the FIRST
+        # NLoS metric, only from the second peak onward.
+        stop_now = stopped | ((k > 0) & (peak < stop_ratio * first_metric))
+        local_mask = (((AOA - a) ** 2 + (AOD - d) ** 2) > local**2).astype(
+            corr.dtype)
+        mask_out = jnp.where(stop_now, mask, mask * local_mask)
+        first_out = jnp.where((k == 0) & ~stop_now, peak, first_metric)
+        return (mask_out, first_out, stop_now), (a, d, peak, ~stop_now)
+
+    init = (mask0, jnp.asarray(0.0, corr.dtype), jnp.bool_(False))
+    _, (aoa, aod, metric, valid) = jax.lax.scan(
+        body, init, jnp.arange(max_paths))
+    return aoa, aod, metric, valid
+
+
 @register("fusion")
 def _run_fusion(session, angle_file, output_path=None, **overrides):
     import pandas as pd
 
     matrix, ue_ang, bs_ang = build_scene(session, angle_file, log_transform=False)
+    engine = overrides.get("engine")
 
     # LoS: verbatim v1 NN-OMP (arange grid, max 3, argmax LoS).
     d_los = make_dictionary(
@@ -61,8 +112,26 @@ def _run_fusion(session, angle_file, output_path=None, **overrides):
                          beam_width=overrides.get("beam_width", 1.4),
                          grid_kind="arange"),
     )
-    los = nn_omp_np(d_los, matrix, OmpConfig(max_paths=3),
-                    keep_rule="positive", stop_nonpositive=False)
+    if engine == "device":
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from slam_process_tpu.models.nn_omp import nn_omp_jax
+
+        los_fn = jax.jit(functools.partial(
+            nn_omp_jax, cfg=OmpConfig(max_paths=3), keep_rule="positive",
+            stop_nonpositive=False))
+        los_out = los_fn(jnp.asarray(d_los.phi_rx, jnp.float32),
+                         jnp.asarray(d_los.phi_tx, jnp.float32),
+                         jnp.asarray(d_los.aoa_grid, jnp.float32),
+                         jnp.asarray(d_los.aod_grid, jnp.float32),
+                         jnp.asarray(matrix, jnp.float32))
+        los = type(los_out)(*(np.asarray(x) for x in los_out))
+    else:
+        los = nn_omp_np(d_los, matrix, OmpConfig(max_paths=3),
+                        keep_rule="positive", stop_nonpositive=False)
     kept = np.nonzero(los.valid)[0]
     if kept.size:
         los_idx = kept[np.argmax(los.power[kept])]
@@ -78,12 +147,41 @@ def _run_fusion(session, angle_file, output_path=None, **overrides):
                          beam_width=overrides.get("beam_width", 1.4),
                          grid_kind="arange_inclusive"),
     )
-    nlos_df = fusion_nlos_np(
-        d_nlos, matrix, los_aoa, los_aod,
-        max_paths=overrides.get("max_paths", 3),
-        proximity=overrides.get("proximity_mask_radius", 10.0),
-        cross=overrides.get("cross_mask_width", 10.0),
-    )
+    if engine == "device":
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        import pandas as pd_
+
+        nlos_fn = jax.jit(functools.partial(
+            fusion_nlos_jax,
+            max_paths=overrides.get("max_paths", 3),
+            proximity=overrides.get("proximity_mask_radius", 10.0),
+            cross=overrides.get("cross_mask_width", 10.0),
+        ))
+        a, d_, m, v = (np.asarray(x) for x in nlos_fn(
+            jnp.asarray(d_nlos.phi_rx, jnp.float32),
+            jnp.asarray(d_nlos.phi_tx, jnp.float32),
+            jnp.asarray(d_nlos.aoa_grid, jnp.float32),
+            jnp.asarray(d_nlos.aod_grid, jnp.float32),
+            jnp.asarray(matrix, jnp.float32),
+            jnp.float32(los_aoa if los_aoa is not None else 0.0),
+            jnp.float32(los_aod if los_aod is not None else 0.0),
+            jnp.bool_(los_aoa is not None),
+        ))
+        keep = np.nonzero(v)[0]
+        nlos_df = pd_.DataFrame(
+            [{"id": int(k) + 1, "type": "NLoS", "aoa": float(a[k]),
+              "aod": float(d_[k]), "metric": float(m[k])} for k in keep]
+        )
+    else:
+        nlos_df = fusion_nlos_np(
+            d_nlos, matrix, los_aoa, los_aod,
+            max_paths=overrides.get("max_paths", 3),
+            proximity=overrides.get("proximity_mask_radius", 10.0),
+            cross=overrides.get("cross_mask_width", 10.0),
+        )
 
     if output_path is not None:
         from slam_process_tpu.models.classifiers import (

@@ -75,6 +75,72 @@ def refine_patches(meas_aoa, meas_aod, meas_rss, aoa_grid, aod_grid,
     return refined
 
 
+def refine_patches_device(meas_aoa, meas_aod, meas_rss, aoa_grid, aod_grid,
+                          heat_shape, peaks, patch_half: int = 3,
+                          beamwidth: float = 10.0, alpha: float = 0.1,
+                          max_peaks: int = 20):
+    """Device counterpart of refine_patches: one vmapped LASSO per peak.
+
+    Every patch is padded to the full (2*patch_half+1)^2 window; columns
+    outside the clamped bounds are zeroed, which the positive coordinate
+    descent provably leaves at zero (gram diagonal 0 -> coordinate
+    skipped), so the result equals the host's variable-size patches.  The
+    [P, N, 49] design build, gram matmuls, and coordinate-descent scans all
+    run in one jitted call; only the [P, 49] coefficient block returns to
+    host for the (tiny) scatter-add.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.lasso import lasso_positive_jax
+
+    H, W = heat_shape
+    refined = np.zeros(heat_shape)
+    P = min(len(peaks), max_peaks)
+    if P == 0:
+        return refined
+    s = 2 * patch_half + 1
+    r0 = np.array([p["idx"][0] for p in peaks[:P]])
+    c0 = np.array([p["idx"][1] for p in peaks[:P]])
+    r1, r2 = np.maximum(0, r0 - patch_half), np.minimum(H - 1, r0 + patch_half)
+    c1, c2 = np.maximum(0, c0 - patch_half), np.minimum(W - 1, c0 + patch_half)
+    di = np.arange(s)
+    rows = r1[:, None] + di[None, :]                    # [P, s] aod rows
+    cols = c1[:, None] + di[None, :]                    # [P, s] aoa cols
+    row_ok = rows <= r2[:, None]
+    col_ok = cols <= c2[:, None]
+    # Row-major (aod, aoa) cell order — the host's cyclic-descent order.
+    valid = (row_ok[:, :, None] & col_ok[:, None, :]).reshape(P, s * s)
+    aod_c = aod_grid[np.minimum(rows, H - 1)][:, :, None]  # [P, s, 1]
+    aoa_c = aoa_grid[np.minimum(cols, W - 1)][:, None, :]  # [P, 1, s]
+    aod_flat = np.broadcast_to(aod_c, (P, s, s)).reshape(P, s * s)
+    aoa_flat = np.broadcast_to(aoa_c, (P, s, s)).reshape(P, s * s)
+
+    sigma = beamwidth / 2.355
+    ma = jnp.asarray(meas_aoa, jnp.float32)
+    md = jnp.asarray(meas_aod, jnp.float32)
+
+    def solve(aoa_cent, aod_cent, ok):
+        G = jnp.exp(-0.5 * (((ma[:, None] - aoa_cent[None, :]) / sigma) ** 2
+                            + ((md[:, None] - aod_cent[None, :]) / sigma) ** 2))
+        G = G * ok[None, :]
+        norms = jnp.linalg.norm(G, axis=0) + 1e-8
+        return lasso_positive_jax(G / norms, jnp.asarray(meas_rss), alpha) / norms
+
+    coefs = np.asarray(jax.jit(jax.vmap(solve))(
+        jnp.asarray(aoa_flat, jnp.float32), jnp.asarray(aod_flat, jnp.float32),
+        jnp.asarray(valid, jnp.float32)))
+    for p in range(P):
+        w = coefs[p].reshape(s, s)
+        for i in range(s):
+            if not row_ok[p, i]:
+                continue
+            for j in range(s):
+                if col_ok[p, j]:
+                    refined[rows[p, i], cols[p, j]] += w[i, j]
+    return refined
+
+
 def classify_peaks(peaks_sorted, ratio_thresh: float = 1.5):
     """Top/second power-ratio classification (reference :183-200)."""
     out = []
@@ -115,12 +181,20 @@ def _run_lasso_refine(session, angle_file, output_path=None, **overrides):
     )
     peaks = peak_regions_np(heat_init,
                             overrides.get("percentile", 65.0))
-    refined = refine_patches(
-        agg["AoA_deg"].values, agg["AoD_deg"].values, agg["RSS"].values,
-        aoa_grid, aod_grid, heat_init, peaks,
-        beamwidth=overrides.get("beam_width", 10.0),
-        alpha=overrides.get("alpha", 0.1),
-    )
+    if overrides.get("engine") == "device":
+        refined = refine_patches_device(
+            agg["AoA_deg"].values, agg["AoD_deg"].values, agg["RSS"].values,
+            aoa_grid, aod_grid, heat_init.shape, peaks,
+            beamwidth=overrides.get("beam_width", 10.0),
+            alpha=overrides.get("alpha", 0.1),
+        )
+    else:
+        refined = refine_patches(
+            agg["AoA_deg"].values, agg["AoD_deg"].values, agg["RSS"].values,
+            aoa_grid, aod_grid, heat_init, peaks,
+            beamwidth=overrides.get("beam_width", 10.0),
+            alpha=overrides.get("alpha", 0.1),
+        )
     heat_final = 0.6 * refined + 0.4 * heat_init
     final_peaks = peak_regions_np(heat_final,
                                   overrides.get("percentile", 65.0))

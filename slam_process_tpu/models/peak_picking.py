@@ -77,13 +77,41 @@ def _run_peak_picking(session, angle_file, output_path=None, **overrides):
     agg["AoD"] = lut[agg["BS_Beam"].astype(int)]
     agg = agg.dropna(subset=["AoA", "AoD"])
 
-    aod_grid, aoa_grid, heat = build_heatmap_grid(
-        agg["AoA"].values, agg["AoD"].values, agg["RSS"].values,
-        resolution=overrides.get("resolution", 1.4),
-    )
-    thresh = np.percentile(heat, overrides.get("percentile", 90))
-    peaks = sorted(detect_peaks(heat, aod_grid, aoa_grid, thresh),
-                   key=lambda p: -p[2])
+    if overrides.get("engine") == "device":
+        # Device path: the spline resample (one Wy @ V @ Wx^T matmul pair),
+        # the percentile threshold, and the reduce_window local-max mask
+        # run jitted; only the tiny (mask, heat) pair crosses to host for
+        # the final peak listing.
+        import jax
+        import jax.numpy as jnp
+
+        aod_grid, aoa_grid, heat_h = build_heatmap_grid(
+            agg["AoA"].values, agg["AoD"].values, agg["RSS"].values,
+            resolution=overrides.get("resolution", 1.4),
+        )
+        q = float(overrides.get("percentile", 90))
+
+        @jax.jit
+        def device_mask(h):
+            thresh = jnp.percentile(h, q)
+            return local_max_mask(h, 3) & (h > thresh), thresh
+
+        mask_d, thresh_d = device_mask(jnp.asarray(heat_h, jnp.float32))
+        mask = np.asarray(mask_d)
+        heat = heat_h
+        peaks = sorted(
+            ((float(aod_grid[j]), float(aoa_grid[i]), float(heat[i, j]))
+             for i, j in np.argwhere(mask)),
+            key=lambda p: -p[2],
+        )
+    else:
+        aod_grid, aoa_grid, heat = build_heatmap_grid(
+            agg["AoA"].values, agg["AoD"].values, agg["RSS"].values,
+            resolution=overrides.get("resolution", 1.4),
+        )
+        thresh = np.percentile(heat, overrides.get("percentile", 90))
+        peaks = sorted(detect_peaks(heat, aod_grid, aoa_grid, thresh),
+                       key=lambda p: -p[2])
 
     rows = []
     if peaks:

@@ -80,6 +80,39 @@ def svd_paths(heat, grid_ue, grid_bs, energy_thresh: float = 0.90,
                     else np.pad(S, (0, max_rank - len(S))), valid)
 
 
+def svd_paths_jax(heat, grid_ue, grid_bs, energy_thresh: float = 0.90,
+                  max_rank: int = 16) -> SvdPaths:
+    """Jittable rank-1 peak extraction (jnp.linalg.svd + vmapped argmax).
+
+    Device counterpart of ``svd_paths``: the SVD, the per-component outer
+    products, and the |max|-cell searches all run on device; invalid slots
+    (k >= rank) are zeroed exactly like the host oracle.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h = jnp.maximum(heat, 0.0)
+    U, S, Vt = jnp.linalg.svd(h, full_matrices=False)
+    cum = jnp.cumsum(S**2) / jnp.sum(S**2)
+    rank = jnp.searchsorted(cum, energy_thresh) + 1
+    rank = jnp.minimum(jnp.minimum(rank, max_rank), S.shape[0])
+    n_cols = h.shape[1]
+
+    def comp(k):
+        c = S[k] * jnp.outer(U[:, k], Vt[k])
+        flat = jnp.argmax(jnp.abs(c))
+        i, j = flat // n_cols, flat % n_cols
+        return grid_ue[i], grid_bs[j], jnp.abs(c[i, j])
+
+    ks = jnp.arange(max_rank)
+    aoa, aod, power = jax.vmap(comp)(ks)
+    valid = ks < rank
+    z = valid.astype(heat.dtype)
+    sing = S[:max_rank] if S.shape[0] >= max_rank else jnp.pad(
+        S, (0, max_rank - S.shape[0]))
+    return SvdPaths(aoa * z, aod * z, power * z, sing, valid)
+
+
 @register("svd")
 def _run_svd(session, angle_file, output_path=None, **overrides):
     import pandas as pd
@@ -91,9 +124,24 @@ def _run_svd(session, angle_file, output_path=None, **overrides):
     ue, bs, rss = (session.filtered[:, i] for i in range(3))
     lut = load_angle_lut(angle_file)
     raw, ue_ang, bs_ang, min_rss = build_raw_matrix(ue, bs, rss, lut)
-    heat, grid_ue, grid_bs = svd_upsample(raw, ue_ang, bs_ang, min_rss)
-    paths = svd_paths(heat, grid_ue, grid_bs,
-                      overrides.get("energy_thresh", 0.90))
+    if overrides.get("engine") == "device":
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        heat, grid_ue, grid_bs = svd_upsample(raw, ue_ang, bs_ang, min_rss)
+        fn = jax.jit(functools.partial(
+            svd_paths_jax,
+            energy_thresh=overrides.get("energy_thresh", 0.90)))
+        out = fn(jnp.asarray(heat, jnp.float32),
+                 jnp.asarray(grid_ue, jnp.float32),
+                 jnp.asarray(grid_bs, jnp.float32))
+        paths = SvdPaths(*(np.asarray(x) for x in out))
+    else:
+        heat, grid_ue, grid_bs = svd_upsample(raw, ue_ang, bs_ang, min_rss)
+        paths = svd_paths(heat, grid_ue, grid_bs,
+                          overrides.get("energy_thresh", 0.90))
 
     if output_path is not None:
         _plot_svd(heat, grid_ue, grid_bs, paths, output_path)
