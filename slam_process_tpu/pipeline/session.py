@@ -176,6 +176,123 @@ class Session:
         )
         return np.asarray(mean), np.asarray(counts)
 
+    def sweep_paths(
+        self,
+        angle_file: Union[str, Path],
+        estimator: str = "nn_omp",
+        max_sweeps: Optional[int] = None,
+        mesh=None,
+        **overrides,
+    ):
+        """Per-sweep multipath estimation, vmapped on device over sweeps.
+
+        Goes beyond the reference (which estimates only on the session
+        aggregate): the [S, 64, 64] per-sweep tensor from
+        ``sweep_intensity`` feeds a vmapped jitted estimator, giving a
+        time-resolved path track per sweep.  With ``mesh`` given, sweeps
+        shard over the 'data' axis and the dictionary-grid axis over
+        'model' (the dryrun_multichip layout as a real feature).
+
+        Returns (paths, sweep_valid): ``paths`` is an OmpPaths/SmSicPaths
+        of [S, K] arrays; ``sweep_valid[s]`` is False for sweeps with no
+        observed cell in the session's compact submatrix.
+        """
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from slam_process_tpu.config import DictionaryConfig, OmpConfig, SmSicConfig
+        from slam_process_tpu.models.dictionary import make_dictionary
+        from slam_process_tpu.ops.scene import intensity_grid_np
+
+        mean, counts = self.sweep_intensity(max_sweeps)     # [S, 64, 64]
+        lut = load_angle_lut(angle_file)
+        # Session-level compact submatrix: shared static shape across sweeps.
+        grid = intensity_grid_np(self.filtered[:, 0], self.filtered[:, 1],
+                                 self.filtered[:, 2], cfg=SceneConfig())
+        row_mask = np.asarray(grid.row_mask) & np.isfinite(lut)
+        col_mask = np.asarray(grid.col_mask) & np.isfinite(lut)
+        ue_ids = np.nonzero(row_mask)[0]
+        bs_ids = np.nonzero(col_mask)[0]
+        ue_ang = lut[ue_ids]
+        bs_ang = lut[bs_ids]
+        sub = mean[np.ix_(np.arange(mean.shape[0]), ue_ids, bs_ids)]
+        sweep_valid = np.isfinite(sub).any(axis=(1, 2))
+
+        if estimator == "nn_omp":
+            from slam_process_tpu.models.nn_omp import nn_omp_jax
+
+            d = make_dictionary(ue_ang, bs_ang, DictionaryConfig(
+                grid_res=overrides.get("grid_res", 0.1),
+                beam_width=overrides.get("beam_width", 1.4),
+                grid_kind="linspace"))
+            est = functools.partial(
+                nn_omp_jax,
+                cfg=OmpConfig(max_paths=overrides.get("max_paths", 3)),
+                keep_rule=overrides.get("keep_rule", "positive"),
+                stop_nonpositive=overrides.get("stop_nonpositive", False))
+        elif estimator == "sm_sic":
+            from slam_process_tpu.models.sm_sic import sm_sic_jax
+
+            cfg = SmSicConfig(
+                max_paths=overrides.get("max_paths", 3),
+                beam_width=overrides.get("beam_width", 10.0),
+                grid_res=overrides.get("grid_res", 0.5))
+            d = make_dictionary(ue_ang, bs_ang, DictionaryConfig(
+                grid_res=cfg.grid_res, beam_width=cfg.beam_width,
+                grid_kind="arange_inclusive"))
+            est = functools.partial(sm_sic_jax, cfg=cfg)
+        else:
+            raise ValueError(f"unknown sweep estimator {estimator!r}")
+
+        def run_all(mats, phi_rx, phi_tx, aoa_g, aod_g):
+            def one(m):
+                # Per-sweep fill: empty cells get the sweep's observed min
+                # (the v1-7 fillna(min) policy applied per sweep).
+                finite = jnp.isfinite(m)
+                fill = jnp.min(jnp.where(finite, m, jnp.inf))
+                fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
+                return est(phi_rx, phi_tx, aoa_g, aod_g,
+                           jnp.where(finite, m, fill))
+
+            return jax.vmap(one)(mats)
+
+        n_sweeps = sub.shape[0]
+        if mesh is not None:
+            # The sweep axis shards over 'data': pad to a multiple of the
+            # data-axis size (padded sweeps are all-NaN -> dropped below).
+            dp = mesh.shape["data"]
+            pad = (-n_sweeps) % dp
+            if pad:
+                sub = np.concatenate(
+                    [sub, np.full((pad,) + sub.shape[1:], np.nan,
+                                  dtype=sub.dtype)])
+        args = (jnp.asarray(sub, jnp.float32),
+                jnp.asarray(d.phi_rx, jnp.float32),
+                jnp.asarray(d.phi_tx, jnp.float32),
+                jnp.asarray(d.aoa_grid, jnp.float32),
+                jnp.asarray(d.aod_grid, jnp.float32))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shardings = (
+                NamedSharding(mesh, P("data", None, None)),   # sweeps
+                NamedSharding(mesh, P(None, "model")),        # phi_rx grid
+                NamedSharding(mesh, P(None, None)),
+                NamedSharding(mesh, P("model")),
+                NamedSharding(mesh, P(None)),
+            )
+            with mesh:
+                fn = jax.jit(run_all, in_shardings=shardings)
+                out = fn(*(jax.device_put(a, s_)
+                           for a, s_ in zip(args, shardings)))
+                jax.block_until_ready(out[0])
+        else:
+            out = jax.jit(run_all)(*args)
+        paths = type(out)(*(np.asarray(x)[:n_sweeps] for x in out))
+        return paths, sweep_valid
+
     def render_heatmap(
         self,
         angle_file: Union[str, Path],

@@ -1,0 +1,108 @@
+"""Per-sweep batched estimation on device (Session.sweep_paths).
+
+Oracle: for each sweep, the host pipeline — per-sweep pivot (mean per
+(UE, BS) cell over that sweep's filtered rows), session-level compact
+submatrix, per-sweep min fill — then nn_omp_np.  The device path vmaps
+nn_omp_jax over the [S, U', B'] tensor; with a mesh, sweeps shard over
+'data' and the dictionary grid over 'model'.
+"""
+
+import numpy as np
+import pytest
+
+from slam_process_tpu.config import DictionaryConfig, OmpConfig, SceneConfig
+
+
+@pytest.fixture(scope="module")
+def session():
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import FILTERED_2026_02_06
+
+    return Session.from_filtered_xlsx(FILTERED_2026_02_06)
+
+
+@pytest.fixture(scope="module")
+def host_oracle(session, angle_lut64):
+    from slam_process_tpu.models.dictionary import make_dictionary
+    from slam_process_tpu.models.nn_omp import nn_omp_np
+    from slam_process_tpu.ops.correct import detect_groups_np
+    from slam_process_tpu.ops.scene import intensity_grid_np
+
+    filtered = session.filtered
+    gid = detect_groups_np(filtered[:, 0])
+    n_sweeps = int(gid.max()) + 1
+
+    grid_all = intensity_grid_np(filtered[:, 0], filtered[:, 1],
+                                 filtered[:, 2], cfg=SceneConfig())
+    row_mask = np.asarray(grid_all.row_mask) & np.isfinite(angle_lut64)
+    col_mask = np.asarray(grid_all.col_mask) & np.isfinite(angle_lut64)
+    ue_ids, bs_ids = np.nonzero(row_mask)[0], np.nonzero(col_mask)[0]
+    ue_ang, bs_ang = angle_lut64[ue_ids], angle_lut64[bs_ids]
+    d = make_dictionary(ue_ang, bs_ang,
+                        DictionaryConfig(grid_res=0.1, beam_width=1.4,
+                                         grid_kind="linspace"))
+
+    results = []
+    for s in range(n_sweeps):
+        rows = filtered[gid == s]
+        g = intensity_grid_np(rows[:, 0], rows[:, 1], rows[:, 2],
+                              cfg=SceneConfig())
+        sub = np.asarray(g.mean)[np.ix_(ue_ids, bs_ids)]
+        finite = np.isfinite(sub)
+        if not finite.any():
+            results.append(None)
+            continue
+        sub = np.where(finite, sub, sub[finite].min())
+        results.append(nn_omp_np(d, sub, OmpConfig(max_paths=3),
+                                 keep_rule="positive",
+                                 stop_nonpositive=False))
+    return results
+
+
+def _check(paths, sweep_valid, host_oracle):
+    assert len(sweep_valid) == len(host_oracle)
+    n_checked = 0
+    for s, ref in enumerate(host_oracle):
+        assert sweep_valid[s] == (ref is not None)
+        if ref is None:
+            continue
+        np.testing.assert_array_equal(paths.valid[s], ref.valid)
+        kept = ref.valid
+        np.testing.assert_allclose(paths.aoa[s][kept], ref.aoa[kept],
+                                   atol=0.11)
+        np.testing.assert_allclose(paths.aod[s][kept], ref.aod[kept],
+                                   atol=0.11)
+        np.testing.assert_allclose(paths.power[s][kept], ref.power[kept],
+                                   rtol=5e-2)
+        n_checked += 1
+    assert n_checked >= 3   # the real log has many non-empty sweeps
+
+
+def test_sweep_paths_matches_per_sweep_host_oracle(session, host_oracle):
+    from tests.conftest import BEAM_ANGLE
+
+    paths, sweep_valid = session.sweep_paths(BEAM_ANGLE)
+    _check(paths, sweep_valid, host_oracle)
+
+
+def test_sweep_paths_sharded_matches_unsharded(session, host_oracle):
+    from slam_process_tpu.parallel.mesh import make_mesh
+    from tests.conftest import BEAM_ANGLE
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    paths, sweep_valid = session.sweep_paths(BEAM_ANGLE, mesh=mesh)
+    _check(paths, sweep_valid, host_oracle)
+    ref_paths, _ = session.sweep_paths(BEAM_ANGLE)
+    for name in ("aoa", "aod", "power", "valid"):
+        np.testing.assert_allclose(
+            getattr(paths, name).astype(np.float64),
+            getattr(ref_paths, name).astype(np.float64),
+            atol=1e-5, err_msg=name)
+
+
+def test_sweep_paths_sm_sic_runs(session):
+    from tests.conftest import BEAM_ANGLE
+
+    paths, sweep_valid = session.sweep_paths(BEAM_ANGLE, estimator="sm_sic")
+    assert paths.aoa.shape[0] == len(sweep_valid)
+    assert paths.valid[sweep_valid].any()
