@@ -53,6 +53,9 @@ def estimation_plot(
     import matplotlib
 
     matplotlib.use("Agg")
+    from slam_process_tpu.render.fonts import setup_cjk_font
+
+    setup_cjk_font()
     import matplotlib.pyplot as plt
 
     if rbf_smooth is None:

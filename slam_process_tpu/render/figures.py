@@ -53,6 +53,9 @@ def save_heatmap_figure(
     import matplotlib
 
     matplotlib.use("Agg")
+    from slam_process_tpu.render.fonts import setup_cjk_font
+
+    setup_cjk_font()
     import matplotlib.pyplot as plt
     from matplotlib.colors import LogNorm
 
