@@ -221,3 +221,77 @@ def write_xlsx_table(
         path = path.with_name(path.stem + "_out.xlsx")
         _save(path)
     return path
+
+
+def write_xlsx_mixed(
+    path: Union[str, Path],
+    columns: Sequence[str],
+    cols_data: Sequence[Sequence],
+    sheet_name: str = "Sheet1",
+) -> Path:
+    """Write a table with per-column types: str columns become inlineStr
+    cells, numeric columns value cells (the legacy v1/v2 exports mix raw
+    hex-string columns with decimal ones, serial_hex_to_excel.py:95-110).
+    ``cols_data`` is one sequence per column, all the same length.
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if len(cols_data) != len(columns):
+        raise ValueError("one data column per header required")
+    n_rows = len(cols_data[0]) if cols_data else 0
+
+    cols_txt: List[List[str]] = []
+    for col in cols_data:
+        if len(col) != n_rows:
+            raise ValueError("ragged columns")
+        vals = list(col)
+        if vals and isinstance(vals[0], str):
+            cols_txt.append([f'<c t="inlineStr"><is><t>{_esc(v)}</t></is></c>'
+                             for v in vals])
+        else:
+            txt = []
+            for v in vals:
+                f = float(v)
+                if f != f:               # NaN
+                    txt.append("<c/>")
+                elif float(f).is_integer() and abs(f) < 1e15:
+                    txt.append(f"<c><v>{int(f)}</v></c>")
+                else:
+                    txt.append(f"<c><v>{f!r}</v></c>")
+            cols_txt.append(txt)
+
+    parts: List[str] = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+    ]
+    hdr = "".join(
+        f'<c t="inlineStr"><is><t>{_esc(str(c))}</t></is></c>' for c in columns
+    )
+    parts.append(f"<row>{hdr}</row>")
+    for r in range(n_rows):
+        parts.append("<row>" + "".join(c[r] for c in cols_txt) + "</row>")
+    parts.append("</sheetData></worksheet>")
+    sheet_xml = "".join(parts)
+
+    workbook_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{_esc(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+
+    def _save(target: Path) -> None:
+        with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as zf:
+            for name, content in _XLSX_STATIC.items():
+                zf.writestr(name, content)
+            zf.writestr("xl/workbook.xml", workbook_xml)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+    try:
+        _save(path)
+    except PermissionError:
+        path = path.with_name(path.stem + "_out.xlsx")
+        _save(path)
+    return path

@@ -28,6 +28,8 @@ class LegacyDecodeResult(NamedTuple):
     frames: np.ndarray   # v1: [F, 3] (ue, bs, rss); v2: [F, 4] (flag, ue, bs, rss)
     valid: int
     discarded: int
+    windows: np.ndarray = np.zeros((0, 0), np.int64)  # raw frame bytes
+    # (for the legacy exports' 原始16进制值 hex-string columns)
 
 
 def _shift_eq(top: np.ndarray, d: int, tag: int) -> np.ndarray:
@@ -72,7 +74,7 @@ def decode_frames_v1_np(b: np.ndarray) -> LegacyDecodeResult:
     # counts one discard (v1 attempts a frame at every byte).
     visited = _visited_mask(n, starts, 5)
     discarded = int(np.count_nonzero(visited & ~ok))
-    return LegacyDecodeResult(frames, len(starts), discarded)
+    return LegacyDecodeResult(frames, len(starts), discarded, w)
 
 
 def decode_frames_v2_np(b: np.ndarray) -> LegacyDecodeResult:
@@ -102,11 +104,20 @@ def decode_frames_v2_np(b: np.ndarray) -> LegacyDecodeResult:
     frames = np.stack([flag, ue, bs, rss], axis=1)
     visited = _visited_mask(n, starts, 6)
     discarded = int(np.count_nonzero(visited & ~ok))
-    return LegacyDecodeResult(frames, len(starts), discarded)
+    return LegacyDecodeResult(frames, len(starts), discarded, w)
 
 
-# Export schemas matching the legacy scripts' Excel layouts.
-V1_COLUMNS = ["UE_Beam十六进制", "UE_Beam[5:0]十进制", "BS_Beam十六进制",
-              "BS_Beam[5:0]十进制", "RSS0", "RSS1", "RSS2", "RSS十进制"]
+# Export schemas matching the legacy scripts' Excel layouts exactly
+# (serial_hex_to_excel.py:98-110, serial_hex_to_excel_v2.py:103-115).
+V1_COLUMNS = ["UE_Beam原始16进制值", "UE_Beam[5:0]十进制",
+              "BS_Beam原始16进制值", "BS_Beam[5:0]十进制",
+              "RSS0原始16进制值", "RSS1原始16进制值", "RSS2原始16进制值",
+              "RSS十进制"]
 V2_COLUMNS = ["FLAG", "UE_Beam[5:0]十进制", "BS_Beam[5:0]十进制", "RSS十进制",
-              "UE十六进制", "BS十六进制", "RSS0", "RSS1", "RSS2"]
+              "UE_Beam原始16进制值", "BS_Beam原始16进制值",
+              "RSS0原始16进制值", "RSS1原始16进制值", "RSS2原始16进制值"]
+
+
+def to_hex(v: int) -> str:
+    """The legacy scripts' raw-byte formatting (serial_hex_to_excel.py:8)."""
+    return f"0x{v:02X}"

@@ -46,26 +46,44 @@ def _run_decode(args):
 
 
 def _run_decode_legacy(args, out):
-    import numpy as np
-
     from slam_process_tpu.io import read_hex_log
-    from slam_process_tpu.io.xlsx import write_xlsx_table
+    from slam_process_tpu.io.xlsx import write_xlsx_mixed
     from slam_process_tpu.ops.decode_legacy import (
         V1_COLUMNS,
         V2_COLUMNS,
         decode_frames_v1_np,
         decode_frames_v2_np,
+        to_hex,
     )
 
     raw = read_hex_log(args.input)
     if args.format == "v1":
         res = decode_frames_v1_np(raw)
-        # numeric columns only (hex columns carry no extra information)
-        write_xlsx_table(out, [V1_COLUMNS[1], V1_COLUMNS[3], V1_COLUMNS[7]],
-                         res.frames.astype(np.float64))
+        w, f = res.windows, res.frames
+        # Reference column layout incl. raw-byte hex strings
+        # (serial_hex_to_excel.py:83-110).
+        cols = [
+            [to_hex(v) for v in w[:, 0]], f[:, 0],
+            [to_hex(v) for v in w[:, 1]], f[:, 1],
+            [to_hex(v) for v in w[:, 2]],
+            [to_hex(v) for v in w[:, 3]],
+            [to_hex(v) for v in w[:, 4]],
+            f[:, 2],
+        ]
+        out = write_xlsx_mixed(out, V1_COLUMNS, cols, sheet_name="Parsed")
     else:
         res = decode_frames_v2_np(raw)
-        write_xlsx_table(out, V2_COLUMNS[:4], res.frames.astype(np.float64))
+        w, f = res.windows, res.frames
+        # serial_hex_to_excel_v2.py:84-115.
+        cols = [
+            f[:, 0], f[:, 1], f[:, 2], f[:, 3],
+            [to_hex(v) for v in w[:, 1]],
+            [to_hex(v) for v in w[:, 2]],
+            [to_hex(v) for v in w[:, 3]],
+            [to_hex(v) for v in w[:, 4]],
+            [to_hex(v) for v in w[:, 5]],
+        ]
+        out = write_xlsx_mixed(out, V2_COLUMNS, cols, sheet_name="Parsed")
     print(f"有效组数={res.valid} 丢弃组数={res.discarded} 输出={out}")
 
 

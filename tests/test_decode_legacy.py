@@ -110,3 +110,58 @@ def test_fuzz_vs_oracle(fmt):
         np.testing.assert_array_equal(res.frames, ref_frames)
         assert res.valid == len(ref_frames)
         assert res.discarded == ref_disc
+
+
+def _read_mixed_xlsx(path):
+    """Independent reader: stdlib zipfile + ElementTree (verify skill rule)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        root = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    rows = []
+    for row in root.iter(f"{ns}row"):
+        cells = []
+        for c in row.iter(f"{ns}c"):
+            t = c.find(f"{ns}is/{ns}t")
+            v = c.find(f"{ns}v")
+            cells.append(t.text if t is not None
+                         else (v.text if v is not None else None))
+        rows.append(cells)
+    return rows
+
+
+def test_v1_cli_export_reference_columns(tmp_path):
+    """CLI v1 export carries the reference's full 8-column layout with raw
+    hex strings (serial_hex_to_excel.py:83-118)."""
+    from slam_process_tpu.pipeline.cli import main
+    from slam_process_tpu.ops.decode_legacy import V1_COLUMNS
+
+    b = v1_frame(ue=3, bs=7, rss=12345) + v1_frame(ue=9, bs=1, bs_invalid=True)
+    log = tmp_path / "v1.txt"
+    log.write_text(" ".join(f"{x:02X}" for x in b))
+    out = tmp_path / "v1.xlsx"
+    assert main(["decode", str(log), str(out), "--format", "v1"]) == 0
+
+    rows = _read_mixed_xlsx(out)
+    assert rows[0] == V1_COLUMNS
+    assert rows[1] == ["0x43", "3", "0x07", "7", "0xB9", "0x80", "0x83",
+                       "12345"]
+    assert rows[2][2] == "0xC1" and rows[2][3] == "65"
+
+
+def test_v2_cli_export_reference_columns(tmp_path):
+    from slam_process_tpu.pipeline.cli import main
+    from slam_process_tpu.ops.decode_legacy import V2_COLUMNS
+
+    b = v2_frame(flag=0xCC, ue=5, bs=0x21, rss=54321)
+    log = tmp_path / "v2.txt"
+    log.write_text(" ".join(f"{x:02X}" for x in b))
+    out = tmp_path / "v2.xlsx"
+    assert main(["decode", str(log), str(out), "--format", "v2"]) == 0
+
+    rows = _read_mixed_xlsx(out)
+    assert rows[0] == V2_COLUMNS
+    assert rows[1][:4] == ["1", "5", "33", "54321"]
+    assert rows[1][4:] == ["0x45", "0x21", "0xB1", "0x90", "0x8D"]
