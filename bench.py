@@ -195,6 +195,23 @@ def main() -> None:
         *[s._state.n_frames for s in dev_sessions])
     del dev_sessions
 
+    # S-sweep batched estimation (Session.sweep_paths): vmapped NN-OMP over
+    # the per-sweep [S, 64, 64] tensors of the biggest log.  sweep_paths
+    # reads its results internally, so this is the LAST timed section; the
+    # timed call includes those reads (it is the user-facing e2e op).
+    from slam_process_tpu.pipeline.session import Session
+
+    big_idx = int(np.argmax([len(r) for r in raw]))
+    sess = Session("bench")
+    sess.frames = decode_frames_np(raw[big_idx]).frames
+    sess.correct()
+    mapping = DEBUGDOC.parent / "beam_angle.xlsx"
+    sess.sweep_paths(mapping)          # compile + warm
+    t6 = time.perf_counter()
+    sweep_est_paths, sweep_valid = sess.sweep_paths(mapping)
+    sweep_est_s = time.perf_counter() - t6
+    sweep_per_sec = len(sweep_valid) / sweep_est_s
+
     # Full-output program with all outputs held live: measures the relay's
     # eager output mirroring (platform characterization; ~1.2 s by design).
     with mesh:
@@ -255,6 +272,8 @@ def main() -> None:
         "batched_fullout_mirror_s": round(fullout_mirror_s, 4),
         "streaming_frames_per_sec": round(stream_fps, 1),
         "streaming_device_frames_per_sec": round(dev_stream_fps, 1),
+        "sweep_estimation_sweeps_per_sec": round(sweep_per_sec, 1),
+        "sweep_estimation_n_sweeps": len(sweep_valid),
         "max_pixel_delta_norm_raster": max_pixel_delta,
         "lut_bin_flips": bin_flips,
         "reference_frames_per_sec": round(ref_fps, 1),

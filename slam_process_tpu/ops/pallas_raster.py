@@ -23,9 +23,19 @@ PRODUCTION NOTE (measured on TPU v5e, 2026-08-16): at this op size
 the jitted ops/raster.py path vs 310 us/sweep for this kernel (the one-hot
 LUT contraction at HIGHEST precision dominates).  The engine therefore
 ships the XLA path as the default raster; this kernel is kept as a
-correctness-validated reference for the fused-VMEM pattern and for future
-shapes where manual fusion wins (e.g. much larger rasters where XLA's
-NaN-aware conv pair spills to HBM between stages).
+correctness-validated reference for the fused-VMEM pattern.
+
+ROUND-2 RE-MEASUREMENT at the predicted crossover shapes
+(build/diag_pallas_raster.py, TPU v5e, clean transport, block-only sync):
+the crossover does not materialize.  Batched over sweeps this kernel
+closes most of the gap but still loses ~2x (vmapped XLA vs this kernel,
+whole-batch wall time: [32,64,64] 58 us vs 122 us; [256,64,64] 47 us vs
+91 us — both are dispatch-latency-bound, XLA fuses the batch into one
+loop), and at the 100x100 RBF-grid raster Mosaic rejects the lane-
+misaligned (non-128-multiple) W dimension (remote_compile HTTP 500), so
+this kernel would additionally need lane padding there while XLA handles
+it natively at ~39 us.  Verdict unchanged: XLA is the production raster
+at every shipped shape.
 """
 
 from __future__ import annotations

@@ -32,6 +32,72 @@ from slam_process_tpu.render.heatmap import RenderedHeatmap, render_intensity, s
 from slam_process_tpu.utils import StageCounters, extract_timestamp, get_logger
 
 
+def _sweep_specs():
+    from jax.sharding import PartitionSpec as P
+
+    return (
+        P("data", None, None),   # sweep tensor: sweeps over 'data'
+        P(None, "model"),        # phi_rx: dictionary grid over 'model'
+        P(None, None),           # phi_tx
+        P("model"),              # aoa grid
+        P(None),                 # aod grid
+    )
+
+
+class _LazySpecs:
+    def __iter__(self):
+        return iter(_sweep_specs())
+
+
+_SWEEP_SPECS = _LazySpecs()
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _sweep_estimator_fn(est_key, mesh):
+    """Compiled per-sweep estimator, shared across Session instances.
+
+    ``est_key`` = (name, frozen config, keep_rule, stop_nonpositive);
+    ``mesh`` (hashable) selects the sharded variant.  Without this cache a
+    fresh closure per call would force a re-trace + re-compile every time.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    name, cfg, keep_rule, stop_np = est_key
+    if name == "nn_omp":
+        from slam_process_tpu.models.nn_omp import nn_omp_jax
+
+        est = functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
+                                stop_nonpositive=stop_np)
+    else:
+        from slam_process_tpu.models.sm_sic import sm_sic_jax
+
+        est = functools.partial(sm_sic_jax, cfg=cfg)
+
+    def run_all(mats, phi_rx, phi_tx, aoa_g, aod_g):
+        def one(m):
+            # Per-sweep fill: empty cells get the sweep's observed min
+            # (the v1-7 fillna(min) policy applied per sweep).
+            finite = jnp.isfinite(m)
+            fill = jnp.min(jnp.where(finite, m, jnp.inf))
+            fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
+            return est(phi_rx, phi_tx, aoa_g, aod_g,
+                       jnp.where(finite, m, fill))
+
+        return jax.vmap(one)(mats)
+
+    if mesh is None:
+        return jax.jit(run_all)
+    from jax.sharding import NamedSharding
+
+    return jax.jit(run_all, in_shardings=tuple(
+        NamedSharding(mesh, s) for s in _sweep_specs()))
+
+
 class Session:
     """One serial-debug capture session, staged decode -> correct -> scene."""
 
@@ -221,20 +287,15 @@ class Session:
         sweep_valid = np.isfinite(sub).any(axis=(1, 2))
 
         if estimator == "nn_omp":
-            from slam_process_tpu.models.nn_omp import nn_omp_jax
-
+            cfg = OmpConfig(max_paths=overrides.get("max_paths", 3))
             d = make_dictionary(ue_ang, bs_ang, DictionaryConfig(
                 grid_res=overrides.get("grid_res", 0.1),
                 beam_width=overrides.get("beam_width", 1.4),
                 grid_kind="linspace"))
-            est = functools.partial(
-                nn_omp_jax,
-                cfg=OmpConfig(max_paths=overrides.get("max_paths", 3)),
-                keep_rule=overrides.get("keep_rule", "positive"),
-                stop_nonpositive=overrides.get("stop_nonpositive", False))
+            est_key = (estimator, cfg,
+                       overrides.get("keep_rule", "positive"),
+                       overrides.get("stop_nonpositive", False))
         elif estimator == "sm_sic":
-            from slam_process_tpu.models.sm_sic import sm_sic_jax
-
             cfg = SmSicConfig(
                 max_paths=overrides.get("max_paths", 3),
                 beam_width=overrides.get("beam_width", 10.0),
@@ -242,21 +303,9 @@ class Session:
             d = make_dictionary(ue_ang, bs_ang, DictionaryConfig(
                 grid_res=cfg.grid_res, beam_width=cfg.beam_width,
                 grid_kind="arange_inclusive"))
-            est = functools.partial(sm_sic_jax, cfg=cfg)
+            est_key = (estimator, cfg, None, None)
         else:
             raise ValueError(f"unknown sweep estimator {estimator!r}")
-
-        def run_all(mats, phi_rx, phi_tx, aoa_g, aod_g):
-            def one(m):
-                # Per-sweep fill: empty cells get the sweep's observed min
-                # (the v1-7 fillna(min) policy applied per sweep).
-                finite = jnp.isfinite(m)
-                fill = jnp.min(jnp.where(finite, m, jnp.inf))
-                fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
-                return est(phi_rx, phi_tx, aoa_g, aod_g,
-                           jnp.where(finite, m, fill))
-
-            return jax.vmap(one)(mats)
 
         n_sweeps = sub.shape[0]
         if mesh is not None:
@@ -273,23 +322,16 @@ class Session:
                 jnp.asarray(d.phi_tx, jnp.float32),
                 jnp.asarray(d.aoa_grid, jnp.float32),
                 jnp.asarray(d.aod_grid, jnp.float32))
+        fn = _sweep_estimator_fn(est_key, mesh)
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding
 
-            shardings = (
-                NamedSharding(mesh, P("data", None, None)),   # sweeps
-                NamedSharding(mesh, P(None, "model")),        # phi_rx grid
-                NamedSharding(mesh, P(None, None)),
-                NamedSharding(mesh, P("model")),
-                NamedSharding(mesh, P(None)),
-            )
             with mesh:
-                fn = jax.jit(run_all, in_shardings=shardings)
-                out = fn(*(jax.device_put(a, s_)
-                           for a, s_ in zip(args, shardings)))
+                out = fn(*(jax.device_put(a, NamedSharding(mesh, s_))
+                           for a, s_ in zip(args, _SWEEP_SPECS)))
                 jax.block_until_ready(out[0])
         else:
-            out = jax.jit(run_all)(*args)
+            out = fn(*args)
         paths = type(out)(*(np.asarray(x)[:n_sweeps] for x in out))
         return paths, sweep_valid
 
