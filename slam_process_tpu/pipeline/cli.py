@@ -175,7 +175,11 @@ def _add_estimate(sub):
     p.add_argument("--grid-res", type=float, default=None)
     p.add_argument("--beam-width", type=float, default=None)
     p.add_argument("--engine", choices=["host", "device"], default="host",
-                   help="device = jitted TPU estimator (nn_omp/sm_sic)")
+                   help="device = jitted TPU estimator path")
+    p.add_argument("--per-sweep", action="store_true",
+                   help="time-resolved estimation: vmapped over every sweep "
+                        "of the session (nn_omp/sm_sic; writes a table of "
+                        "per-sweep paths instead of a figure)")
     p.set_defaults(fn=_run_estimate)
 
 
@@ -196,10 +200,35 @@ def _run_estimate(args):
         overrides["beam_width"] = args.beam_width
     if args.engine != "host":
         overrides["engine"] = args.engine
+    if args.per_sweep:
+        _run_estimate_per_sweep(args, s, overrides)
+        return
     out = args.output or (args.input.parent / f"{s.name}_{args.model}.png")
     paths = run_estimator(args.model, s, args.mapping, out, **overrides)
     print(paths.to_string(index=False) if hasattr(paths, "to_string") else paths)
     print(f"输出PNG: {out}")
+
+
+def _run_estimate_per_sweep(args, s, overrides):
+    import numpy as np
+
+    from slam_process_tpu.io.xlsx import write_xlsx_table
+
+    estimator = args.model if args.model in ("nn_omp", "sm_sic") else "nn_omp"
+    overrides.pop("engine", None)   # sweep_paths is device-only by design
+    paths, sweep_valid = s.sweep_paths(args.mapping, estimator=estimator,
+                                       **overrides)
+    power = paths.power if hasattr(paths, "power") else paths.metric
+    rows = []
+    for sweep in np.nonzero(sweep_valid)[0]:
+        for k in np.nonzero(paths.valid[sweep])[0]:
+            rows.append([sweep, k, paths.aoa[sweep][k], paths.aod[sweep][k],
+                         power[sweep][k]])
+    table = np.asarray(rows, dtype=np.float64).reshape(-1, 5)
+    out = args.output or (args.input.parent / f"{s.name}_sweep_paths.xlsx")
+    write_xlsx_table(out, ["Sweep", "Path", "AoA", "AoD", "Power"], table)
+    print(f"sweeps={int(sweep_valid.sum())}/{len(sweep_valid)} "
+          f"paths={len(rows)} 输出={out}")
 
 
 def _add_session(sub):

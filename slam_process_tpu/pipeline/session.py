@@ -54,6 +54,19 @@ _SWEEP_SPECS = _LazySpecs()
 import functools as _functools
 
 
+@_functools.lru_cache(maxsize=32)
+def _sweep_intensity_fn(max_sweeps: int):
+    """Jitted per-sweep intensity assembly, cached per sweep count."""
+    import functools
+
+    import jax
+
+    from slam_process_tpu.ops.scene import intensity_per_sweep_jax
+
+    return jax.jit(functools.partial(intensity_per_sweep_jax,
+                                     max_sweeps=max_sweeps))
+
+
 @_functools.lru_cache(maxsize=16)
 def _sweep_estimator_fn(est_key, mesh):
     """Compiled per-sweep estimator, shared across Session instances.
@@ -226,19 +239,17 @@ class Session:
         import jax.numpy as jnp
 
         from slam_process_tpu.ops.correct import detect_groups_np
-        from slam_process_tpu.ops.scene import intensity_per_sweep_jax
 
         if self.filtered is None:
             self.correct()
         gid = detect_groups_np(self.filtered[:, 0])
         s = max_sweeps or int(gid.max()) + 1
-        mean, counts = intensity_per_sweep_jax(
+        mean, counts = _sweep_intensity_fn(s)(
             jnp.asarray(self.filtered[:, 0], jnp.int32),
             jnp.asarray(self.filtered[:, 1], jnp.int32),
             jnp.asarray(self.filtered[:, 2], jnp.float32),
             jnp.asarray(gid, jnp.int32),
             jnp.ones(len(self.filtered), dtype=bool),
-            max_sweeps=s,
         )
         return np.asarray(mean), np.asarray(counts)
 

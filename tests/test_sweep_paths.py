@@ -106,3 +106,20 @@ def test_sweep_paths_sm_sic_runs(session):
     paths, sweep_valid = session.sweep_paths(BEAM_ANGLE, estimator="sm_sic")
     assert paths.aoa.shape[0] == len(sweep_valid)
     assert paths.valid[sweep_valid].any()
+
+
+def test_per_sweep_cli(tmp_path):
+    """cli estimate --per-sweep writes the per-sweep paths table."""
+    from slam_process_tpu.io.xlsx import read_xlsx_table
+    from slam_process_tpu.pipeline.cli import main
+    from tests.conftest import BEAM_ANGLE, FILTERED_2026_02_06
+
+    out = tmp_path / "sweeps.xlsx"
+    rc = main(["estimate", "--input", str(FILTERED_2026_02_06),
+               "--mapping", str(BEAM_ANGLE), "--per-sweep",
+               "--output", str(out)])
+    assert rc == 0
+    names, data = read_xlsx_table(out)
+    assert names == ["Sweep", "Path", "AoA", "AoD", "Power"]
+    assert len(data) >= 3
+    assert np.all(data[:, 4] > 0)
