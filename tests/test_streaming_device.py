@@ -108,3 +108,64 @@ def test_host_streaming_log_transform(small_log_bytes, offline):
     np.testing.assert_array_equal(ours.counts, grid.counts)
     np.testing.assert_allclose(ours.mean, grid.mean, rtol=1e-12, atol=0,
                                equal_nan=True)
+
+
+def test_device_streaming_fuzz_adversarial_streams():
+    """Random noise + valid frames + truncation, random chunk splits:
+    chunked == offline on every stream (the §5.2 sanitizer-style sweep)."""
+    from slam_process_tpu.config import PipelineConfig
+    from slam_process_tpu.ops.correct import correct_frames_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.parallel.streaming_device import (
+        DeviceStreamingSession,
+    )
+
+    rng = np.random.default_rng(77)
+
+    def frame(flag, ue, bs, rss, clk):
+        b = [0xCC if flag else 0x33, ue & 0x3F, 0xC0 | (bs & 0x3F)]
+        b += [0x40 | ((clk >> (6 * k)) & 0x3F) for k in range(5)]
+        b += [0x80 | ((rss >> (6 * k)) & 0x3F) for k in range(3)]
+        return b
+
+    for trial in range(4):
+        out = []
+        clk = 10_000
+        prev_rss = 500
+        for _ in range(int(rng.integers(50, 400))):
+            r = rng.random()
+            if r < 0.25:                      # garbage burst
+                out += rng.integers(0, 256, size=int(rng.integers(1, 30))
+                                    ).tolist()
+            elif r < 0.35:                    # truncated frame prefix
+                f = frame(0, int(rng.integers(64)), 0x3F,
+                          int(rng.integers(1 << 18)), clk)
+                out += f[: int(rng.integers(1, 10))]
+            else:                             # valid frame
+                clk += int(rng.integers(30_000, 90_000))
+                rss = int(rng.integers(1, 1 << 18))
+                if rng.random() < 0.2:        # baseline pair candidate
+                    out += frame(1, int(rng.integers(64)),
+                                 int(rng.integers(64)), prev_rss, clk)
+                else:
+                    out += frame(0, int(rng.integers(64)), 0x3F, rss, clk)
+                prev_rss = rss
+        raw = np.asarray(out, dtype=np.uint8)
+
+        dec = decode_frames_np(raw)
+        res = correct_frames_np(dec.frames) if dec.valid else None
+
+        s = DeviceStreamingSession(chunk_bytes=1024, group_capacity=2048,
+                                   collect_filtered=True)
+        off = 0
+        while off < len(raw):
+            step = int(rng.integers(1, 700))
+            s.feed(raw[off : off + step])
+            off += step
+        s.finalize()
+
+        assert s.n_frames == dec.valid, f"trial {trial}"
+        if res is not None:
+            assert s.n_kept == len(res.filtered), f"trial {trial}"
+            np.testing.assert_array_equal(s.filtered, res.filtered,
+                                          err_msg=f"trial {trial}")
