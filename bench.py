@@ -92,7 +92,7 @@ def main() -> None:
     # NO D2H reads until every timed section is done: the FIRST read of any
     # device buffer flips the relay transport into a persistent degraded
     # mode (subsequent 40 MB-input program calls: 0.05 ms -> 1196 ms,
-    # deterministic; build/diag_reads.py + build/diag_bisect.py phase 'a').
+    # deterministic; tools/diag_reads.py + tools/diag_bisect.py phase 'a').
     # This ordering discipline — time everything, then read — was the
     # entire round-1 "batched dispatch anomaly".
     import jax.numpy as jnp
@@ -119,8 +119,8 @@ def main() -> None:
     # byte batch (the multi-chip layout, here on a single chip).
     #
     # Round-1's "dispatch anomaly" (1.2 s/call) is root-caused as TWO
-    # independent relay-transport behaviors (build/diag_batched.py,
-    # build/diag_reads.py, build/diag_bisect.py):
+    # independent relay-transport behaviors (tools/diag_batched.py,
+    # tools/diag_reads.py, tools/diag_bisect.py):
     #   1. blocking on a program whose large outputs stay live waits for
     #      their eager host mirroring (~77 MB/s; 93 MB of [S, cap] frame
     #      tensors = 1.2 s) -> the hot loop runs the 'summary' program;

@@ -26,7 +26,7 @@ ships the XLA path as the default raster; this kernel is kept as a
 correctness-validated reference for the fused-VMEM pattern.
 
 ROUND-2 RE-MEASUREMENT at the predicted crossover shapes
-(build/diag_pallas_raster.py, TPU v5e, clean transport, block-only sync):
+(tools/diag_pallas_raster.py, TPU v5e, clean transport, block-only sync):
 the crossover does not materialize.  Batched over sweeps this kernel
 closes most of the gap but still loses ~2x (vmapped XLA vs this kernel,
 whole-batch wall time: [32,64,64] 58 us vs 122 us; [256,64,64] 47 us vs
