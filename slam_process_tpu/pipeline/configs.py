@@ -76,7 +76,9 @@ def config_batched(data_dir: Path, mapping: Path, outdir: Path) -> dict:
     outs = [run_session_on_device(r) for r in raw]
     jax.block_until_ready([o.rgba for o in outs])
     dt = time.perf_counter() - t0
-    total = int(sum(int(o.n_frames) for o in outs))
+    # One aggregated counter read (per-buffer read bursts degrade the relay
+    # transport — docs/STATUS.md transport rules).
+    total = int(jax.jit(lambda *xs: sum(xs))(*[o.n_frames for o in outs]))
     return {"config": "batched_session", "n_logs": len(logs),
             "total_frames": total, "elapsed_s": round(dt, 4),
             "frames_per_sec": round(total / dt, 1)}
@@ -86,18 +88,38 @@ def config_streaming(data_dir: Path, mapping: Path, outdir: Path) -> dict:
     from slam_process_tpu.io import read_hex_log
     from slam_process_tpu.io.angles import load_angle_lut
     from slam_process_tpu.parallel.streaming import replay_log
+    from slam_process_tpu.parallel.streaming_device import replay_log_device
 
     logs = _default_logs(data_dir)
     lut = load_angle_lut(mapping)
+    raws = [read_hex_log(p) for p in logs]
+
+    # Device-resident state machine (the production streaming path): time
+    # everything, then read (docs/STATUS.md transport rules).
+    replay_log_device(raws[0], chunk_bytes=1 << 20).block_until_ready()
     t0 = time.perf_counter()
-    total = 0
-    for p in logs:
-        s = replay_log(read_hex_log(p), chunk_bytes=1 << 16,
-                       render_every=8, angle_lut=lut)
-        total += s.n_frames
-    dt = time.perf_counter() - t0
+    sessions = [replay_log_device(r, chunk_bytes=1 << 20) for r in raws]
+    for s in sessions:
+        s.block_until_ready()
+    dev_dt = time.perf_counter() - t0
+    import jax
+
+    total = int(jax.jit(lambda *xs: sum(xs))(
+        *[s._state.n_frames for s in sessions]))
+    sessions[-1].render(lut)
+
+    # Host fallback machine with periodic live renders (no TPU required).
+    t0 = time.perf_counter()
+    host_total = 0
+    for r in raws:
+        s = replay_log(r, chunk_bytes=1 << 16, render_every=8, angle_lut=lut)
+        host_total += s.n_frames
+    host_dt = time.perf_counter() - t0
+    assert host_total == total, (host_total, total)
     return {"config": "streaming_replay", "n_logs": len(logs),
-            "total_frames": total, "frames_per_sec": round(total / dt, 1)}
+            "total_frames": total,
+            "frames_per_sec": round(total / dev_dt, 1),
+            "host_frames_per_sec": round(host_total / host_dt, 1)}
 
 
 NAMED_CONFIGS: Dict[str, Callable] = {
