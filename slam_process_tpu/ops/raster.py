@@ -95,12 +95,18 @@ def blur_nan_aware_jax(data, sigma: float):
     pm = jnp.pad(mask, ((ph, ph), (pw, pw)), mode="edge")
 
     def conv(x):
+        # precision=HIGHEST: the TPU default runs this conv in bf16 on the
+        # MXU, and raw RSS spans 18 bits — the ~1e-3 relative error explodes
+        # through the shifted-log norm for cells near the global min
+        # (diagnosed on-device in round 2: a cell 880 units above mn moved
+        # by a full 0.076 in t; the f32 conv matches the f64 oracle).
         return lax.conv_general_dilated(
             x[None, None],
             k[None, None],
             window_strides=(1, 1),
             padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST,
         )[0, 0]
 
     num = conv(pd_ * pm)
