@@ -206,6 +206,27 @@ def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_rows):
 
 
 @functools.lru_cache(maxsize=16)
+def _build_init(gcap: int, n_beams: int):
+    """One jitted call producing the zero state (vs 8 separate allocs)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init():
+        return DeviceStreamState(
+            carry_frames=jnp.zeros((gcap, 5), jnp.int32),
+            carry_count=jnp.int32(0),
+            sums=jnp.zeros((n_beams, n_beams), jnp.float32),
+            counts=jnp.zeros((n_beams, n_beams), jnp.float32),
+            n_frames=jnp.int32(0),
+            n_kept=jnp.int32(0),
+            n_groups=jnp.int32(0),
+            overflow=jnp.bool_(False),
+        )
+
+    return jax.jit(init)
+
+
+@functools.lru_cache(maxsize=16)
 def _build_flush(max_groups, max_bpg, cfg, emit_rows):
     import jax
 
@@ -237,9 +258,6 @@ class DeviceStreamingSession:
         collect_filtered: bool = False,
         n_beams: int = 64,
     ):
-        import jax
-        import jax.numpy as jnp
-
         self.config = config or PipelineConfig()
         self.chunk_bytes = int(chunk_bytes)
         if self.chunk_bytes <= CARRY_BYTES:
@@ -259,17 +277,7 @@ class DeviceStreamingSession:
             self.collect_filtered,
         )
 
-        nb = n_beams
-        self._state = DeviceStreamState(
-            carry_frames=jnp.zeros((self._gcap, 5), jnp.int32),
-            carry_count=jnp.int32(0),
-            sums=jnp.zeros((nb, nb), jnp.float32),
-            counts=jnp.zeros((nb, nb), jnp.float32),
-            n_frames=jnp.int32(0),
-            n_kept=jnp.int32(0),
-            n_groups=jnp.int32(0),
-            overflow=jnp.bool_(False),
-        )
+        self._state = _build_init(self._gcap, n_beams)()
         self._byte_carry = np.zeros(0, dtype=np.uint8)
         self._emits: list = []
         self._finalized = False
