@@ -13,7 +13,7 @@ import numpy as np
 
 from slam_process_tpu.config import DictionaryConfig, OmpConfig
 from slam_process_tpu.models.dictionary import make_dictionary
-from slam_process_tpu.models.nn_omp import nn_omp_np
+from slam_process_tpu.models.nn_omp import run_nn_omp
 from slam_process_tpu.models.registry import build_scene, register
 
 
@@ -112,26 +112,9 @@ def _run_fusion(session, angle_file, output_path=None, **overrides):
                          beam_width=overrides.get("beam_width", 1.4),
                          grid_kind="arange"),
     )
-    if engine == "device":
-        import functools
-
-        import jax
-        import jax.numpy as jnp
-
-        from slam_process_tpu.models.nn_omp import nn_omp_jax
-
-        los_fn = jax.jit(functools.partial(
-            nn_omp_jax, cfg=OmpConfig(max_paths=3), keep_rule="positive",
-            stop_nonpositive=False))
-        los_out = los_fn(jnp.asarray(d_los.phi_rx, jnp.float32),
-                         jnp.asarray(d_los.phi_tx, jnp.float32),
-                         jnp.asarray(d_los.aoa_grid, jnp.float32),
-                         jnp.asarray(d_los.aod_grid, jnp.float32),
-                         jnp.asarray(matrix, jnp.float32))
-        los = type(los_out)(*(np.asarray(x) for x in los_out))
-    else:
-        los = nn_omp_np(d_los, matrix, OmpConfig(max_paths=3),
-                        keep_rule="positive", stop_nonpositive=False)
+    los = run_nn_omp(d_los, matrix, OmpConfig(max_paths=3),
+                     keep_rule="positive", stop_nonpositive=False,
+                     engine=engine or "host")
     kept = np.nonzero(los.valid)[0]
     if kept.size:
         los_idx = kept[np.argmax(los.power[kept])]

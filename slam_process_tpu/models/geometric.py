@@ -8,6 +8,11 @@ it is the global max AND within 5 deg of the geometric angle.  The shipped
 beam_angle.xlsx carries no Sheet2, so positions are an explicit argument
 here (with a graceful no-geometry fallback: strongest peak = LoS candidate,
 matching the power==max branch of the reference rule).
+
+
+Engine note: host-only by design — the work is a handful of scipy
+find_peaks calls over a 100x100 grid plus geometric angle arithmetic
+(microseconds on host); there is no hot loop for a device path to win.
 """
 
 from __future__ import annotations

@@ -100,6 +100,46 @@ def nn_omp_np(
     return OmpPaths(aoa, aod, power, valid, it, aoa_idx, aod_idx)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def _jitted_nn_omp(cfg: OmpConfig, keep_rule: str, stop_nonpositive: bool):
+    """Compiled NN-OMP shared across calls (configs are frozen/hashable)."""
+    import functools
+
+    import jax
+
+    return jax.jit(functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
+                                     stop_nonpositive=stop_nonpositive))
+
+
+def run_nn_omp(
+    dictionary: BeamDictionary,
+    rss_matrix: np.ndarray,
+    cfg: OmpConfig = OmpConfig(),
+    keep_rule: str = "ratio",
+    stop_nonpositive: bool = True,
+    engine: str = "host",
+    logger=None,
+) -> OmpPaths:
+    """One entry point for every NN-OMP flavor: float64 host oracle or the
+    cached jitted device path (used by all v1/v1-3..v1-7 registry entries
+    and the fusion LoS stage)."""
+    if engine == "device":
+        import jax.numpy as jnp
+
+        fn = _jitted_nn_omp(cfg, keep_rule, stop_nonpositive)
+        out = fn(jnp.asarray(dictionary.phi_rx, jnp.float32),
+                 jnp.asarray(dictionary.phi_tx, jnp.float32),
+                 jnp.asarray(dictionary.aoa_grid, jnp.float32),
+                 jnp.asarray(dictionary.aod_grid, jnp.float32),
+                 jnp.asarray(rss_matrix, jnp.float32))
+        return OmpPaths(*(np.asarray(x) for x in out))
+    return nn_omp_np(dictionary, rss_matrix, cfg, keep_rule=keep_rule,
+                     stop_nonpositive=stop_nonpositive, logger=logger)
+
+
 def nn_omp_jax(
     phi_rx,            # jnp [U, Ga]
     phi_tx,            # jnp [B, Gd]

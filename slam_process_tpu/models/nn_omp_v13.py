@@ -13,7 +13,7 @@ import numpy as np
 from slam_process_tpu.config import DictionaryConfig, OmpConfig
 from slam_process_tpu.models.classifiers import classify_argmax
 from slam_process_tpu.models.dictionary import make_dictionary
-from slam_process_tpu.models.nn_omp import nn_omp_np
+from slam_process_tpu.models.nn_omp import run_nn_omp
 from slam_process_tpu.models.preprocess import preprocess_power
 from slam_process_tpu.models.registry import build_scene, paths_dataframe, register
 
@@ -30,8 +30,10 @@ def _run_v13(session, angle_file, output_path=None,
                          beam_width=overrides.get("beam_width", 1.4),
                          grid_kind="arange"),
     )
-    paths = nn_omp_np(d, matrix, OmpConfig(max_paths=overrides.get("max_paths", 3)),
-                      keep_rule="positive", stop_nonpositive=False)
+    paths = run_nn_omp(d, matrix,
+                       OmpConfig(max_paths=overrides.get("max_paths", 3)),
+                       keep_rule="positive", stop_nonpositive=False,
+                       engine=overrides.get("engine", "host"))
     classified = classify_argmax(paths.aoa, paths.aod, paths.power, paths.valid)
 
     if output_path is not None:

@@ -15,6 +15,13 @@ the <=K selected columns only.  Matches sklearn to float tolerance
 
 Defaults from the reference Config (v1-2.py:18-33): GRID_RES 0.5,
 BEAM_WIDTH 1.4, N_PATHS 5, LOS_POWER_MARGIN 0.8.
+
+
+Engine note: this family intentionally stays on the host oracle path — it
+exists as the sklearn-OMP-equivalence experiment (atoms/coefficients are
+parity-tested against sklearn to 1e-6), its Gram/LS refits are tiny and
+support-size-dynamic, and the flagship jitted NN-OMP covers the production
+matching-pursuit use case.
 """
 
 from __future__ import annotations

@@ -29,7 +29,7 @@ from slam_process_tpu.models.classifiers import (
     classify_argmax,
 )
 from slam_process_tpu.models.dictionary import make_dictionary
-from slam_process_tpu.models.nn_omp import nn_omp_np
+from slam_process_tpu.models.nn_omp import run_nn_omp
 from slam_process_tpu.ops.scene import compact_grid, fill_grid, intensity_grid_np
 from slam_process_tpu.render.estimation import estimation_plot
 
@@ -85,24 +85,9 @@ def _estimate_nn_omp(session, angle_file, output_path, *, flavor: str,
 
     matrix, ue_ang, bs_ang = build_scene(session, angle_file, log_transform)
     dictionary = make_dictionary(ue_ang, bs_ang, dict_cfg)
-    if overrides.get("engine") == "device":
-        import jax
-        import jax.numpy as jnp
-
-        from slam_process_tpu.models.nn_omp import nn_omp_jax
-
-        fn = jax.jit(functools.partial(nn_omp_jax, cfg=omp_cfg,
-                                       keep_rule=keep_rule,
-                                       stop_nonpositive=stop_np))
-        out = fn(jnp.asarray(dictionary.phi_rx, jnp.float32),
-                 jnp.asarray(dictionary.phi_tx, jnp.float32),
-                 jnp.asarray(dictionary.aoa_grid, jnp.float32),
-                 jnp.asarray(dictionary.aod_grid, jnp.float32),
-                 jnp.asarray(matrix, jnp.float32))
-        paths = type(out)(*(np.asarray(x) for x in out))
-    else:
-        paths = nn_omp_np(dictionary, matrix, omp_cfg, keep_rule=keep_rule,
-                          stop_nonpositive=stop_np)
+    paths = run_nn_omp(dictionary, matrix, omp_cfg, keep_rule=keep_rule,
+                       stop_nonpositive=stop_np,
+                       engine=overrides.get("engine", "host"))
 
     if flavor == "v1-7":
         cls_cfg = ClassifierConfig(
@@ -165,7 +150,8 @@ def _estimate_with_classifier(session, angle_file, output_path, classify,
     matrix, ue_ang, bs_ang = build_scene(session, angle_file,
                                          log_transform=False)
     dictionary = make_dictionary(ue_ang, bs_ang, dict_cfg)
-    paths = nn_omp_np(dictionary, matrix, omp_cfg)
+    paths = run_nn_omp(dictionary, matrix, omp_cfg,
+                       engine=overrides.get("engine", "host"))
     classified = classify(paths)
     if output_path is not None:
         estimation_plot(matrix, ue_ang, bs_ang, classified, output_path,

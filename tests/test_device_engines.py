@@ -61,6 +61,10 @@ def test_svd_paths_jax_matches_host(filtered_golden_020606, angle_lut64):
     ("fusion", ["aoa", "aod"], ["metric"]),
     ("peak_picking", ["AoA", "AoD"], ["Power"]),
     ("lasso_refine", ["AoA", "AoD"], ["Power"]),
+    ("nn_omp_v13", ["AoA", "AoD"], ["Power"]),
+    ("nn_omp_v14", ["AoA", "AoD"], ["Power"]),
+    ("nn_omp_v15", ["AoA", "AoD"], ["Power"]),
+    ("nn_omp_v16", ["AoA", "AoD"], ["Power"]),
 ])
 def test_device_engine_matches_host(name, sort_cols, value_cols, session):
     host = _run(name, session)
