@@ -218,15 +218,17 @@ def _run_estimate_per_sweep(args, s, overrides):
     overrides.pop("engine", None)   # sweep_paths is device-only by design
     paths, sweep_valid = s.sweep_paths(args.mapping, estimator=estimator,
                                        **overrides)
+    times = s.sweep_times(len(sweep_valid))
     power = paths.power if hasattr(paths, "power") else paths.metric
     rows = []
     for sweep in np.nonzero(sweep_valid)[0]:
         for k in np.nonzero(paths.valid[sweep])[0]:
-            rows.append([sweep, k, paths.aoa[sweep][k], paths.aod[sweep][k],
-                         power[sweep][k]])
-    table = np.asarray(rows, dtype=np.float64).reshape(-1, 5)
+            rows.append([sweep, times[sweep], k, paths.aoa[sweep][k],
+                         paths.aod[sweep][k], power[sweep][k]])
+    table = np.asarray(rows, dtype=np.float64).reshape(-1, 6)
     out = args.output or (args.input.parent / f"{s.name}_sweep_paths.xlsx")
-    write_xlsx_table(out, ["Sweep", "Path", "AoA", "AoD", "Power"], table)
+    write_xlsx_table(out, ["Sweep", "CLK", "Path", "AoA", "AoD", "Power"],
+                     table)
     print(f"sweeps={int(sweep_valid.sum())}/{len(sweep_valid)} "
           f"paths={len(rows)} 输出={out}")
 

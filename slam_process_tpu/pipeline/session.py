@@ -253,6 +253,25 @@ class Session:
         )
         return np.asarray(mean), np.asarray(counts)
 
+    def sweep_times(self, max_sweeps: Optional[int] = None) -> np.ndarray:
+        """Per-sweep CLK timestamps (first kept frame's CLK per sweep).
+
+        The reference aggregates CLK "for future ToA use" without using it;
+        here it anchors the per-sweep path tracks (sweep_paths) on the
+        testbed's 30-bit clock axis.  Sweeps with no rows get -1.
+        """
+        from slam_process_tpu.ops.correct import detect_groups_np
+
+        if self.filtered is None:
+            self.correct()
+        gid = detect_groups_np(self.filtered[:, 0])
+        s = max_sweeps or int(gid.max()) + 1
+        times = np.full(s, -1, dtype=np.int64)
+        # First occurrence per group id (filtered rows are in stream order).
+        first = np.unique(gid, return_index=True)
+        times[first[0][first[0] < s]] = self.filtered[first[1][first[0] < s], 3]
+        return times
+
     def sweep_paths(
         self,
         angle_file: Union[str, Path],

@@ -120,6 +120,12 @@ def test_per_sweep_cli(tmp_path):
                "--output", str(out)])
     assert rc == 0
     names, data = read_xlsx_table(out)
-    assert names == ["Sweep", "Path", "AoA", "AoD", "Power"]
+    assert names == ["Sweep", "CLK", "Path", "AoA", "AoD", "Power"]
     assert len(data) >= 3
-    assert np.all(data[:, 4] > 0)
+    assert np.all(data[:, 5] > 0)
+    # CLK anchors are the first kept frame per sweep (the 30-bit counter
+    # may wrap within a session, so no monotonicity across sweeps).
+    per_sweep = {int(r[0]): int(r[1]) for r in data}
+    clks = [per_sweep[k] for k in sorted(per_sweep)]
+    assert all(0 <= c < (1 << 30) for c in clks)
+    assert len(set(clks)) == len(clks)
