@@ -8,7 +8,6 @@ reference's output format (AoA, AoD, Power, PathType).
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Optional, Union
 
