@@ -143,7 +143,7 @@ def _run_fusion(session, angle_file, output_path=None, **overrides):
             proximity=overrides.get("proximity_mask_radius", 10.0),
             cross=overrides.get("cross_mask_width", 10.0),
         ))
-        a, d_, m, v = (np.asarray(x) for x in nlos_fn(
+        a, d_, m, v = jax.device_get(nlos_fn(
             jnp.asarray(d_nlos.phi_rx, jnp.float32),
             jnp.asarray(d_nlos.phi_tx, jnp.float32),
             jnp.asarray(d_nlos.aoa_grid, jnp.float32),

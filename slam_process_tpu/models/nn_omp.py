@@ -127,6 +127,7 @@ def run_nn_omp(
     cached jitted device path (used by all v1/v1-3..v1-7 registry entries
     and the fusion LoS stage)."""
     if engine == "device":
+        import jax
         import jax.numpy as jnp
 
         fn = _jitted_nn_omp(cfg, keep_rule, stop_nonpositive)
@@ -135,7 +136,7 @@ def run_nn_omp(
                  jnp.asarray(dictionary.aoa_grid, jnp.float32),
                  jnp.asarray(dictionary.aod_grid, jnp.float32),
                  jnp.asarray(rss_matrix, jnp.float32))
-        return OmpPaths(*(np.asarray(x) for x in out))
+        return jax.device_get(out)   # one batched pytree transfer
     return nn_omp_np(dictionary, rss_matrix, cfg, keep_rule=keep_rule,
                      stop_nonpositive=stop_nonpositive, logger=logger)
 

@@ -150,7 +150,7 @@ def _run_sm_sic(session, angle_file, output_path=None, **overrides):
                  jnp.asarray(d.aoa_grid, jnp.float32),
                  jnp.asarray(d.aod_grid, jnp.float32),
                  jnp.asarray(matrix, jnp.float32))
-        paths = SmSicPaths(*(np.asarray(x) for x in out))
+        paths = jax.device_get(out)   # one batched pytree transfer
     else:
         paths = sm_sic_np(d, matrix, cfg)
     label = np.where(paths.is_los, LOS, np.where(paths.valid, NLOS, NOISE))

@@ -137,7 +137,9 @@ def _run_svd(session, angle_file, output_path=None, **overrides):
         out = fn(jnp.asarray(heat, jnp.float32),
                  jnp.asarray(grid_ue, jnp.float32),
                  jnp.asarray(grid_bs, jnp.float32))
-        paths = SvdPaths(*(np.asarray(x) for x in out))
+        # One batched pytree transfer (per-leaf reads pay a round trip
+        # each on the relay transport — docs/STATUS.md).
+        paths = jax.device_get(out)
     else:
         heat, grid_ue, grid_bs = svd_upsample(raw, ue_ang, bs_ang, min_rss)
         paths = svd_paths(heat, grid_ue, grid_bs,

@@ -314,9 +314,9 @@ class DeviceStreamingSession:
         self._byte_carry = buf[off:].copy()
 
     def _collect(self, emit: StreamEmit) -> None:
-        frames = np.asarray(emit.frames)
-        corrected = np.asarray(emit.corrected_bs)
-        keep = np.asarray(emit.keep)
+        import jax
+
+        frames, corrected, keep, _ = jax.device_get(emit)  # one transfer
         k = np.nonzero(keep)[0]
         if k.size:
             self._emits.append(np.stack(
@@ -364,12 +364,13 @@ class DeviceStreamingSession:
         return np.concatenate(self._emits).astype(np.int64)
 
     def intensity(self) -> IntensityGrid:
+        import jax
+
         from slam_process_tpu.ops.scene import grid_from_sums_np
 
-        return grid_from_sums_np(
-            np.asarray(self._state.sums, dtype=np.float64),
-            np.asarray(self._state.counts, dtype=np.int64),
-        )
+        sums, counts = jax.device_get((self._state.sums, self._state.counts))
+        return grid_from_sums_np(sums.astype(np.float64),
+                                 counts.astype(np.int64))
 
     def render(self, angle_lut: np.ndarray, render_cfg=None):
         from slam_process_tpu.config import RenderConfig, SceneConfig

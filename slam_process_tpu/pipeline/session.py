@@ -101,7 +101,7 @@ def _sweep_estimator_fn(est_key, mesh):
             return est(phi_rx, phi_tx, aoa_g, aod_g,
                        jnp.where(finite, m, fill))
 
-        return jax.vmap(one)(mats)
+        return jax.vmap(one)(mats), jnp.isfinite(mats).any(axis=(1, 2))
 
     if mesh is None:
         return jax.jit(run_all)
@@ -139,20 +139,27 @@ class Session:
         t0 = time.perf_counter()
         raw = read_hex_log(path)
         if engine == "device":
+            import jax
+
             from slam_process_tpu.pipeline.device import run_session_on_device
 
             out = run_session_on_device(raw)
-            if bool(out.correct_overflow):
+            # One batched pytree transfer for everything the host consumes
+            # (per-leaf reads pay a round trip each on the relay transport).
+            n_frames_h, overflow_h, frames_h, corrected_h, keep_h = (
+                jax.device_get((out.n_frames, out.correct_overflow,
+                                out.frames, out.corrected_bs, out.keep)))
+            if bool(overflow_h):
                 # Fall through to the host path on the already-tokenized
                 # bytes (no second file read).
                 s.logger.warning(
                     "device corrector capacity exceeded; falling back to host"
                 )
             else:
-                n = int(out.n_frames)
-                s.frames = np.asarray(out.frames)[:n].astype(np.int64)
-                corrected = np.asarray(out.corrected_bs)[:n].astype(np.int64)
-                keep = np.asarray(out.keep)[:n]
+                n = int(n_frames_h)
+                s.frames = frames_h[:n].astype(np.int64)
+                corrected = corrected_h[:n].astype(np.int64)
+                keep = keep_h[:n]
                 s.corrected_bs = corrected
                 s.filtered = np.stack(
                     [s.frames[keep, 1], corrected[keep], s.frames[keep, 3],
@@ -302,9 +309,25 @@ class Session:
         from slam_process_tpu.models.dictionary import make_dictionary
         from slam_process_tpu.ops.scene import intensity_grid_np
 
-        mean, counts = self.sweep_intensity(max_sweeps)     # [S, 64, 64]
+        if self.filtered is None:
+            self.correct()
+        from slam_process_tpu.ops.correct import detect_groups_np
+
+        gid = detect_groups_np(self.filtered[:, 0])
+        n_sweeps = max_sweeps or int(gid.max()) + 1
+        # Device-resident per-sweep grids: no [S, 64, 64] host round trip
+        # (D2H reads are expensive on the relay transport — docs/STATUS.md);
+        # only the [S, K] results and the validity vector cross back.
+        mean_d, _ = _sweep_intensity_fn(n_sweeps)(
+            jnp.asarray(self.filtered[:, 0], jnp.int32),
+            jnp.asarray(self.filtered[:, 1], jnp.int32),
+            jnp.asarray(self.filtered[:, 2], jnp.float32),
+            jnp.asarray(gid, jnp.int32),
+            jnp.ones(len(self.filtered), dtype=bool),
+        )
         lut = load_angle_lut(angle_file)
-        # Session-level compact submatrix: shared static shape across sweeps.
+        # Session-level compact submatrix: shared static shape across sweeps
+        # (masks computed on host from the host pivot — no device reads).
         grid = intensity_grid_np(self.filtered[:, 0], self.filtered[:, 1],
                                  self.filtered[:, 2], cfg=SceneConfig())
         row_mask = np.asarray(grid.row_mask) & np.isfinite(lut)
@@ -313,8 +336,8 @@ class Session:
         bs_ids = np.nonzero(col_mask)[0]
         ue_ang = lut[ue_ids]
         bs_ang = lut[bs_ids]
-        sub = mean[np.ix_(np.arange(mean.shape[0]), ue_ids, bs_ids)]
-        sweep_valid = np.isfinite(sub).any(axis=(1, 2))
+        sub = jnp.take(jnp.take(mean_d, jnp.asarray(ue_ids), axis=1),
+                       jnp.asarray(bs_ids), axis=2)
 
         if estimator == "nn_omp":
             cfg = OmpConfig(max_paths=overrides.get("max_paths", 3))
@@ -337,17 +360,15 @@ class Session:
         else:
             raise ValueError(f"unknown sweep estimator {estimator!r}")
 
-        n_sweeps = sub.shape[0]
         if mesh is not None:
             # The sweep axis shards over 'data': pad to a multiple of the
             # data-axis size (padded sweeps are all-NaN -> dropped below).
             dp = mesh.shape["data"]
             pad = (-n_sweeps) % dp
             if pad:
-                sub = np.concatenate(
-                    [sub, np.full((pad,) + sub.shape[1:], np.nan,
-                                  dtype=sub.dtype)])
-        args = (jnp.asarray(sub, jnp.float32),
+                sub = jnp.pad(sub, ((0, pad), (0, 0), (0, 0)),
+                              constant_values=jnp.nan)
+        args = (sub.astype(jnp.float32),
                 jnp.asarray(d.phi_rx, jnp.float32),
                 jnp.asarray(d.phi_tx, jnp.float32),
                 jnp.asarray(d.aoa_grid, jnp.float32),
@@ -357,12 +378,14 @@ class Session:
             from jax.sharding import NamedSharding
 
             with mesh:
-                out = fn(*(jax.device_put(a, NamedSharding(mesh, s_))
-                           for a, s_ in zip(args, _SWEEP_SPECS)))
-                jax.block_until_ready(out[0])
+                out, valid_d = fn(*(jax.device_put(a, NamedSharding(mesh, s_))
+                                    for a, s_ in zip(args, _SWEEP_SPECS)))
+                jax.block_until_ready(valid_d)
         else:
-            out = fn(*args)
-        paths = type(out)(*(np.asarray(x)[:n_sweeps] for x in out))
+            out, valid_d = fn(*args)
+        out_h, valid_h = jax.device_get((out, valid_d))  # one transfer
+        paths = type(out_h)(*(np.asarray(x)[:n_sweeps] for x in out_h))
+        sweep_valid = np.asarray(valid_h)[:n_sweeps]
         return paths, sweep_valid
 
     def render_heatmap(
