@@ -253,3 +253,57 @@ def test_jax_overflow_detection():
                                                   max_baselines_per_group=2))
     _, _, overflow2 = fn2(jnp.asarray(f), jnp.int32(len(f)))
     assert bool(overflow2)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
+def test_jax_matches_np_adversarial_fuzz(seed):
+    """Wilder generator than the synthetic test: single-row groups, groups
+    that are ALL baseline markers, equal-RSS chains (consecutive baseline
+    candidates), CLK values straddling the 30-bit wrap, and exact-TOL
+    residuals — the jitted corrector must match the host oracle bit-for-bit
+    on corrected/keep/filtered."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    clk = int(rng.integers(0, 1 << 30))
+    prev_rss = 777
+    for _g in range(int(rng.integers(3, 20))):
+        style = rng.random()
+        n_rows = 1 if style < 0.15 else int(rng.integers(2, 40))
+        ue = 0
+        for i in range(n_rows):
+            ue = min(63, ue + int(rng.integers(0, 3)))
+            # CLK: mostly near-cycle steps, sometimes exact-TOL edges,
+            # sometimes wild jumps (incl. wrapping the 30-bit counter).
+            r = rng.random()
+            if r < 0.6:
+                clk += 61_000 + int(rng.integers(-400, 400))
+            elif r < 0.75:
+                clk += 61_000 + (500 if rng.random() < 0.5 else 501)
+            else:
+                clk = int(rng.integers(0, 1 << 30))
+            rss = int(rng.integers(0, 1 << 18))
+            if style >= 0.85 or rng.random() < 0.25:
+                # baseline candidate: FLAG=1 with the previous row's RSS
+                # (sometimes a chain of them; only 0->1 transitions count)
+                rows.append((1, ue, int(rng.integers(64)), prev_rss, clk))
+            else:
+                rows.append((0, ue, 63, rss, clk))
+            prev_rss = rows[-1][3]
+        # force the group boundary: next group's first UE below current
+        ue_start = 0
+    f = np.asarray(rows, dtype=np.int64)
+    ref = correct_frames_np(f)
+
+    fp = np.concatenate([f, np.zeros((17, 5), np.int64)]).astype(np.int32)
+    fn = jax.jit(lambda x, c: correct_frames_jax(
+        x, c, max_groups=64, max_baselines_per_group=64))
+    corrected, keep, overflow = fn(jnp.asarray(fp), jnp.int32(len(f)))
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(corrected)[: len(f)],
+                                  ref.corrected_bs)
+    np.testing.assert_array_equal(np.asarray(keep)[: len(f)], ref.keep)
+    filt = compact_filtered(fp, corrected, keep)
+    np.testing.assert_array_equal(filt, ref.filtered)
