@@ -195,6 +195,19 @@ def main() -> None:
         *[s._state.n_frames for s in dev_sessions])
     del dev_sessions
 
+    # Full-output program with all outputs held live: measures the relay's
+    # eager output mirroring (platform characterization; ~1.2 s by design).
+    # Measured BEFORE any section that performs D2H reads (sweep_paths does)
+    # so the mirroring number is taken on the non-degraded transport.
+    with mesh:
+        fout = bfn_full(batch_dev, len_dev, lut_j)
+        jax.block_until_ready(fout.rgba)
+        t5 = time.perf_counter()
+        fout = bfn_full(batch_dev, len_dev, lut_j)
+        jax.block_until_ready((fout.rgba, fout.n_kept, fout.counts))
+        fullout_mirror_s = time.perf_counter() - t5
+        del fout
+
     # S-sweep batched estimation (Session.sweep_paths): vmapped NN-OMP over
     # the per-sweep [S, 64, 64] tensors of the biggest log.  sweep_paths
     # reads its results internally, so this is the LAST timed section; the
@@ -211,17 +224,6 @@ def main() -> None:
     sweep_est_paths, sweep_valid = sess.sweep_paths(mapping)
     sweep_est_s = time.perf_counter() - t6
     sweep_per_sec = len(sweep_valid) / sweep_est_s
-
-    # Full-output program with all outputs held live: measures the relay's
-    # eager output mirroring (platform characterization; ~1.2 s by design).
-    with mesh:
-        fout = bfn_full(batch_dev, len_dev, lut_j)
-        jax.block_until_ready(fout.rgba)
-        t5 = time.perf_counter()
-        fout = bfn_full(batch_dev, len_dev, lut_j)
-        jax.block_until_ready((fout.rgba, fout.n_kept, fout.counts))
-        fullout_mirror_s = time.perf_counter() - t5
-        del fout
 
     # ------------------------------------------------------------------
     # Report phase: every timed section is done — D2H reads are safe now.

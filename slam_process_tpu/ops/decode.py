@@ -157,6 +157,7 @@ def decode_frames_jax(
     b,  # jnp.ndarray uint8 [N]
     capacity: int,
     cfg: DecodeConfig = _DEFAULT,
+    n_valid=None,  # optional jnp scalar: only b[:n_valid] holds real bytes
 ) -> Tuple:
     """Jittable decode: byte tensor -> padded frame tensor.
 
@@ -164,6 +165,11 @@ def decode_frames_jax(
     are zero-filled; ``capacity`` must be static (N // 11 + 1 always fits by
     the >=11-spacing theorem).  Runs entirely on device: ~10 shifted compares
     over the byte tensor (VPU, HBM-bandwidth bound) + one compaction gather.
+
+    ``n_valid`` masks decode to frames that lie fully inside ``b[:n_valid]``
+    (start positions with ``p + frame_len > n_valid`` are rejected).  Use it
+    when the tail of ``b`` is padding, instead of relying on the padding
+    content being un-decodable.
     """
     import jax.numpy as jnp
 
@@ -174,6 +180,8 @@ def decode_frames_jax(
     pad_top = jnp.concatenate([top, jnp.full((10,), 255, dtype=jnp.uint8)])
     for d, tag in enumerate(_OFFSET_TAGS, start=1):
         ok = ok & (jax_slice(pad_top, d, n) == tag)
+    if n_valid is not None:
+        ok = ok & (jnp.arange(n) + cfg.frame_len <= n_valid)
 
     count = jnp.sum(ok.astype(jnp.int32))
     starts = jnp.nonzero(ok, size=capacity, fill_value=n)[0]

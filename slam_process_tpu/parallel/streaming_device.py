@@ -38,6 +38,9 @@ import numpy as np
 from slam_process_tpu.config import PipelineConfig
 from slam_process_tpu.ops.decode import decode_frames_jax, frame_capacity
 from slam_process_tpu.ops.scene import IntensityGrid, intensity_sums_jax
+from slam_process_tpu.utils import get_logger
+
+_LOGGER = get_logger("slam_process_tpu.streaming_device")
 
 CARRY_BYTES = 10   # frame_len - 1: the only positions without a verdict
 
@@ -82,12 +85,21 @@ def _step_body(
 
         from slam_process_tpu.ops.pallas_decode import decode_frames_pallas
 
+        # The Pallas kernel has no n_valid mask, so zero the padded tail
+        # explicitly.  Zeroed bytes are provably un-decodable: a frame
+        # window touching them fails its tag checks (every non-flag offset
+        # requires top bits 1/2/3; zero has top bits 0) and a zero flag
+        # byte is neither 0xCC nor 0x33 — but we do not rely on the caller
+        # having padded with zeros.
+        chunk = jnp.where(jnp.arange(chunk.shape[0]) < n_bytes, chunk, 0)
         new_frames, n_new = decode_frames_pallas(
             chunk, capacity=cap, interpret=jax.default_backend() != "tpu"
         )
     else:
+        # Mask decode to frames fully inside chunk[:n_bytes]: correctness on
+        # short/padded pieces is explicit, not a property of the pad bytes.
         new_frames, n_new = decode_frames_jax(chunk, capacity=cap,
-                                              cfg=cfg.decode)
+                                              cfg=cfg.decode, n_valid=n_bytes)
 
     cc = state.carry_count
     total = cc + n_new
@@ -281,6 +293,7 @@ class DeviceStreamingSession:
         self._byte_carry = np.zeros(0, dtype=np.uint8)
         self._emits: list = []
         self._finalized = False
+        self._overflow_warned = False
 
     # -- ingest --------------------------------------------------------------
 
@@ -325,7 +338,13 @@ class DeviceStreamingSession:
             ))
 
     def finalize(self) -> None:
-        """Flush the final open sweep group (end of stream)."""
+        """Flush the final open sweep group (end of stream).
+
+        Deliberately performs no device read: the first D2H read of any
+        buffer flips the relay transport into a degraded mode
+        (docs/STATUS.md), so overflow is checked lazily when a result is
+        consumed (``_check_overflow``), not here.
+        """
         if self._finalized:
             return
         out = self._flush(self._state)
@@ -339,16 +358,39 @@ class DeviceStreamingSession:
 
     # -- results -------------------------------------------------------------
 
+    def _check_overflow(self) -> None:
+        """Warn loudly (once) when any static bound was exceeded.
+
+        Called from every result consumer: an overflowed run has silently
+        dropped or mis-corrected rows, so counts/grids are lower bounds.
+        Unlike the batched Session path there is no host fallback here —
+        the bytes are gone — so the fix is to rebuild the session with
+        larger group_capacity / max_groups / max_baselines_per_group.
+        """
+        if self._overflow_warned or not bool(self._state.overflow):
+            return
+        self._overflow_warned = True
+        import warnings
+
+        msg = ("DeviceStreamingSession capacity exceeded (group_capacity/"
+               "max_groups/max_baselines_per_group): results are incomplete;"
+               " rebuild with larger bounds")
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        _LOGGER.warning(msg)
+
     @property
     def n_frames(self) -> int:
+        self._check_overflow()
         return int(self._state.n_frames)
 
     @property
     def n_kept(self) -> int:
+        self._check_overflow()
         return int(self._state.n_kept)
 
     @property
     def n_groups(self) -> int:
+        self._check_overflow()
         return int(self._state.n_groups)
 
     @property
@@ -359,6 +401,7 @@ class DeviceStreamingSession:
     def filtered(self) -> np.ndarray:
         if not self.collect_filtered:
             raise ValueError("built with collect_filtered=False")
+        self._check_overflow()
         if not self._emits:
             return np.zeros((0, 4), dtype=np.int64)
         return np.concatenate(self._emits).astype(np.int64)
@@ -367,6 +410,8 @@ class DeviceStreamingSession:
         import jax
 
         from slam_process_tpu.ops.scene import grid_from_sums_np
+
+        self._check_overflow()
 
         sums, counts = jax.device_get((self._state.sums, self._state.counts))
         return grid_from_sums_np(sums.astype(np.float64),

@@ -227,8 +227,10 @@ def _run_estimate_per_sweep(args, s, overrides):
                          paths.aod[sweep][k], power[sweep][k]])
     table = np.asarray(rows, dtype=np.float64).reshape(-1, 6)
     out = args.output or (args.input.parent / f"{s.name}_sweep_paths.xlsx")
-    write_xlsx_table(out, ["Sweep", "CLK", "Path", "AoA", "AoD", "Power"],
-                     table)
+    # write_xlsx_table may retry to <stem>_out.xlsx on PermissionError;
+    # report the path it actually wrote.
+    out = write_xlsx_table(out, ["Sweep", "CLK", "Path", "AoA", "AoD", "Power"],
+                           table)
     print(f"sweeps={int(sweep_valid.sum())}/{len(sweep_valid)} "
           f"paths={len(rows)} 输出={out}")
 

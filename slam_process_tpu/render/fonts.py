@@ -56,8 +56,9 @@ def setup_cjk_font() -> Optional[str]:
     """Register a CJK font with matplotlib and set the reference rcParams.
 
     Returns the registered family name, or None when no CJK font exists.
-    ``axes.unicode_minus`` is set either way (the reference relies on it
-    for ASCII minus signs in tick labels).
+    ``axes.unicode_minus=False`` is applied only when a CJK font is found
+    (the reference couples it to its SimHei setup); the no-font fallback
+    keeps matplotlib-default tick glyphs so the pic/ goldens still match.
     """
     import matplotlib
     import matplotlib.font_manager as fm

@@ -169,3 +169,57 @@ def test_device_streaming_fuzz_adversarial_streams():
             assert s.n_kept == len(res.filtered), f"trial {trial}"
             np.testing.assert_array_equal(s.filtered, res.filtered,
                                           err_msg=f"trial {trial}")
+
+
+def test_device_streaming_overflow_warns():
+    """Exceeding a static bound must warn when results are consumed
+    (capacity overruns silently truncate counts/grids otherwise)."""
+    from slam_process_tpu.parallel.streaming_device import (
+        DeviceStreamingSession,
+    )
+
+    def frame(ue, rss, clk):
+        b = [0x33, ue & 0x3F, 0xC0 | 0x3F]
+        b += [0x40 | ((clk >> (6 * k)) & 0x3F) for k in range(5)]
+        b += [0x80 | ((rss >> (6 * k)) & 0x3F) for k in range(3)]
+        return b
+
+    # One monotone-UE group of 64 frames: group_capacity=16 overflows.
+    out = []
+    for i in range(64):
+        out += frame(i % 64, 100 + i, 10_000 + 61_000 * i)
+    raw = np.asarray(out, dtype=np.uint8)
+
+    s = DeviceStreamingSession(chunk_bytes=256, group_capacity=16)
+    s.feed(raw)
+    s.finalize()
+    with pytest.warns(RuntimeWarning, match="capacity exceeded"):
+        _ = s.n_frames
+    # Warned once; further reads stay quiet.
+    assert s.n_kept >= 0
+
+
+def test_decode_jax_n_valid_masks_nonzero_padding():
+    """n_valid must reject frames in the padded tail even when the padding
+    bytes themselves form a decodable frame (explicit masking, not
+    padding-inertness)."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.decode import decode_frames_jax
+
+    def frame(ue, rss, clk):
+        b = [0x33, ue & 0x3F, 0xC0 | 0x3F]
+        b += [0x40 | ((clk >> (6 * k)) & 0x3F) for k in range(5)]
+        b += [0x80 | ((rss >> (6 * k)) & 0x3F) for k in range(3)]
+        return b
+
+    real = frame(3, 123, 50_000)
+    ghost = frame(9, 999, 60_000)          # lives entirely in the "padding"
+    buf = jnp.asarray(real + ghost, dtype=jnp.uint8)
+
+    frames, count = decode_frames_jax(buf, capacity=4, n_valid=jnp.int32(11))
+    assert int(count) == 1
+    assert int(frames[0, 1]) == 3
+
+    frames2, count2 = decode_frames_jax(buf, capacity=4)
+    assert int(count2) == 2                # unmasked: both decode
