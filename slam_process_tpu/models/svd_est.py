@@ -131,7 +131,11 @@ def _run_svd(session, angle_file, output_path=None, **overrides):
         import jax.numpy as jnp
 
         heat, grid_ue, grid_bs = svd_upsample(raw, ue_ang, bs_ang, min_rss)
-        fn = jax.jit(functools.partial(
+        from slam_process_tpu.utils.cache import enable_persistent_cache
+        enable_persistent_cache()
+        from slam_process_tpu.utils.precision import jit_highest
+
+        fn = jit_highest(functools.partial(
             svd_paths_jax,
             energy_thresh=overrides.get("energy_thresh", 0.90)))
         out = fn(jnp.asarray(heat, jnp.float32),

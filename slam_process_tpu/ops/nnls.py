@@ -98,4 +98,8 @@ def nnls(A, y, max_outer: int = 64) -> Tuple:
 def jitted_nnls():
     import jax
 
-    return jax.jit(nnls)
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    from slam_process_tpu.utils.precision import jit_highest
+
+    return jit_highest(nnls)

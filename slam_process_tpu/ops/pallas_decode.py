@@ -139,6 +139,8 @@ def _build(n_rows: int, rows_per_chunk: int, interpret: bool):
         ],
         interpret=interpret,
     )
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     return jax.jit(fn)
 
 

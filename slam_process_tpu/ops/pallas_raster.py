@@ -158,6 +158,8 @@ def _build(s: int, h: int, w: int, sigma: float, use_log: bool,
         ],
         interpret=interpret,
     )
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     return jax.jit(fn)
 
 

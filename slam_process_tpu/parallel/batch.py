@@ -93,6 +93,8 @@ def batched_session_pipeline(
             )
         return out
 
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     if mesh.devices.size == 1:
         # Single device: every sharding is equivalent, and committing inputs
         # to a NamedSharding is pathologically slow on relay-style PJRT

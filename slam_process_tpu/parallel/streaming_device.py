@@ -54,15 +54,32 @@ class DeviceStreamState(NamedTuple):
     n_kept: "np.ndarray"         # scalar i32
     n_groups: "np.ndarray"       # scalar i32 (closed groups)
     overflow: "np.ndarray"       # scalar bool (any static bound exceeded)
+    emit_buf: "np.ndarray"       # [Ecap, 4] i32 device emit ring (ue,
+    #                              corrected_bs, rss, clk); Ecap=0 when
+    #                              collect_filtered is off
+    emit_count: "np.ndarray"     # scalar i32 rows written to emit_buf
 
 
-class StreamEmit(NamedTuple):
-    """Per-step corrected-row emission (optional; for export/parity)."""
+def _emit_kept_rows(state, combined, corrected, keep, ecap: int):
+    """Scatter this step's kept rows into the device emit ring.
 
-    frames: "np.ndarray"         # [T, 5] i32 combined carry+new frames
-    corrected_bs: "np.ndarray"   # [T] i32
-    keep: "np.ndarray"           # [T] bool (only rows < closed are kept)
-    closed: "np.ndarray"         # scalar i32: rows belonging to closed groups
+    Stream order is preserved (destination = emit_count + running index of
+    the kept row); rows past the ring capacity are dropped and flagged via
+    overflow.  Keeps the feed loop read-free: the ring drains ONCE when
+    ``filtered`` is consumed, instead of a per-chunk device_get (the relay
+    transport's first-read degraded mode made that ~30x slower).
+    """
+    import jax.numpy as jnp
+
+    kept_before = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dst = jnp.where(keep, state.emit_count + kept_before, ecap)  # ecap: drop
+    rows = jnp.stack([combined[:, 1], corrected, combined[:, 3],
+                      combined[:, 4]], axis=1)
+    new_buf = state.emit_buf.at[dst].set(rows, mode="drop")
+    total_kept = jnp.sum(keep.astype(jnp.int32))
+    new_count = jnp.minimum(state.emit_count + total_kept, ecap)
+    ring_overflow = state.emit_count + total_kept > ecap
+    return new_buf, new_count, ring_overflow
 
 
 def _step_body(
@@ -76,7 +93,7 @@ def _step_body(
     max_baselines_per_group: int,
     cfg: PipelineConfig,
     decoder: str,
-    emit_rows: bool,
+    emit_capacity: int,
 ):
     import jax.numpy as jnp
 
@@ -147,7 +164,14 @@ def _step_body(
         0,
     )
 
-    new_state = DeviceStreamState(
+    if emit_capacity:
+        emit_buf, emit_count, ring_overflow = _emit_kept_rows(
+            state, combined, corrected, keep, emit_capacity)
+    else:
+        emit_buf, emit_count, ring_overflow = (
+            state.emit_buf, state.emit_count, False)
+
+    return DeviceStreamState(
         carry_frames=new_carry.astype(jnp.int32),
         carry_count=jnp.minimum(n_carry, gcap),
         sums=state.sums + d_sums,
@@ -155,11 +179,11 @@ def _step_body(
         n_frames=state.n_frames + n_new,
         n_kept=state.n_kept + jnp.sum(keep.astype(jnp.int32)),
         n_groups=state.n_groups + jnp.sum(boundary.astype(jnp.int32)),
-        overflow=state.overflow | c_overflow | (n_carry > gcap),
+        overflow=state.overflow | c_overflow | (n_carry > gcap)
+        | ring_overflow,
+        emit_buf=emit_buf,
+        emit_count=emit_count,
     )
-    if emit_rows:
-        return new_state, StreamEmit(combined, corrected, keep, closed)
-    return new_state
 
 
 def _flush_body(
@@ -168,7 +192,7 @@ def _flush_body(
     max_groups: int,
     max_baselines_per_group: int,
     cfg: PipelineConfig,
-    emit_rows: bool,
+    emit_capacity: int,
 ):
     """Close the final open group at end of stream."""
     import jax.numpy as jnp
@@ -184,7 +208,13 @@ def _flush_body(
         state.carry_frames[:, 3].astype(jnp.float32), keep,
         state.carry_frames[:, 0], cfg.scene,
     )
-    new_state = DeviceStreamState(
+    if emit_capacity:
+        emit_buf, emit_count, ring_overflow = _emit_kept_rows(
+            state, state.carry_frames, corrected, keep, emit_capacity)
+    else:
+        emit_buf, emit_count, ring_overflow = (
+            state.emit_buf, state.emit_count, False)
+    return DeviceStreamState(
         carry_frames=jnp.zeros_like(state.carry_frames),
         carry_count=jnp.zeros_like(state.carry_count),
         sums=state.sums + d_sums,
@@ -192,34 +222,33 @@ def _flush_body(
         n_frames=state.n_frames,
         n_kept=state.n_kept + jnp.sum(keep.astype(jnp.int32)),
         n_groups=state.n_groups + (state.carry_count > 0).astype(jnp.int32),
-        overflow=state.overflow | c_overflow,
+        overflow=state.overflow | c_overflow | ring_overflow,
+        emit_buf=emit_buf,
+        emit_count=emit_count,
     )
-    if emit_rows:
-        return new_state, StreamEmit(
-            state.carry_frames, corrected, keep, state.carry_count
-        )
-    return new_state
 
 
 @functools.lru_cache(maxsize=16)
-def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_rows):
+def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_capacity):
     """Shared jitted step per static configuration (the config dataclasses
     are frozen/hashable), so many sessions reuse one compiled executable."""
     import jax
 
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     return jax.jit(
         functools.partial(
             _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
             max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
-            emit_rows=emit_rows,
+            emit_capacity=emit_capacity,
         ),
         donate_argnums=0,
     )
 
 
 @functools.lru_cache(maxsize=16)
-def _build_init(gcap: int, n_beams: int):
-    """One jitted call producing the zero state (vs 8 separate allocs)."""
+def _build_init(gcap: int, n_beams: int, emit_capacity: int):
+    """One jitted call producing the zero state (vs separate allocs)."""
     import jax
     import jax.numpy as jnp
 
@@ -233,19 +262,24 @@ def _build_init(gcap: int, n_beams: int):
             n_kept=jnp.int32(0),
             n_groups=jnp.int32(0),
             overflow=jnp.bool_(False),
+            emit_buf=jnp.zeros((emit_capacity, 4), jnp.int32),
+            emit_count=jnp.int32(0),
         )
 
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     return jax.jit(init)
 
 
 @functools.lru_cache(maxsize=16)
-def _build_flush(max_groups, max_bpg, cfg, emit_rows):
+def _build_flush(max_groups, max_bpg, cfg, emit_capacity):
     import jax
 
     return jax.jit(
         functools.partial(
             _flush_body, max_groups=max_groups,
-            max_baselines_per_group=max_bpg, cfg=cfg, emit_rows=emit_rows,
+            max_baselines_per_group=max_bpg, cfg=cfg,
+            emit_capacity=emit_capacity,
         ),
         donate_argnums=0,
     )
@@ -269,6 +303,7 @@ class DeviceStreamingSession:
         decoder: str = "xla",
         collect_filtered: bool = False,
         n_beams: int = 64,
+        emit_capacity: int = 1 << 18,
     ):
         self.config = config or PipelineConfig()
         self.chunk_bytes = int(chunk_bytes)
@@ -276,22 +311,26 @@ class DeviceStreamingSession:
             raise ValueError("chunk_bytes must exceed the 10-byte carry")
         self.collect_filtered = bool(collect_filtered)
         self._gcap = int(group_capacity)
+        # Emit ring: kept rows accumulate on device and drain ONCE when
+        # `filtered` is read (a per-chunk device_get would flip the relay
+        # transport's degraded mode inside the feed loop).  The capacity
+        # bounds the total rows an emit-mode replay can export; overflow is
+        # flagged, not silently dropped.
+        ecap = int(emit_capacity) if self.collect_filtered else 0
         cap = frame_capacity(self.chunk_bytes, self.config.decode)
 
         # Donated state: accumulators update in place on device; the
         # compiled step is shared across sessions with the same config.
         self._step = _build_step(
             cap, self._gcap, max_groups, max_baselines_per_group,
-            self.config, decoder, self.collect_filtered,
+            self.config, decoder, ecap,
         )
         self._flush = _build_flush(
-            max_groups, max_baselines_per_group, self.config,
-            self.collect_filtered,
+            max_groups, max_baselines_per_group, self.config, ecap,
         )
 
-        self._state = _build_init(self._gcap, n_beams)()
+        self._state = _build_init(self._gcap, n_beams, ecap)()
         self._byte_carry = np.zeros(0, dtype=np.uint8)
-        self._emits: list = []
         self._finalized = False
         self._overflow_warned = False
 
@@ -317,25 +356,10 @@ class DeviceStreamingSession:
             m = len(piece)
             if m < c:
                 piece = np.pad(piece, (0, c - m))
-            out = self._step(self._state, jnp.asarray(piece), jnp.int32(m))
-            if self.collect_filtered:
-                self._state, emit = out
-                self._collect(emit)
-            else:
-                self._state = out
+            self._state = self._step(self._state, jnp.asarray(piece),
+                                     jnp.int32(m))
             off = min(off + c, n) - CARRY_BYTES
         self._byte_carry = buf[off:].copy()
-
-    def _collect(self, emit: StreamEmit) -> None:
-        import jax
-
-        frames, corrected, keep, _ = jax.device_get(emit)  # one transfer
-        k = np.nonzero(keep)[0]
-        if k.size:
-            self._emits.append(np.stack(
-                [frames[k, 1], corrected[k], frames[k, 3], frames[k, 4]],
-                axis=1,
-            ))
 
     def finalize(self) -> None:
         """Flush the final open sweep group (end of stream).
@@ -347,12 +371,7 @@ class DeviceStreamingSession:
         """
         if self._finalized:
             return
-        out = self._flush(self._state)
-        if self.collect_filtered:
-            self._state, emit = out
-            self._collect(emit)
-        else:
-            self._state = out
+        self._state = self._flush(self._state)
         self._byte_carry = np.zeros(0, dtype=np.uint8)
         self._finalized = True
 
@@ -399,12 +418,19 @@ class DeviceStreamingSession:
 
     @property
     def filtered(self) -> np.ndarray:
+        """Corrected rows [N, 4] (ue, corrected_bs, rss, clk), stream order.
+
+        Drains the device emit ring in one transfer; repeat reads of the
+        same finalized state are free on the relay transport.
+        """
+        import jax
+
         if not self.collect_filtered:
             raise ValueError("built with collect_filtered=False")
         self._check_overflow()
-        if not self._emits:
-            return np.zeros((0, 4), dtype=np.int64)
-        return np.concatenate(self._emits).astype(np.int64)
+        buf, count = jax.device_get((self._state.emit_buf,
+                                     self._state.emit_count))
+        return buf[: int(count)].astype(np.int64)
 
     def intensity(self) -> IntensityGrid:
         import jax

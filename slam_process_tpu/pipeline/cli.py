@@ -361,6 +361,12 @@ def main(argv=None) -> int:
     _add_replay(sub)
     _add_run_config(sub)
     args = parser.parse_args(argv)
+    if getattr(args, "engine", "host") == "device":
+        # Overlap the relay's one-time ~25 s first-read setup with the
+        # host-side decode/trace/compile work (utils/transport.py).
+        from slam_process_tpu.utils.transport import warm_transport_async
+
+        warm_transport_async()
     logger = get_logger()
     try:
         args.fn(args)

@@ -106,6 +106,8 @@ def compiled_session_pipeline(n_bytes_padded: int, blur_sigma: float = 1.0,
     cap = frame_capacity(n_bytes_padded)
     fn = functools.partial(session_pipeline, capacity=cap,
                            blur_sigma=blur_sigma, use_log=use_log)
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     return jax.jit(fn)
 
 

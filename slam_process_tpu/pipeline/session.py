@@ -63,6 +63,8 @@ def _sweep_intensity_fn(max_sweeps: int):
 
     from slam_process_tpu.ops.scene import intensity_per_sweep_jax
 
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     return jax.jit(functools.partial(intensity_per_sweep_jax,
                                      max_sweeps=max_sweeps))
 
@@ -80,6 +82,8 @@ def _sweep_estimator_fn(est_key, mesh):
     import jax
     import jax.numpy as jnp
 
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     name, cfg, keep_rule, stop_np = est_key
     if name == "nn_omp":
         from slam_process_tpu.models.nn_omp import nn_omp_jax
@@ -103,11 +107,13 @@ def _sweep_estimator_fn(est_key, mesh):
 
         return jax.vmap(one)(mats), jnp.isfinite(mats).any(axis=(1, 2))
 
+    from slam_process_tpu.utils.precision import jit_highest
+
     if mesh is None:
-        return jax.jit(run_all)
+        return jit_highest(run_all)
     from jax.sharding import NamedSharding
 
-    return jax.jit(run_all, in_shardings=tuple(
+    return jit_highest(run_all, in_shardings=tuple(
         NamedSharding(mesh, s) for s in _sweep_specs()))
 
 

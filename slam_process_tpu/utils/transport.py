@@ -1,0 +1,46 @@
+"""Relay-transport warmup for user-facing drivers.
+
+Measured on the tunneled TPU (tools/diag_reads.py and this round's
+fresh-process probes): the FIRST device-to-host read of any buffer in a
+process pays a one-time transport setup of ~25 s; every later read is
+~30 ms.  A fresh `cli estimate --engine device` therefore spends most of
+its wall time blocked on its first result read — pure dead time, because
+the host is otherwise busy decoding, tracing, and compiling for tens of
+seconds anyway.
+
+:func:`warm_transport_async` fires that first read on a daemon thread so
+the setup cost overlaps the host-side work instead of adding to it.
+
+ONLY user-facing drivers (the CLI) call this.  bench.py and the library
+hot paths must NOT: their timed sections rely on performing zero device
+reads until a final report phase, and a stray background read would flip
+the transport state mid-measurement (docs/STATUS.md transport rules).
+"""
+
+from __future__ import annotations
+
+import threading
+
+_STARTED = False
+_LOCK = threading.Lock()
+
+
+def warm_transport_async() -> None:
+    """Start the one-time first-read transport setup in the background."""
+    global _STARTED
+    with _LOCK:
+        if _STARTED:
+            return
+        _STARTED = True
+
+    def _work():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.device_get(jax.jit(lambda: jnp.zeros(1, jnp.float32))())
+        except Exception:   # pragma: no cover — warmup is best-effort
+            pass
+
+    threading.Thread(target=_work, daemon=True,
+                     name="slam-transport-warmup").start()

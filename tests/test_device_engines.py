@@ -65,6 +65,7 @@ def test_svd_paths_jax_matches_host(filtered_golden_020606, angle_lut64):
     ("nn_omp_v14", ["AoA", "AoD"], ["Power"]),
     ("nn_omp_v15", ["AoA", "AoD"], ["Power"]),
     ("nn_omp_v16", ["AoA", "AoD"], ["Power"]),
+    ("omp_dense", ["AoA", "AoD"], ["Power"]),
 ])
 def test_device_engine_matches_host(name, sort_cols, value_cols, session):
     host = _run(name, session)
@@ -147,3 +148,63 @@ def test_refine_patches_device_matches_host(filtered_golden_020606, angle_lut64)
                                 heat.shape, peaks)
     scale = max(np.abs(host).max(), 1.0)
     np.testing.assert_allclose(dev / scale, host / scale, atol=2e-3)
+
+
+def test_omp_dense_jax_matches_np_synthetic():
+    """Selection indices == host (== sklearn) on random separable scenes."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.models.dictionary import gaussian_beam
+    from slam_process_tpu.models.omp_dense import omp_dense_jax, omp_dense_np
+
+    from slam_process_tpu.models.omp_dense import DenseOmpPaths  # noqa: F401
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        # Dense beam-grid sampling (like the real UE x BS sessions): every
+        # dictionary atom has nearby measurements, so column norms are
+        # healthy and the selection landscape has clear winners.  (Sparse
+        # random 2-D sampling makes normalized OMP dominated by
+        # single-measurement spike atoms with near-tied correlations —
+        # legitimately precision-chaotic for float32 and float64 alike.)
+        ga = np.linspace(-29, 29, 12 + trial)
+        gd = np.linspace(-19, 24, 10 + trial)
+        meas_aoa, meas_aod = (x.ravel() for x in np.meshgrid(ga, gd))
+        m = meas_aoa.size
+        aoa_grid = np.arange(-30.0, 30.0, 0.5)
+        aod_grid = np.arange(-20.0, 25.0, 0.5)
+        # Planted separable atoms + small noise.
+        y = rng.random(m) * 0.05
+        for _ in range(4):
+            ca = rng.uniform(-28, 28)
+            cd = rng.uniform(-18, 23)
+            y = y + rng.uniform(1.0, 3.0) * (
+                gaussian_beam(meas_aoa, ca, 1.4)
+                * gaussian_beam(meas_aod, cd, 1.4))
+
+        ref = omp_dense_np(meas_aoa, meas_aod, y, aoa_grid, aod_grid)
+        rx = gaussian_beam(
+            jnp.asarray(meas_aoa, jnp.float32)[:, None],
+            jnp.asarray(aoa_grid, jnp.float32)[None, :], 1.4)
+        tx = gaussian_beam(
+            jnp.asarray(meas_aod, jnp.float32)[:, None],
+            jnp.asarray(aod_grid, jnp.float32)[None, :], 1.4)
+        out = jax.jit(omp_dense_jax, static_argnames="n_paths")(
+            rx, tx, jnp.asarray(y, jnp.float32),
+            jnp.asarray(aoa_grid, jnp.float32),
+            jnp.asarray(aod_grid, jnp.float32))
+        np.testing.assert_allclose(np.asarray(out.aoa), ref.aoa, atol=1e-5,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(out.aod), ref.aod, atol=1e-5,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(out.power), ref.power,
+                                   rtol=2e-3, atol=1e-5,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(out.valid), ref.valid,
+                                      err_msg=f"trial {trial}")
+
+
+def test_geometric_device_engine_warns(session):
+    with pytest.warns(RuntimeWarning, match="no device engine"):
+        _run("geometric", session, engine="device")

@@ -223,3 +223,14 @@ def test_decode_jax_n_valid_masks_nonzero_padding():
 
     frames2, count2 = decode_frames_jax(buf, capacity=4)
     assert int(count2) == 2                # unmasked: both decode
+
+
+def test_device_streaming_emit_ring_overflow_warns(small_log_bytes):
+    """A too-small emit ring must flag overflow (rows dropped, not silent)."""
+    from slam_process_tpu.parallel.streaming_device import replay_log_device
+
+    s = replay_log_device(small_log_bytes, chunk_bytes=1 << 16,
+                          collect_filtered=True, emit_capacity=64)
+    with pytest.warns(RuntimeWarning, match="capacity exceeded"):
+        rows = s.filtered
+    assert len(rows) == 64          # ring holds exactly the first 64 rows
