@@ -8,21 +8,30 @@ import os
 import sys
 from pathlib import Path
 
-# Force CPU even if the ambient environment selects a TPU platform: tests
-# must be hermetic and exercise the virtual 8-device mesh.  NOTE: the
-# environment's sitecustomize registers the TPU backend programmatically and
-# overrides JAX_PLATFORMS, so the env var alone is NOT enough — the config
-# update below is what actually pins the platform.
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Two lanes:
+#   CPU lane (default): force CPU with 8 virtual devices — hermetic, runs
+#     everything NOT marked tpu.  NOTE: the environment's sitecustomize
+#     registers the TPU backend programmatically and overrides
+#     JAX_PLATFORMS, so the env var alone is NOT enough — the config update
+#     below is what actually pins the platform.
+#   TPU lane (SLAM_PROCESS_TPU_TEST_TPU=1, run `-m tpu` on the chip): keeps
+#     the ambient TPU backend and runs ONLY the tpu-marked tests — the
+#     on-chip numerics sentinels (round 2's blur bf16 corruption and round
+#     3's estimator-argmax bf16 flips were invisible to the CPU lane).
+TPU_LANE = os.environ.get("SLAM_PROCESS_TPU_TEST_TPU") == "1"
+
+if not TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
@@ -119,3 +128,20 @@ def load_reference_module(name: str, path: str):
         return mod
     finally:
         dict.update(matplotlib.rcParams, saved)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Lane routing: tpu-marked tests run only on the real chip; everything
+    else runs only in the hermetic CPU lane."""
+    on_tpu = jax.default_backend() == "tpu"
+    skip_needs_tpu = pytest.mark.skip(
+        reason="needs the real TPU backend "
+               "(SLAM_PROCESS_TPU_TEST_TPU=1 pytest -m tpu)")
+    skip_cpu_only = pytest.mark.skip(
+        reason="CPU-lane test (the TPU lane runs the -m tpu subset only)")
+    for item in items:
+        if "tpu" in item.keywords:
+            if not on_tpu:
+                item.add_marker(skip_needs_tpu)
+        elif TPU_LANE:
+            item.add_marker(skip_cpu_only)

@@ -1,0 +1,162 @@
+"""On-chip numerics sentinels (the `-m tpu` lane).
+
+The CPU lane is hermetic but blind to TPU-only numerics: round 2's
+NaN-aware-blur bf16 corruption (8.6e-4 raster delta, 104 LUT-bin flips)
+and round 3's estimator-argmax bf16 flips (the v1-7 device engine selected
+a different FIRST atom than the float64 oracle) both passed every CPU test
+and were caught only by ad-hoc on-chip runs.  This file makes those checks
+a test lane:
+
+    SLAM_PROCESS_TPU_TEST_TPU=1 python -m pytest tests -m tpu
+
+Every test asserts against a float64 host oracle, on real session data,
+with the production (non-interpret) kernels.  Reference test strategy:
+SURVEY.md §4(d) — device-vs-interpreter kernel equivalence as the
+fake-backend substitute.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def decoded(small_log_bytes):
+    from slam_process_tpu.ops.correct import correct_frames_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+
+    dec = decode_frames_np(small_log_bytes)
+    return dec, correct_frames_np(dec.frames)
+
+
+def test_device_pipeline_matches_host_on_chip(small_log_bytes, decoded):
+    """decode+correct on the chip == numpy, frame- and row-exact."""
+    import jax
+
+    from slam_process_tpu.pipeline.device import run_session_on_device
+
+    dec, res = decoded
+    out = run_session_on_device(small_log_bytes)
+    n, frames, corrected, keep = jax.device_get(
+        (out.n_frames, out.frames, out.corrected_bs, out.keep))
+    n = int(n)
+    assert n == dec.valid
+    np.testing.assert_array_equal(frames[:n], dec.frames)
+    filtered = np.stack(
+        [frames[:n][keep[:n], 1], corrected[:n][keep[:n]],
+         frames[:n][keep[:n], 3], frames[:n][keep[:n], 4]], axis=1)
+    np.testing.assert_array_equal(filtered, res.filtered)
+
+
+def test_norm_raster_matches_f64_oracle_on_chip(small_log_bytes, decoded):
+    """norm_t vs the float64 oracle at <= 1e-4 (the blur-precision
+    sentinel: bf16 conv regressed this to 8.6e-4 in round 1)."""
+    import jax
+
+    from slam_process_tpu.config import SceneConfig
+    from slam_process_tpu.ops.raster import blur_nan_aware_np, shifted_log_norm
+    from slam_process_tpu.ops.scene import fill_grid, intensity_grid_np
+    from slam_process_tpu.pipeline.device import run_session_on_device
+
+    _, res = decoded
+    cfg = SceneConfig(keep_nan=True, fill_with_min=False)
+    grid = intensity_grid_np(res.filtered[:, 0], res.filtered[:, 1],
+                             res.filtered[:, 2], cfg=cfg)
+    matrix = fill_grid(grid, cfg).T
+    oracle_t = np.asarray(shifted_log_norm(blur_nan_aware_np(matrix, 1.0)))
+
+    out = run_session_on_device(small_log_bytes)
+    ours_t = np.asarray(jax.device_get(out.norm_t), dtype=np.float64)
+    both = np.isfinite(oracle_t) & np.isfinite(ours_t)
+    assert float(np.max(np.abs(ours_t[both] - oracle_t[both]))) < 1e-4
+
+
+def test_pallas_decode_on_chip(small_log_bytes, decoded):
+    """The DMA decode kernel, NON-interpreted, byte-exact vs numpy
+    (absorbs tools/validate_pallas_on_device.py)."""
+    from slam_process_tpu.ops.decode import frame_capacity
+    from slam_process_tpu.ops.pallas_decode import decode_frames_pallas
+
+    dec, _ = decoded
+    frames, count = decode_frames_pallas(
+        small_log_bytes, frame_capacity(len(small_log_bytes)),
+        rows_per_chunk=512, interpret=False)
+    assert int(count) == dec.valid
+    np.testing.assert_array_equal(np.asarray(frames)[: dec.valid], dec.frames)
+
+
+def test_pallas_raster_on_chip():
+    """The fused raster kernel, NON-interpreted, vs the XLA path
+    (absorbs tools/validate_pallas_on_device.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.pallas_raster import pallas_rasterize_batch
+    from slam_process_tpu.ops.raster import (
+        apply_colormap_float,
+        blur_nan_aware_jax,
+        colormap_lut,
+        shifted_log_norm,
+    )
+
+    rng = np.random.default_rng(0)
+    mats = rng.uniform(1.0, 4e6, size=(16, 64, 64)).astype(np.float32)
+    mats[rng.random(mats.shape) < 0.3] = np.nan
+    lut = jnp.asarray(colormap_lut("viridis"))
+    _, t_p = pallas_rasterize_batch(mats, lut, interpret=False)
+
+    def xla_one(m):
+        b = blur_nan_aware_jax(m, 1.0)
+        t = shifted_log_norm(b)
+        return apply_colormap_float(t, lut), t
+
+    _, t_x = jax.jit(jax.vmap(xla_one))(mats)
+    both = np.isfinite(np.asarray(t_x)) & np.isfinite(np.asarray(t_p))
+    d = np.max(np.abs(np.asarray(t_p)[both] - np.asarray(t_x)[both]))
+    # Both paths f32; shifted-log amplifies ulp-level conv differences near
+    # the global min.  Budget = the BASELINE pixel budget (measured 2.4e-4
+    # on TPU v5e with the HIGHEST-precision conv).
+    assert d < 1e-3, d
+
+
+def test_nn_omp_device_engine_matches_oracle_on_chip(decoded, angle_lut64):
+    """The flagship v1-7 NN-OMP on the chip: the selection sequence must
+    equal the float64 host oracle's (the bf16-argmax sentinel)."""
+    from slam_process_tpu.config import DictionaryConfig, OmpConfig
+    from slam_process_tpu.models.dictionary import make_dictionary
+    from slam_process_tpu.models.nn_omp import nn_omp_np, run_nn_omp
+    from slam_process_tpu.ops.scene import compact_grid, fill_grid, intensity_grid_np
+    from slam_process_tpu.config import SceneConfig
+
+    _, res = decoded
+    cfg_s = SceneConfig(log_transform=True)
+    grid = intensity_grid_np(res.filtered[:, 0], res.filtered[:, 1],
+                             res.filtered[:, 2], cfg=cfg_s)
+    filled = fill_grid(grid, cfg_s)
+    matrix, ue_ang, bs_ang, _, _ = compact_grid(grid, filled, angle_lut64)
+    cfg = OmpConfig(max_paths=20, min_power_ratio=0.0003)
+    d = make_dictionary(ue_ang, bs_ang,
+                        DictionaryConfig(grid_res=0.1, beam_width=1.4,
+                                         grid_kind="linspace"))
+    ref = nn_omp_np(d, matrix, cfg, keep_rule="ratio", stop_nonpositive=True)
+    out = run_nn_omp(d, matrix, cfg, keep_rule="ratio",
+                     stop_nonpositive=True, engine="device")
+    n = int(ref.n_iters)
+    assert int(out.n_iters) == n
+    np.testing.assert_array_equal(np.asarray(out.aoa_idx)[:n], ref.aoa_idx[:n])
+    np.testing.assert_array_equal(np.asarray(out.aod_idx)[:n], ref.aod_idx[:n])
+    np.testing.assert_allclose(np.asarray(out.power)[:n], ref.power[:n],
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.valid), ref.valid)
+
+
+def test_device_streaming_emit_parity_on_chip(small_log_bytes, decoded):
+    """Emit-ring streaming on the chip: exact filtered-rows parity."""
+    from slam_process_tpu.parallel.streaming_device import replay_log_device
+
+    dec, res = decoded
+    s = replay_log_device(small_log_bytes, chunk_bytes=1 << 16,
+                          collect_filtered=True)
+    assert s.n_frames == dec.valid
+    np.testing.assert_array_equal(s.filtered, res.filtered)
