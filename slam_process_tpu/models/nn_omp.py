@@ -145,6 +145,212 @@ def run_nn_omp(
                      stop_nonpositive=stop_nonpositive, logger=logger)
 
 
+def nn_omp_batch_jax(
+    phi_rx,            # jnp [U, Ga]
+    phi_tx,            # jnp [B, Gd]
+    aoa_grid,          # jnp [Ga]
+    aod_grid,          # jnp [Gd]
+    mats,              # jnp [S, U, B] — S scenes sharing one dictionary
+    cfg: OmpConfig = OmpConfig(),
+    keep_rule: str = "ratio",
+    stop_nonpositive: bool = True,
+):
+    """NN-OMP over S scenes sharing one dictionary, batched-GEMM form.
+
+    ``jax.vmap(nn_omp_jax)`` is the obvious formulation, but XLA lowers the
+    vmapped correlation chain to S small per-lane GEMMs with a broadcast
+    operand — measured ~3 TFLOP/s on the chip, 20x below what the same
+    FLOPs reach as one large contraction.  Here each selection iteration
+    computes ALL scenes' correlations as two whole-batch contractions
+    ([Ga,U]x[U,S*B] then [S*Ga,B]x[B,Gd]), and only the tiny K-sized refit
+    work stays per-scene (vmapped NNLS — measured free next to the GEMMs).
+
+    Per-scene arithmetic is the same algorithm as :func:`nn_omp_jax`
+    (duplicate-atom stop, stop_nonpositive, NNLS refit on zero-padded
+    atom slots); returns OmpPaths of [S, ...] arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.nnls import nnls_gram
+
+    K = cfg.max_paths
+    S, U, B = mats.shape
+    Ga = phi_rx.shape[1]
+    Gd = phi_tx.shape[1]
+    Y = mats.reshape(S, U * B).astype(jnp.float32)
+    slots = jnp.arange(K)
+
+    def body(carry, _):
+        R, sel_r, sel_t, coeffs, nsel, done = carry
+        # Whole-batch correlation: two large GEMMs instead of S small ones.
+        t1 = jnp.einsum("ug,sub->sgb", phi_rx, R.reshape(S, U, B))
+        corr = jnp.einsum("sgb,bd->sgd", t1, phi_tx).reshape(S, Ga * Gd)
+        max_corr = jnp.max(corr, axis=1)
+        flat_idx = jnp.argmax(corr, axis=1)
+        i_r = (flat_idx // Gd).astype(jnp.int32)
+        i_t = (flat_idx % Gd).astype(jnp.int32)
+
+        dup = jnp.any((sel_r == i_r[:, None]) & (sel_t == i_t[:, None])
+                      & (slots[None, :] < nsel[:, None]), axis=1)
+        stop = done | dup | (stop_nonpositive & (max_corr <= 0))
+
+        upd = (slots[None, :] == nsel[:, None]) & ~stop[:, None]
+        sel_r2 = jnp.where(upd, i_r[:, None], sel_r)
+        sel_t2 = jnp.where(upd, i_t[:, None], sel_t)
+        nsel2 = jnp.where(stop, nsel, nsel + 1)
+
+        active = (slots[None, :] < nsel2[:, None]).astype(jnp.float32)
+        cols_rx = jnp.take_along_axis(
+            phi_rx[None], sel_r2[:, None, :], axis=2) * active[:, None, :]
+        cols_tx = jnp.take_along_axis(
+            phi_tx[None], sel_t2[:, None, :], axis=2) * active[:, None, :]
+        A = (cols_rx[:, :, None, :] * cols_tx[:, None, :, :]).reshape(
+            S, U * B, K)
+        G = jnp.einsum("smk,sml->skl", A, A)
+        b = jnp.einsum("smk,sm->sk", A, Y)
+        coeffs2, _ = jax.vmap(
+            lambda g, v: nnls_gram(g, v, max_outer=cfg.nnls_max_iter))(G, b)
+        R2 = Y - jnp.einsum("smk,sk->sm", A, coeffs2)
+
+        coeffs_out = jnp.where(stop[:, None], coeffs, coeffs2)
+        R_out = jnp.where(stop[:, None], R, R2)
+        return (R_out, sel_r2, sel_t2, coeffs_out, nsel2, stop), None
+
+    init = (
+        Y,
+        jnp.zeros((S, K), jnp.int32),
+        jnp.zeros((S, K), jnp.int32),
+        jnp.zeros((S, K), jnp.float32),
+        jnp.zeros(S, jnp.int32),
+        jnp.zeros(S, bool),
+    )
+    (R, sel_r, sel_t, coeffs, nsel, _), _ = jax.lax.scan(
+        body, init, None, length=K)
+
+    in_sel = slots[None, :] < nsel[:, None]
+    max_coeff = jnp.max(jnp.where(in_sel, coeffs, -jnp.inf), axis=1)
+    if keep_rule == "ratio":
+        valid = in_sel & (coeffs > max_coeff[:, None] * cfg.min_power_ratio)
+    else:
+        valid = in_sel & (coeffs > 0)
+    return OmpPaths(
+        aoa=aoa_grid[sel_r],
+        aod=aod_grid[sel_t],
+        power=coeffs,
+        valid=valid,
+        n_iters=nsel,
+        aoa_idx=jnp.where(in_sel, sel_r, -1),
+        aod_idx=jnp.where(in_sel, sel_t, -1),
+    )
+
+
+def nn_omp_gram_batch_jax(
+    phi_rx,            # jnp [U, Ga]
+    phi_tx,            # jnp [B, Gd]
+    aoa_grid,          # jnp [Ga]
+    aod_grid,          # jnp [Gd]
+    mats,              # jnp [S, U, B]
+    cfg: OmpConfig = OmpConfig(),
+    keep_rule: str = "ratio",
+    stop_nonpositive: bool = True,
+):
+    """Gram-domain NN-OMP: the heavy correlation chain runs ONCE, not K times.
+
+    Identity: with selected atoms a_k = outer(phi_rx[:, r_k], phi_tx[:, t_k])
+    and residual R = Y - sum_k c_k a_k, the correlation surface is
+
+        Phi_rx^T R Phi_tx = corr_Y - sum_k c_k Grx[:, r_k] (x) Gtx[:, t_k]
+
+    where Grx = Phi_rx^T Phi_rx and Gtx = Phi_tx^T Phi_tx are the
+    dictionary Grams (computed once per dictionary).  Likewise the NNLS
+    system is pure gathers: G_kl = Grx[r_k, r_l] * Gtx[t_k, t_l],
+    b_k = corr_Y[r_k, t_k].  So each selection iteration costs a rank-K
+    [Ga, Gd] elementwise update + argmax instead of the two-GEMM chain —
+    the chain's FLOPs are paid once instead of K times (3x fewer at K=3,
+    ~15x at K=20).  Algebraically identical to :func:`nn_omp_batch_jax`;
+    floating-point rounding differs, so parity with the float64 oracle is
+    asserted by the same selection-sequence tests.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.nnls import nnls_gram
+
+    K = cfg.max_paths
+    S, U, B = mats.shape
+    Ga = phi_rx.shape[1]
+    Gd = phi_tx.shape[1]
+    Y = mats.astype(jnp.float32)
+    slots = jnp.arange(K)
+
+    grx = phi_rx.T @ phi_rx                      # [Ga, Ga] dictionary Gram
+    gtx = phi_tx.T @ phi_tx                      # [Gd, Gd]
+    corr_y = jnp.einsum("ug,sub,bd->sgd", phi_rx, Y, phi_tx)  # ONCE
+
+    def body(carry, _):
+        sel_r, sel_t, coeffs, nsel, done = carry
+        # Residual correlation = corr_y minus the selected atoms' rank-K
+        # Gram outer products (zero for inactive slots via zero coeffs).
+        active_c = coeffs * (slots[None, :] < nsel[:, None])   # [S, K]
+        gr_sel = grx[:, sel_r]                                 # [Ga, S, K]
+        gt_sel = gtx[:, sel_t]                                 # [Gd, S, K]
+        corr = corr_y - jnp.einsum("gsk,sk,dsk->sgd", gr_sel, active_c,
+                                   gt_sel)
+        corr = corr.reshape(S, Ga * Gd)
+        max_corr = jnp.max(corr, axis=1)
+        flat_idx = jnp.argmax(corr, axis=1)
+        i_r = (flat_idx // Gd).astype(jnp.int32)
+        i_t = (flat_idx % Gd).astype(jnp.int32)
+
+        dup = jnp.any((sel_r == i_r[:, None]) & (sel_t == i_t[:, None])
+                      & (slots[None, :] < nsel[:, None]), axis=1)
+        stop = done | dup | (stop_nonpositive & (max_corr <= 0))
+
+        upd = (slots[None, :] == nsel[:, None]) & ~stop[:, None]
+        sel_r2 = jnp.where(upd, i_r[:, None], sel_r)
+        sel_t2 = jnp.where(upd, i_t[:, None], sel_t)
+        nsel2 = jnp.where(stop, nsel, nsel + 1)
+
+        # NNLS on the separable Gram system — all gathers, no [U*B, K] A.
+        active = (slots[None, :] < nsel2[:, None]).astype(jnp.float32)
+        Gk = (grx[sel_r2[:, :, None], sel_r2[:, None, :]]
+              * gtx[sel_t2[:, :, None], sel_t2[:, None, :]])
+        Gk = Gk * active[:, :, None] * active[:, None, :]
+        bk = corr_y[jnp.arange(S)[:, None], sel_r2, sel_t2] * active
+        coeffs2, _ = jax.vmap(
+            lambda g, v: nnls_gram(g, v, max_outer=cfg.nnls_max_iter))(Gk, bk)
+
+        coeffs_out = jnp.where(stop[:, None], coeffs, coeffs2)
+        return (sel_r2, sel_t2, coeffs_out, nsel2, stop), None
+
+    init = (
+        jnp.zeros((S, K), jnp.int32),
+        jnp.zeros((S, K), jnp.int32),
+        jnp.zeros((S, K), jnp.float32),
+        jnp.zeros(S, jnp.int32),
+        jnp.zeros(S, bool),
+    )
+    (sel_r, sel_t, coeffs, nsel, _), _ = jax.lax.scan(body, init, None,
+                                                      length=K)
+
+    in_sel = slots[None, :] < nsel[:, None]
+    max_coeff = jnp.max(jnp.where(in_sel, coeffs, -jnp.inf), axis=1)
+    if keep_rule == "ratio":
+        valid = in_sel & (coeffs > max_coeff[:, None] * cfg.min_power_ratio)
+    else:
+        valid = in_sel & (coeffs > 0)
+    return OmpPaths(
+        aoa=aoa_grid[sel_r],
+        aod=aod_grid[sel_t],
+        power=coeffs,
+        valid=valid,
+        n_iters=nsel,
+        aoa_idx=jnp.where(in_sel, sel_r, -1),
+        aod_idx=jnp.where(in_sel, sel_t, -1),
+    )
+
+
 def nn_omp_jax(
     phi_rx,            # jnp [U, Ga]
     phi_tx,            # jnp [B, Gd]

@@ -21,16 +21,30 @@ import functools
 from typing import Tuple
 
 
-def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16, tol: float = 1e-10):
+def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16,
+              tol: float = 1e-10, tol_rel: float = 3e-7):
     """Solve min ||A x - y||, x >= 0 given G = A^T A and b = A^T y.
 
     Returns (x, passive_mask).  ``max_outer`` bounds active-set additions
     (>= K suffices for exact termination in exact arithmetic).
+
+    The convergence tolerance is ``tol + tol_rel * max|b|``: a purely
+    absolute 1e-10 is float64 thinking — in float32 the gradient
+    ``w = b - G x`` at the optimum carries rounding noise proportional to
+    |b| (~1e-7 relative), so the while_loop would spin to max_outer on
+    every instance, never passing the test.  Measured on the chip this
+    inflated the vmapped estimator ~8x (the loop runs in lockstep across
+    all vmap lanes, so ONE non-converging lane taxes everyone).
     """
     import jax
     import jax.numpy as jnp
 
     k = G.shape[0]
+    # Relative tolerance for the gradient test only; the coefficient tests
+    # (z <= tol) keep the absolute threshold — coefficients live on a
+    # different scale than b and treating small positives as negative would
+    # change which atoms survive.
+    w_tol = tol + tol_rel * jnp.max(jnp.abs(b))
 
     def solve_passive(P):
         # Rows/cols outside P are replaced by identity -> exact zeros there.
@@ -47,7 +61,7 @@ def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16, tol: float = 1e-10
         w = b - G @ x
         w_masked = jnp.where(P, -jnp.inf, w)
         j = jnp.argmax(w_masked)
-        can_add = (w_masked[j] > tol) & (~jnp.all(P))
+        can_add = (w_masked[j] > w_tol) & (~jnp.all(P))
         P_new = P.at[j].set(True)
 
         def inner_body(carry):

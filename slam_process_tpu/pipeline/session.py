@@ -69,6 +69,79 @@ def _sweep_intensity_fn(max_sweeps: int):
                                      max_sweeps=max_sweeps))
 
 
+@_functools.lru_cache(maxsize=1)
+def _stack_results_fn():
+    """Jitted cross-session result stacker (one compiled entry per shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts))
+
+
+def _sweep_estimator_body(est_key):
+    """The per-session sweep-estimator callable (un-jitted).
+
+    ``est_key`` = (name, frozen config, keep_rule, stop_nonpositive).
+    Signature: (mats [S, U, B], phi_rx, phi_tx, aoa_g, aod_g) ->
+    (paths [S, K], sweep_valid [S]).  Shared by the single-session jit,
+    its sharded variant, and the dataset-level outer vmap.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    name, cfg, keep_rule, stop_np = est_key
+
+    def _fill_per_sweep(mats):
+        # Per-sweep fill: empty cells get the sweep's observed min
+        # (the v1-7 fillna(min) policy applied per sweep).
+        finite = jnp.isfinite(mats)
+        fill = jnp.min(jnp.where(finite, mats, jnp.inf), axis=(1, 2))
+        fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
+        return jnp.where(finite, mats, fill[:, None, None]), finite
+
+    if name == "nn_omp":
+        from slam_process_tpu.models.nn_omp import nn_omp_gram_batch_jax
+
+        def run_all(mats, phi_rx, phi_tx, aoa_g, aod_g):
+            # Gram-domain batched formulation: the correlation chain runs
+            # once instead of K times, and the batched GEMMs beat the
+            # vmapped per-sweep form ~20x on the chip (see the
+            # nn_omp_gram_batch_jax / nn_omp_batch_jax docstrings).
+            filled, finite = _fill_per_sweep(mats)
+            out = nn_omp_gram_batch_jax(phi_rx, phi_tx, aoa_g, aod_g, filled,
+                                        cfg=cfg, keep_rule=keep_rule,
+                                        stop_nonpositive=stop_np)
+            return out, finite.any(axis=(1, 2))
+    else:
+        from slam_process_tpu.models.sm_sic import sm_sic_jax
+
+        est = functools.partial(sm_sic_jax, cfg=cfg)
+
+        def run_all(mats, phi_rx, phi_tx, aoa_g, aod_g):
+            filled, finite = _fill_per_sweep(mats)
+            return (jax.vmap(lambda m: est(phi_rx, phi_tx, aoa_g, aod_g, m))(
+                filled), finite.any(axis=(1, 2)))
+
+    return run_all
+
+
+@_functools.lru_cache(maxsize=16)
+def _sweep_estimator_dataset_fn(est_key):
+    """ONE compiled program for the whole dataset: the per-session sweep
+    estimator vmapped over the session axis (padded common shapes).  The
+    outer vmap carries the dictionary per lane, so the correlation einsums
+    stay true batched GEMMs; dispatch count drops from n_sessions to 1."""
+    import jax
+
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    from slam_process_tpu.utils.precision import jit_highest
+
+    enable_persistent_cache()
+    return jit_highest(jax.vmap(_sweep_estimator_body(est_key)))
+
+
 @_functools.lru_cache(maxsize=16)
 def _sweep_estimator_fn(est_key, mesh):
     """Compiled per-sweep estimator, shared across Session instances.
@@ -77,37 +150,11 @@ def _sweep_estimator_fn(est_key, mesh):
     ``mesh`` (hashable) selects the sharded variant.  Without this cache a
     fresh closure per call would force a re-trace + re-compile every time.
     """
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
     from slam_process_tpu.utils.cache import enable_persistent_cache
-    enable_persistent_cache()
-    name, cfg, keep_rule, stop_np = est_key
-    if name == "nn_omp":
-        from slam_process_tpu.models.nn_omp import nn_omp_jax
-
-        est = functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
-                                stop_nonpositive=stop_np)
-    else:
-        from slam_process_tpu.models.sm_sic import sm_sic_jax
-
-        est = functools.partial(sm_sic_jax, cfg=cfg)
-
-    def run_all(mats, phi_rx, phi_tx, aoa_g, aod_g):
-        def one(m):
-            # Per-sweep fill: empty cells get the sweep's observed min
-            # (the v1-7 fillna(min) policy applied per sweep).
-            finite = jnp.isfinite(m)
-            fill = jnp.min(jnp.where(finite, m, jnp.inf))
-            fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
-            return est(phi_rx, phi_tx, aoa_g, aod_g,
-                       jnp.where(finite, m, fill))
-
-        return jax.vmap(one)(mats), jnp.isfinite(mats).any(axis=(1, 2))
-
     from slam_process_tpu.utils.precision import jit_highest
+
+    enable_persistent_cache()
+    run_all = _sweep_estimator_body(est_key)
 
     if mesh is None:
         return jit_highest(run_all)
@@ -285,52 +332,35 @@ class Session:
         times[first[0][first[0] < s]] = self.filtered[first[1][first[0] < s], 3]
         return times
 
-    def sweep_paths(
+    def _sweep_host_prep(
         self,
         angle_file: Union[str, Path],
         estimator: str = "nn_omp",
         max_sweeps: Optional[int] = None,
-        mesh=None,
         **overrides,
     ):
-        """Per-sweep multipath estimation, vmapped on device over sweeps.
-
-        Goes beyond the reference (which estimates only on the session
-        aggregate): the [S, 64, 64] per-sweep tensor from
-        ``sweep_intensity`` feeds a vmapped jitted estimator, giving a
-        time-resolved path track per sweep.  With ``mesh`` given, sweeps
-        shard over the 'data' axis and the dictionary-grid axis over
-        'model' (the dryrun_multichip layout as a real feature).
-
-        Returns (paths, sweep_valid): ``paths`` is an OmpPaths/SmSicPaths
-        of [S, K] arrays; ``sweep_valid[s]`` is False for sweeps with no
-        observed cell in the session's compact submatrix.
-        """
-        import functools
-
-        import jax
-        import jax.numpy as jnp
-
+        """Host-only prep for per-sweep estimation: sweep ids, compact
+        beam-id lists, the session dictionary, and the estimator cache key.
+        No device work — the dataset path uses this to size the common
+        padded shape before building anything on device.  Memoized per
+        (angle_file, estimator, overrides): the host pivot + dictionary cost
+        ~15 ms/session and dominate repeated dataset-scale calls otherwise."""
         from slam_process_tpu.config import DictionaryConfig, OmpConfig, SmSicConfig
         from slam_process_tpu.models.dictionary import make_dictionary
+        from slam_process_tpu.ops.correct import detect_groups_np
         from slam_process_tpu.ops.scene import intensity_grid_np
 
         if self.filtered is None:
             self.correct()
-        from slam_process_tpu.ops.correct import detect_groups_np
-
+        memo_key = (str(angle_file), estimator, max_sweeps,
+                    tuple(sorted(overrides.items())), id(self.filtered))
+        cache = getattr(self, "_sweep_prep_memo", None)
+        if cache is None:
+            cache = self._sweep_prep_memo = {}
+        if memo_key in cache:
+            return cache[memo_key]
         gid = detect_groups_np(self.filtered[:, 0])
         n_sweeps = max_sweeps or int(gid.max()) + 1
-        # Device-resident per-sweep grids: no [S, 64, 64] host round trip
-        # (D2H reads are expensive on the relay transport — docs/STATUS.md);
-        # only the [S, K] results and the validity vector cross back.
-        mean_d, _ = _sweep_intensity_fn(n_sweeps)(
-            jnp.asarray(self.filtered[:, 0], jnp.int32),
-            jnp.asarray(self.filtered[:, 1], jnp.int32),
-            jnp.asarray(self.filtered[:, 2], jnp.float32),
-            jnp.asarray(gid, jnp.int32),
-            jnp.ones(len(self.filtered), dtype=bool),
-        )
         lut = load_angle_lut(angle_file)
         # Session-level compact submatrix: shared static shape across sweeps
         # (masks computed on host from the host pivot — no device reads).
@@ -342,8 +372,6 @@ class Session:
         bs_ids = np.nonzero(col_mask)[0]
         ue_ang = lut[ue_ids]
         bs_ang = lut[bs_ids]
-        sub = jnp.take(jnp.take(mean_d, jnp.asarray(ue_ids), axis=1),
-                       jnp.asarray(bs_ids), axis=2)
 
         if estimator == "nn_omp":
             cfg = OmpConfig(max_paths=overrides.get("max_paths", 3))
@@ -365,6 +393,131 @@ class Session:
             est_key = (estimator, cfg, None, None)
         else:
             raise ValueError(f"unknown sweep estimator {estimator!r}")
+        result = (gid, n_sweeps, ue_ids, bs_ids, d, est_key)
+        cache[memo_key] = result
+        return result
+
+    def _sweep_estimation_inputs(
+        self,
+        angle_file: Union[str, Path],
+        estimator: str = "nn_omp",
+        max_sweeps: Optional[int] = None,
+        pad_to=None,   # optional (Smax, Umax, Bmax, Ga, Gd) common shape
+        **overrides,
+    ):
+        """Per-session prep for per-sweep estimation.
+
+        Returns (sub, dictionary, est_key, n_sweeps): ``sub`` is the
+        device-resident [S, U, B] per-sweep compact tensor (NaN where
+        unobserved) and ``dictionary`` the session's beam dictionary.  With
+        ``pad_to`` given, every axis is padded to the common shape — NaN for
+        measurement cells (gathered with mode='fill'), zero phi
+        rows/columns, edge-padded grids — the exactness argument of
+        models/batch_estimation.py, letting many sessions share one
+        compiled estimator.
+        """
+        import jax.numpy as jnp
+
+        from slam_process_tpu.models.dictionary import BeamDictionary
+
+        gid, n_sweeps, ue_ids, bs_ids, d, est_key = self._sweep_host_prep(
+            angle_file, estimator, max_sweeps, **overrides)
+
+        # Memoize the built device inputs: sub + dictionary are static per
+        # (session, config, pad shape), so repeat calls skip the H2D
+        # transfers, eager gathers, and intensity dispatch entirely.
+        memo_key = ("inputs", str(angle_file), estimator, max_sweeps, pad_to,
+                    tuple(sorted(overrides.items())), id(self.filtered))
+        cache = self._sweep_prep_memo
+        if memo_key in cache:
+            return cache[memo_key]
+
+        s_alloc = pad_to[0] if pad_to is not None else n_sweeps
+        rows = len(self.filtered)
+        keep = np.ones(rows, dtype=bool)
+        ue_col = self.filtered[:, 0]
+        bs_col = self.filtered[:, 1]
+        rss_col = self.filtered[:, 2]
+        if pad_to is not None:
+            # Bucket the row count so many sessions share one compiled
+            # intensity program (padded rows carry keep=False).
+            bucket = 1 << max(int(np.ceil(np.log2(max(rows, 1)))), 10)
+            pad_r = bucket - rows
+            ue_col = np.pad(ue_col, (0, pad_r))
+            bs_col = np.pad(bs_col, (0, pad_r))
+            rss_col = np.pad(rss_col, (0, pad_r))
+            gid = np.pad(gid, (0, pad_r))
+            keep = np.pad(keep, (0, pad_r))
+            # Pad the gather index lists with an out-of-range id: take with
+            # mode='fill' turns those into NaN measurement cells.
+            _, u_max, b_max, ga_max, gd_max = pad_to
+            ue_idx = np.pad(ue_ids, (0, u_max - len(ue_ids)),
+                            constant_values=1 << 20)
+            bs_idx = np.pad(bs_ids, (0, b_max - len(bs_ids)),
+                            constant_values=1 << 20)
+            ga, gd = len(d.aoa_grid), len(d.aod_grid)
+            d = BeamDictionary(
+                aoa_grid=np.pad(d.aoa_grid, (0, ga_max - ga), mode="edge"),
+                aod_grid=np.pad(d.aod_grid, (0, gd_max - gd), mode="edge"),
+                phi_rx=np.pad(d.phi_rx,
+                              ((0, u_max - len(ue_ids)), (0, ga_max - ga))),
+                phi_tx=np.pad(d.phi_tx,
+                              ((0, b_max - len(bs_ids)), (0, gd_max - gd))),
+            )
+        else:
+            ue_idx, bs_idx = ue_ids, bs_ids
+
+        # Device-resident per-sweep grids: no [S, 64, 64] host round trip
+        # (D2H reads are expensive on the relay transport — docs/STATUS.md);
+        # only the [S, K] results and the validity vector cross back.
+        mean_d, _ = _sweep_intensity_fn(s_alloc)(
+            jnp.asarray(ue_col, jnp.int32),
+            jnp.asarray(bs_col, jnp.int32),
+            jnp.asarray(rss_col, jnp.float32),
+            jnp.asarray(gid, jnp.int32),
+            jnp.asarray(keep),
+        )
+        sub = jnp.take(
+            jnp.take(mean_d, jnp.asarray(ue_idx), axis=1,
+                     mode="fill", fill_value=jnp.nan),
+            jnp.asarray(bs_idx), axis=2, mode="fill", fill_value=jnp.nan)
+        # Device-resident dictionary (H2D once per memo entry).
+        d = BeamDictionary(
+            aoa_grid=jnp.asarray(d.aoa_grid, jnp.float32),
+            aod_grid=jnp.asarray(d.aod_grid, jnp.float32),
+            phi_rx=jnp.asarray(d.phi_rx, jnp.float32),
+            phi_tx=jnp.asarray(d.phi_tx, jnp.float32),
+        )
+        result = (sub.astype(jnp.float32), d, est_key, n_sweeps)
+        cache[memo_key] = result
+        return result
+
+    def sweep_paths(
+        self,
+        angle_file: Union[str, Path],
+        estimator: str = "nn_omp",
+        max_sweeps: Optional[int] = None,
+        mesh=None,
+        **overrides,
+    ):
+        """Per-sweep multipath estimation, vmapped on device over sweeps.
+
+        Goes beyond the reference (which estimates only on the session
+        aggregate): the [S, 64, 64] per-sweep tensor from
+        ``sweep_intensity`` feeds a vmapped jitted estimator, giving a
+        time-resolved path track per sweep.  With ``mesh`` given, sweeps
+        shard over the 'data' axis and the dictionary-grid axis over
+        'model' (the dryrun_multichip layout as a real feature).
+
+        Returns (paths, sweep_valid): ``paths`` is an OmpPaths/SmSicPaths
+        of [S, K] arrays; ``sweep_valid[s]`` is False for sweeps with no
+        observed cell in the session's compact submatrix.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        sub, d, est_key, n_sweeps = self._sweep_estimation_inputs(
+            angle_file, estimator, max_sweeps, **overrides)
 
         if mesh is not None:
             # The sweep axis shards over 'data': pad to a multiple of the
@@ -463,3 +616,80 @@ class Session:
             if "filtered" in z:
                 s.filtered = z["filtered"]
         return s
+
+
+def sweep_paths_dataset(
+    sessions,
+    angle_file: Union[str, Path],
+    estimator: str = "nn_omp",
+    mesh=None,
+    **overrides,
+):
+    """Per-sweep estimation for MANY sessions through ONE compiled program.
+
+    Every session's per-sweep tensor, dictionary, and row table is padded
+    to the dataset-common shape (NaN measurement fills, zero phi
+    rows/columns — the exactness argument of models/batch_estimation.py),
+    so all sessions share a single compiled estimator executable and a
+    handful of compiled intensity programs (row counts are bucketed).  The
+    per-session programs dispatch asynchronously and block once, then ALL
+    results cross device->host as one transfer — the layout that measured
+    ~19x faster than a vmapped [N, ...] mega-program for the session-level
+    estimator (NNLS while_loops run in lockstep under vmap).
+
+    Returns a list of (paths, sweep_valid) per session, equal to each
+    session's ``Session.sweep_paths`` output.
+    """
+    import jax
+
+    preps = [s._sweep_host_prep(angle_file, estimator, **overrides)
+             for s in sessions]
+    s_max = max(p[1] for p in preps)
+    u_max = max(len(p[2]) for p in preps)
+    b_max = max(len(p[3]) for p in preps)
+    ga_max = max(len(p[4].aoa_grid) for p in preps)
+    gd_max = max(len(p[4].aod_grid) for p in preps)
+    pad_to = (s_max, u_max, b_max, ga_max, gd_max)
+
+    import jax.numpy as jnp
+
+    est_key = preps[0][5]
+    per_session = []
+    sweep_counts = []
+    for s in sessions:
+        sub, d, key_i, n_sweeps = s._sweep_estimation_inputs(
+            angle_file, estimator, pad_to=pad_to, **overrides)
+        assert key_i == est_key
+        per_session.append((sub, d.phi_rx, d.phi_tx, d.aoa_grid, d.aod_grid))
+        sweep_counts.append(n_sweeps)
+
+    if mesh is not None:
+        # Sharded variant: one dispatch per session with the sweep axis
+        # over 'data' and the dictionary grid over 'model'.
+        from jax.sharding import NamedSharding
+
+        fn = _sweep_estimator_fn(est_key, mesh)
+        outs = []
+        with mesh:
+            for args in per_session:
+                outs.append(fn(*(jax.device_put(a, NamedSharding(mesh, sp))
+                                 for a, sp in zip(args, _SWEEP_SPECS))))
+        stacked = _stack_results_fn()(outs)
+    else:
+        # One async dispatch per session of ONE shared compiled executable.
+        # Measured on the chip: this beats the outer-vmapped single program
+        # ~5x (0.15 s vs 0.76 s for 392 sweeps) — the same XLA batched-GEMM
+        # pessimization that hit the per-sweep vmap reappears when the
+        # session axis becomes a vmap axis carrying per-lane dictionaries.
+        fn = _sweep_estimator_fn(est_key, None)
+        stacked = _stack_results_fn()([fn(*args) for args in per_session])
+
+    # One host transfer of ~8 stacked buffers (each leaf read pays a relay
+    # round trip, so per-session reads would cost 8 x n_sessions trips).
+    host_paths, host_valid = jax.device_get(stacked)
+    paths_t = type(host_paths)
+    results = []
+    for i, n_sweeps in enumerate(sweep_counts):
+        paths = paths_t(*(np.asarray(x)[i][:n_sweeps] for x in host_paths))
+        results.append((paths, np.asarray(host_valid)[i][:n_sweeps]))
+    return results

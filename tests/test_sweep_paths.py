@@ -129,3 +129,24 @@ def test_per_sweep_cli(tmp_path):
     clks = [per_sweep[k] for k in sorted(per_sweep)]
     assert all(0 <= c < (1 << 30) for c in clks)
     assert len(set(clks)) == len(clks)
+
+
+def test_sweep_paths_dataset_matches_per_session(session):
+    """sweep_paths_dataset (dataset-common padded shapes, one compiled
+    estimator) == each session's own sweep_paths, on sessions of very
+    different sizes."""
+    from slam_process_tpu.pipeline.session import Session, sweep_paths_dataset
+    from tests.conftest import BEAM_ANGLE, SMALL_FILTERED
+
+    sessions = [Session.from_filtered_xlsx(SMALL_FILTERED), session]
+    batched = sweep_paths_dataset(sessions, BEAM_ANGLE)
+    for s, (paths_b, valid_b) in zip(sessions, batched):
+        paths_r, valid_r = s.sweep_paths(BEAM_ANGLE)
+        np.testing.assert_array_equal(valid_b, valid_r)
+        np.testing.assert_array_equal(paths_b.aoa_idx, paths_r.aoa_idx)
+        np.testing.assert_array_equal(paths_b.aod_idx, paths_r.aod_idx)
+        np.testing.assert_array_equal(paths_b.valid, paths_r.valid)
+        ok = np.asarray(paths_r.valid)
+        np.testing.assert_allclose(np.asarray(paths_b.power)[ok],
+                                   np.asarray(paths_r.power)[ok],
+                                   rtol=2e-4, atol=1e-6)
