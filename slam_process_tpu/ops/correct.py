@@ -139,14 +139,45 @@ def correct_frames_jax(
     max_baselines_per_group: int = 256,
     cfg: CorrectConfig = _DEFAULT,
 ):
-    """Jittable correct+filter.
+    """Jittable correct+filter on the densely packed frame layout.
 
     Returns (corrected_bs[F] i32, keep[F] bool, overflow bool).  Padded
-    rows (index >= count) are never kept.  ``max_groups`` and
-    ``max_baselines_per_group`` are static capacity bounds; ``overflow`` is
-    True when either bound was exceeded (results would then silently drop
-    baselines/merge trailing sweeps — callers must fall back to the host
-    path or re-run with larger bounds).
+    rows (index >= count) are never kept.  Thin wrapper over
+    ``correct_rows_jax`` with ``valid = arange < count`` (a dense prefix is
+    the special case of the masked-row layout where every gap is trailing).
+    """
+    import jax.numpy as jnp
+
+    valid = jnp.arange(frames.shape[0], dtype=jnp.int32) < count
+    return correct_rows_jax(
+        frames, valid, max_groups=max_groups,
+        max_baselines_per_group=max_baselines_per_group, cfg=cfg,
+    )
+
+
+def correct_rows_jax(
+    frames,                 # jnp [F, 5] int32 (masked-row layout)
+    valid,                  # jnp [F] bool: which rows hold real frames
+    max_groups: int = 128,
+    max_baselines_per_group: int = 256,
+    cfg: CorrectConfig = _DEFAULT,
+):
+    """Jittable correct+filter for the masked-row frame layout.
+
+    Frames appear in stream order at the True positions of ``valid`` with
+    arbitrary gaps (ops.decode.decode_rows_jax's gather-free output); the
+    reference semantics' "previous row" (bs_beam_correction.py:50-61:
+    baseline = FLAG 0->1 transition with RSS equal to the previous row,
+    whose CLK anchors the correction) becomes "previous VALID row",
+    computed with one log-depth associative scan instead of a shift —
+    no compaction gather anywhere.
+
+    Returns (corrected_bs[F] i32, keep[F] bool, overflow bool).  Invalid
+    rows are never kept.  ``max_groups`` and ``max_baselines_per_group``
+    are static capacity bounds; ``overflow`` is True when either bound was
+    exceeded (results would then silently drop baselines/merge trailing
+    sweeps — callers must fall back to the host path or re-run with larger
+    bounds).
     """
     import jax
     import jax.numpy as jnp
@@ -156,26 +187,43 @@ def correct_frames_jax(
     bs = frames[:, 2]
     rss = frames[:, 3]
     clk = frames[:, 4]
-    n = frames.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)
-    real = rows < count
+    valid = valid.astype(bool)
 
-    prev_ue = jnp.concatenate([ue[:1], ue[:-1]])
-    boundary = jnp.where(rows == 0, True, prev_ue > ue)
+    # Previous-valid-row fields via one associative scan over packed words:
+    # p1 = flag(1b) | ue(6b) | rss(18b), p2 = clk(30b).
+    p1 = (flag << 24) | (ue << 18) | rss
+    p2 = clk
+
+    def keep_last(a, b):
+        a1, a2, av = a
+        b1, b2, bv = b
+        return (jnp.where(bv, b1, a1), jnp.where(bv, b2, a2), av | bv)
+
+    s1, s2, _ = jax.lax.associative_scan(keep_last, (p1, p2, valid))
+    prev_p1 = jnp.concatenate([s1[:1] * 0, s1[:-1]])
+    prev_clk = jnp.concatenate([s2[:1] * 0, s2[:-1]])
+    vcount = jnp.cumsum(valid.astype(jnp.int32))
+    has_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), (vcount > 0)[:-1]]
+    )
+    prev_flag = prev_p1 >> 24
+    prev_ue = (prev_p1 >> 18) & 0x3F
+    prev_rss = prev_p1 & 0x3FFFF
+
+    # ~has_prev marks the first valid row (always a group boundary).
+    boundary = valid & ((~has_prev) | (prev_ue > ue))
     gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    gid = jnp.minimum(gid, max_groups - 1)
+    gid = jnp.clip(gid, 0, max_groups - 1)
 
-    prev_flag = jnp.concatenate([flag[:1], flag[:-1]])
-    prev_rss = jnp.concatenate([rss[:1], rss[:-1]])
-    prev_gid = jnp.concatenate([gid[:1], gid[:-1]])
-    prev_clk = jnp.concatenate([clk[:1], clk[:-1]])
+    # Baseline test vs the previous valid row; same group <=> no boundary
+    # at this row (gid only advances on boundaries).
     is_bl = (
-        (rows > 0)
+        valid
+        & has_prev
         & (flag == 1)
         & (prev_flag == 0)
         & (rss == prev_rss)
-        & (gid == prev_gid)
-        & real
+        & (~boundary)
     )
 
     blv = is_bl.astype(jnp.int32)
@@ -208,12 +256,11 @@ def correct_frames_jax(
     bs_best = jnp.take_along_axis(tbl_bs[gid], best[:, None], axis=1)[:, 0]
     cand = jnp.mod(bs_best + k_best, cfg.mod_base)
 
-    normal = (flag == 0) & real
+    normal = (flag == 0) & valid
     corrected_bs = jnp.where(normal & has, cand, bs)
     keep = normal & has
     overflow = (jnp.max(group_counts) > bmax) | (
-        jnp.sum(boundary.astype(jnp.int32) * real.astype(jnp.int32))
-        > max_groups
+        jnp.sum(boundary.astype(jnp.int32)) > max_groups
     )
     return corrected_bs, keep, overflow
 

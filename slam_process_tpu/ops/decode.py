@@ -151,25 +151,42 @@ def decode_frames_greedy_np(
 # ---------------------------------------------------------------------------
 # JAX / device path
 # ---------------------------------------------------------------------------
+#
+# TPU executes data-dependent gathers ~10 ns/element (serialized scalar
+# fetches): the original formulation here — nonzero() over all byte
+# positions + an 11-wide window gather per frame — measured 750+ ms of the
+# whole-dataset program's 1.17 s device time (tools/diag_device_time.py).
+# The >=11-spacing theorem gives a gather-free formulation:
+#
+#     a block of 11 consecutive byte positions contains AT MOST ONE valid
+#     frame start (two starts are >= 11 apart),
+#
+# so reshaping the position axis to [R, 11] rows makes per-row reduction
+# (sum of per-position field values masked by ok) extract every frame with
+# pure vector ops.  Frame fields are computed AT EVERY POSITION first via
+# 10 static shifted slices (VPU, HBM-rate).  decode_rows_jax returns this
+# masked-row layout [R, 5] + valid[R]; decode_frames_jax densifies it with
+# one [capacity]-row compaction gather for callers that need the packed
+# table.
 
 
-def decode_frames_jax(
+def decode_rows_jax(
     b,  # jnp.ndarray uint8 [N]
-    capacity: int,
     cfg: DecodeConfig = _DEFAULT,
     n_valid=None,  # optional jnp scalar: only b[:n_valid] holds real bytes
 ) -> Tuple:
-    """Jittable decode: byte tensor -> padded frame tensor.
+    """Gather-free jittable decode to the masked-row layout.
 
-    Returns (frames[capacity, 5] int32, count int32).  Rows past ``count``
-    are zero-filled; ``capacity`` must be static (N // 11 + 1 always fits by
-    the >=11-spacing theorem).  Runs entirely on device: ~10 shifted compares
-    over the byte tensor (VPU, HBM-bandwidth bound) + one compaction gather.
+    Returns (rows[R, 5] int32, valid[R] bool, count int32) with
+    R = ceil(N / 11): row r holds the frame starting in byte block
+    [11r, 11r+11) if any (``valid[r]``), zeros otherwise.  Frames appear
+    in stream order with gaps; all downstream stages that process frames
+    positionally with a validity mask (ops.correct.correct_rows_jax,
+    scene scatter) consume this directly — no compaction gather at all.
 
-    ``n_valid`` masks decode to frames that lie fully inside ``b[:n_valid]``
-    (start positions with ``p + frame_len > n_valid`` are rejected).  Use it
-    when the tail of ``b`` is padding, instead of relying on the padding
-    content being un-decodable.
+    ``n_valid`` masks decode to frames that lie fully inside
+    ``b[:n_valid]`` (start positions with ``p + frame_len > n_valid`` are
+    rejected), for callers whose padding bytes are not inert.
     """
     import jax.numpy as jnp
 
@@ -183,29 +200,67 @@ def decode_frames_jax(
     if n_valid is not None:
         ok = ok & (jnp.arange(n) + cfg.frame_len <= n_valid)
 
-    count = jnp.sum(ok.astype(jnp.int32))
-    starts = jnp.nonzero(ok, size=capacity, fill_value=n)[0]
-
-    w_idx = starts[:, None] + jnp.arange(11)[None, :]
-    pad_b = jnp.concatenate([b, jnp.zeros((11,), dtype=jnp.uint8)])
-    w = pad_b[w_idx].astype(jnp.int32)
-
-    flag = (w[:, 0] == cfg.flag_true).astype(jnp.int32)
-    ue = w[:, 1] & 0x3F
-    bs = w[:, 2] & 0x3F
-    clk = (
-        (w[:, 3] & 0x3F)
-        | ((w[:, 4] & 0x3F) << 6)
-        | ((w[:, 5] & 0x3F) << 12)
-        | ((w[:, 6] & 0x3F) << 18)
-        | ((w[:, 7] & 0x3F) << 24)
+    # Per-position field values from static shifted slices (no gathers).
+    pad_b = jnp.concatenate([b, jnp.zeros((10,), dtype=jnp.uint8)])
+    sh = [b.astype(jnp.int32)] + [
+        jax_slice(pad_b, d, n).astype(jnp.int32) for d in range(1, 11)
+    ]
+    flag_v = (b == cfg.flag_true).astype(jnp.int32)
+    ue_v = sh[1] & 0x3F
+    bs_v = sh[2] & 0x3F
+    clk_v = (
+        (sh[3] & 0x3F)
+        | ((sh[4] & 0x3F) << 6)
+        | ((sh[5] & 0x3F) << 12)
+        | ((sh[6] & 0x3F) << 18)
+        | ((sh[7] & 0x3F) << 24)
     )
-    rss = (w[:, 8] & 0x3F) | ((w[:, 9] & 0x3F) << 6) | ((w[:, 10] & 0x3F) << 12)
-    in_range = (starts < n).astype(jnp.int32)
-    frames = jnp.stack(
-        [flag * in_range, ue * in_range, bs * in_range, rss * in_range, clk * in_range],
+    rss_v = (sh[8] & 0x3F) | ((sh[9] & 0x3F) << 6) | ((sh[10] & 0x3F) << 12)
+
+    # Row reduction: <= 1 valid start per 11-position row, so a masked sum
+    # per row IS the frame (zeros when the row has no start).
+    r = -(-n // 11)
+    pad_pos = r * 11 - n
+
+    def rowred(v):
+        vm = v * ok.astype(jnp.int32)
+        vm = jnp.concatenate([vm, jnp.zeros((pad_pos,), jnp.int32)]) if pad_pos else vm
+        return vm.reshape(r, 11).sum(axis=1)
+
+    rows = jnp.stack(
+        [rowred(flag_v), rowred(ue_v), rowred(bs_v), rowred(rss_v), rowred(clk_v)],
         axis=1,
     )
+    okp = (
+        jnp.concatenate([ok, jnp.zeros((pad_pos,), bool)]) if pad_pos else ok
+    )
+    valid = okp.reshape(r, 11).any(axis=1)
+    count = jnp.sum(ok.astype(jnp.int32))
+    return rows, valid, count
+
+
+def decode_frames_jax(
+    b,  # jnp.ndarray uint8 [N]
+    capacity: int,
+    cfg: DecodeConfig = _DEFAULT,
+    n_valid=None,  # optional jnp scalar: only b[:n_valid] holds real bytes
+) -> Tuple:
+    """Jittable decode: byte tensor -> densely packed frame tensor.
+
+    Returns (frames[capacity, 5] int32, count int32).  Rows past ``count``
+    are zero-filled; ``capacity`` must be static (N // 11 + 1 always fits by
+    the >=11-spacing theorem).  Built on decode_rows_jax + one compaction
+    gather of [capacity] 5-field rows (11x fewer gathered elements than the
+    original per-position formulation; prefer the rows layout itself where
+    the consumer can take a validity mask).
+    """
+    import jax.numpy as jnp
+
+    rows, valid, count = decode_rows_jax(b, cfg=cfg, n_valid=n_valid)
+    r = rows.shape[0]
+    starts_row = jnp.nonzero(valid, size=capacity, fill_value=r)[0]
+    rows_pad = jnp.concatenate([rows, jnp.zeros((1, 5), jnp.int32)])
+    frames = rows_pad[starts_row]
     return frames, count
 
 

@@ -16,16 +16,17 @@ from typing import NamedTuple
 import numpy as np
 
 from slam_process_tpu.config import CorrectConfig, DecodeConfig, SceneConfig
-from slam_process_tpu.ops.correct import correct_frames_jax
-from slam_process_tpu.ops.decode import decode_frames_jax, frame_capacity
+from slam_process_tpu.ops.correct import correct_rows_jax
+from slam_process_tpu.ops.decode import decode_rows_jax, frame_capacity
 from slam_process_tpu.ops.raster import colormap_lut
 
 
 class DeviceSessionOut(NamedTuple):
-    frames: "np.ndarray"        # [cap, 5] i32, zero-padded
-    n_frames: "np.ndarray"      # scalar i32
-    corrected_bs: "np.ndarray"  # [cap] i32
-    keep: "np.ndarray"          # [cap] bool
+    frames: "np.ndarray"        # [R, 5] i32 MASKED-ROW layout (see below)
+    frame_valid: "np.ndarray"   # [R] bool: which rows hold real frames
+    n_frames: "np.ndarray"      # scalar i32 (== frame_valid.sum())
+    corrected_bs: "np.ndarray"  # [R] i32
+    keep: "np.ndarray"          # [R] bool
     correct_overflow: "np.ndarray"  # scalar bool: static bounds exceeded
     n_kept: "np.ndarray"        # scalar i32
     mean_grid: "np.ndarray"     # [64, 64] f32 UE-major (NaN empty)
@@ -34,13 +35,21 @@ class DeviceSessionOut(NamedTuple):
     blurred: "np.ndarray"       # [64, 64] f32
     norm_t: "np.ndarray"        # [64, 64] f32 normalized (pre-colormap) raster
 
+    # Masked-row layout: row r carries the frame whose start byte lies in
+    # block [11r, 11r+11) if any (frame_valid[r]); frames appear in stream
+    # order with gaps.  This is decode_rows_jax's gather-free output — the
+    # dense [:n_frames] packing would cost a [cap]-row compaction gather
+    # per session (TPU gathers serialize at ~10 ns/element); hosts compact
+    # with frames[frame_valid] when they need the packed table.
+
 
 def session_pipeline(
     byte_tensor,            # jnp [N] uint8 (padded with non-flag bytes)
     n_bytes,                # jnp scalar i32 (unused: padding is inert)
     lut,                    # jnp [256, 4] f32 colormap LUT
     *,
-    capacity: int,
+    capacity: int,          # kept for bucket identity; rows layout is N/11
+
     blur_sigma: float = 1.0,
     use_log: bool = True,
     log_transform_scene: bool = False,
@@ -58,9 +67,9 @@ def session_pipeline(
 
     from slam_process_tpu.ops.scene import fill_grid, intensity_grid_jax
 
-    frames, count = decode_frames_jax(byte_tensor, capacity=capacity, cfg=decode_cfg)
-    corrected_bs, keep, overflow = correct_frames_jax(
-        frames, count, max_groups=max_groups,
+    frames, valid, count = decode_rows_jax(byte_tensor, cfg=decode_cfg)
+    corrected_bs, keep, overflow = correct_rows_jax(
+        frames, valid, max_groups=max_groups,
         max_baselines_per_group=max_baselines_per_group, cfg=correct_cfg,
     )
 
@@ -84,6 +93,7 @@ def session_pipeline(
     rgba = apply_colormap_float(norm_t, lut)
     return DeviceSessionOut(
         frames=frames,
+        frame_valid=valid,
         n_frames=count,
         corrected_bs=corrected_bs,
         keep=keep,

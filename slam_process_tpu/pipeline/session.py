@@ -199,9 +199,10 @@ class Session:
             out = run_session_on_device(raw)
             # One batched pytree transfer for everything the host consumes
             # (per-leaf reads pay a round trip each on the relay transport).
-            n_frames_h, overflow_h, frames_h, corrected_h, keep_h = (
+            n_frames_h, overflow_h, frames_h, valid_h, corrected_h, keep_h = (
                 jax.device_get((out.n_frames, out.correct_overflow,
-                                out.frames, out.corrected_bs, out.keep)))
+                                out.frames, out.frame_valid,
+                                out.corrected_bs, out.keep)))
             if bool(overflow_h):
                 # Fall through to the host path on the already-tokenized
                 # bytes (no second file read).
@@ -210,9 +211,12 @@ class Session:
                 )
             else:
                 n = int(n_frames_h)
-                s.frames = frames_h[:n].astype(np.int64)
-                corrected = corrected_h[:n].astype(np.int64)
-                keep = keep_h[:n]
+                # Masked-row layout -> packed tables (order-preserving).
+                valid_h = valid_h.astype(bool)
+                s.frames = frames_h[valid_h].astype(np.int64)
+                corrected = corrected_h[valid_h].astype(np.int64)
+                keep = keep_h[valid_h]
+                assert len(s.frames) == n
                 s.corrected_bs = corrected
                 s.filtered = np.stack(
                     [s.frames[keep, 1], corrected[keep], s.frames[keep, 3],

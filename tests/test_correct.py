@@ -255,17 +255,10 @@ def test_jax_overflow_detection():
     assert bool(overflow2)
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
-def test_jax_matches_np_adversarial_fuzz(seed):
-    """Wilder generator than the synthetic test: single-row groups, groups
-    that are ALL baseline markers, equal-RSS chains (consecutive baseline
-    candidates), CLK values straddling the 30-bit wrap, and exact-TOL
-    residuals — the jitted corrector must match the host oracle bit-for-bit
-    on corrected/keep/filtered."""
-    import jax
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(seed)
+def _gen_adversarial_frames(rng):
+    """Adversarial frame generator: single-row groups, groups that are ALL
+    baseline markers, equal-RSS chains (consecutive baseline candidates),
+    CLK values straddling the 30-bit wrap, and exact-TOL residuals."""
     rows = []
     clk = int(rng.integers(0, 1 << 30))
     prev_rss = 777
@@ -294,7 +287,17 @@ def test_jax_matches_np_adversarial_fuzz(seed):
             prev_rss = rows[-1][3]
         # force the group boundary: next group's first UE below current
         ue_start = 0
-    f = np.asarray(rows, dtype=np.int64)
+    return np.asarray(rows, dtype=np.int64)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
+def test_jax_matches_np_adversarial_fuzz(seed):
+    """The jitted corrector must match the host oracle bit-for-bit on
+    corrected/keep/filtered under the adversarial generator."""
+    import jax
+    import jax.numpy as jnp
+
+    f = _gen_adversarial_frames(np.random.default_rng(seed))
     ref = correct_frames_np(f)
 
     fp = np.concatenate([f, np.zeros((17, 5), np.int64)]).astype(np.int32)
@@ -306,4 +309,44 @@ def test_jax_matches_np_adversarial_fuzz(seed):
                                   ref.corrected_bs)
     np.testing.assert_array_equal(np.asarray(keep)[: len(f)], ref.keep)
     filt = compact_filtered(fp, corrected, keep)
+    np.testing.assert_array_equal(filt, ref.filtered)
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33, 34])
+def test_rows_layout_matches_np_adversarial_fuzz(seed):
+    """correct_rows_jax on the MASKED-ROW layout (frames scattered at
+    random positions with gaps, decode_rows_jax's gather-free output shape)
+    must equal the host oracle at the valid positions and never keep an
+    invalid row."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.correct import correct_rows_jax
+
+    rng = np.random.default_rng(seed)
+    f = _gen_adversarial_frames(rng)
+    ref = correct_frames_np(f)
+
+    # Scatter into a 2-4x larger masked-row array at increasing positions.
+    r = len(f) * int(rng.integers(2, 5)) + int(rng.integers(0, 7))
+    pos = np.sort(rng.choice(r, size=len(f), replace=False))
+    rows = np.zeros((r, 5), dtype=np.int32)
+    # Poison invalid rows with junk fields: they must never influence the
+    # result (only `valid` gates them).
+    rows[:, :] = rng.integers(0, 1 << 18, size=(r, 5))
+    rows[:, 0] = rng.integers(0, 2, size=r)
+    valid = np.zeros(r, dtype=bool)
+    rows[pos] = f.astype(np.int32)
+    valid[pos] = True
+
+    fn = jax.jit(lambda x, v: correct_rows_jax(
+        x, v, max_groups=64, max_baselines_per_group=64))
+    corrected, keep, overflow = fn(jnp.asarray(rows), jnp.asarray(valid))
+    corrected = np.asarray(corrected)
+    keep = np.asarray(keep)
+    assert not bool(overflow)
+    assert not np.any(keep & ~valid), "kept an invalid row"
+    np.testing.assert_array_equal(corrected[pos], ref.corrected_bs)
+    np.testing.assert_array_equal(keep[pos], ref.keep)
+    filt = compact_filtered(rows, corrected, keep)
     np.testing.assert_array_equal(filt, ref.filtered)

@@ -127,6 +127,44 @@ def test_jax_decode_matches_np(small_log_bytes):
     assert not np.any(np.asarray(frames)[count:])
 
 
+def test_decode_rows_matches_np(small_log_bytes):
+    """Gather-free masked-row decode: packing the valid rows reproduces the
+    dense numpy decode exactly, and invalid rows are all-zero."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.decode import decode_rows_jax
+
+    rows, valid, count = decode_rows_jax(jnp.asarray(small_log_bytes))
+    ref = decode_frames_np(small_log_bytes)
+    rows = np.asarray(rows)
+    valid = np.asarray(valid)
+    assert int(count) == ref.valid
+    assert int(valid.sum()) == ref.valid
+    np.testing.assert_array_equal(rows[valid], ref.frames)
+    assert not np.any(rows[~valid])
+    assert rows.shape[0] == -(-len(small_log_bytes) // 11)
+
+
+def test_decode_rows_greedy_equivalence_synthetic():
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.decode import decode_rows_jax
+
+    rng = np.random.default_rng(13)
+    chunks = []
+    for _ in range(60):
+        if rng.random() < 0.6:
+            chunks.extend(make_frame(ue=int(rng.integers(64))))
+        else:
+            chunks.extend(rng.integers(0, 256, rng.integers(1, 25)).tolist())
+    b = np.array(chunks, dtype=np.uint8)
+    rows, valid, count = decode_rows_jax(jnp.asarray(b))
+    ref = decode_frames_greedy_np(b)
+    assert int(count) == ref.valid
+    np.testing.assert_array_equal(np.asarray(rows)[np.asarray(valid)],
+                                  ref.frames)
+
+
 def test_jax_decode_greedy_equivalence_synthetic():
     import jax.numpy as jnp
 

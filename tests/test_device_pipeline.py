@@ -16,12 +16,15 @@ def test_device_pipeline_matches_host(small_log_bytes):
     ref_dec = decode_frames_np(small_log_bytes)
     n = int(out.n_frames)
     assert n == ref_dec.valid
-    np.testing.assert_array_equal(np.asarray(out.frames)[:n], ref_dec.frames)
+    # Masked-row layout: pack via the validity mask (order-preserving).
+    fv = np.asarray(out.frame_valid).astype(bool)
+    assert int(fv.sum()) == n
+    np.testing.assert_array_equal(np.asarray(out.frames)[fv], ref_dec.frames)
 
     ref_cor = correct_frames_np(ref_dec.frames)
-    np.testing.assert_array_equal(np.asarray(out.keep)[:n], ref_cor.keep)
+    np.testing.assert_array_equal(np.asarray(out.keep)[fv], ref_cor.keep)
     np.testing.assert_array_equal(
-        np.asarray(out.corrected_bs)[:n][ref_cor.keep],
+        np.asarray(out.corrected_bs)[fv][ref_cor.keep],
         ref_cor.filtered[:, 1],
     )
     assert int(out.n_kept) == len(ref_cor.filtered)

@@ -92,12 +92,15 @@ def test_sharded_batched_pipeline_matches_host_oracle(stacked, single_device_out
         host = decode_frames_np(raws[s])
         n = int(out.n_frames[s])
         assert n == host.valid
-        np.testing.assert_array_equal(out.frames[s, :n], host.frames)
+        fv = np.asarray(out.frame_valid[s]).astype(bool)
+        assert int(fv.sum()) == n
+        np.testing.assert_array_equal(out.frames[s][fv], host.frames)
 
         res = correct_frames_np(host.frames)
         assert not bool(out.correct_overflow[s])
-        np.testing.assert_array_equal(out.keep[s, :n], res.keep)
-        np.testing.assert_array_equal(out.corrected_bs[s, :n], res.corrected_bs)
+        np.testing.assert_array_equal(np.asarray(out.keep[s])[fv], res.keep)
+        np.testing.assert_array_equal(
+            np.asarray(out.corrected_bs[s])[fv], res.corrected_bs)
         assert int(out.n_kept[s]) == len(res.filtered)
 
         grid = intensity_grid_np(

@@ -38,14 +38,17 @@ def test_device_pipeline_matches_host_on_chip(small_log_bytes, decoded):
 
     dec, res = decoded
     out = run_session_on_device(small_log_bytes)
-    n, frames, corrected, keep = jax.device_get(
-        (out.n_frames, out.frames, out.corrected_bs, out.keep))
+    n, frames, fv, corrected, keep = jax.device_get(
+        (out.n_frames, out.frames, out.frame_valid, out.corrected_bs,
+         out.keep))
     n = int(n)
     assert n == dec.valid
-    np.testing.assert_array_equal(frames[:n], dec.frames)
+    fv = fv.astype(bool)
+    assert int(fv.sum()) == n
+    np.testing.assert_array_equal(frames[fv], dec.frames)
     filtered = np.stack(
-        [frames[:n][keep[:n], 1], corrected[:n][keep[:n]],
-         frames[:n][keep[:n], 3], frames[:n][keep[:n], 4]], axis=1)
+        [frames[keep, 1], corrected[keep],
+         frames[keep, 3], frames[keep, 4]], axis=1)
     np.testing.assert_array_equal(filtered, res.filtered)
 
 
