@@ -17,7 +17,7 @@ Exact-parity semantics (same invariants as the host ``StreamingSession``):
   * frame carry — a row's correction depends on every baseline in its sweep
     group, so the open (last) group's frames stay in a device carry buffer
     until a UE-decrease boundary closes them; closed groups run through
-    ``correct_frames_jax`` and fold into the accumulators.  Per-cell means
+    ``correct_rows_jax`` and fold into the accumulators.  Per-cell means
     are sum/count, hence order-independent and equal to the offline pivot.
   * ``SceneConfig.log_transform`` is honored on this path (drop RSS<=0,
     fold ln RSS), matching pivot_data's pre-log (heatmap_gemini_v1-7.py:
@@ -36,7 +36,7 @@ from typing import NamedTuple, Optional, Union
 import numpy as np
 
 from slam_process_tpu.config import PipelineConfig
-from slam_process_tpu.ops.decode import decode_frames_jax, frame_capacity
+from slam_process_tpu.ops.decode import decode_rows_jax, frame_capacity
 from slam_process_tpu.ops.scene import IntensityGrid, intensity_sums_jax
 from slam_process_tpu.utils import get_logger
 
@@ -95,58 +95,70 @@ def _step_body(
     decoder: str,
     emit_capacity: int,
 ):
+    import jax
     import jax.numpy as jnp
 
     if decoder == "pallas":
-        import jax
-
         from slam_process_tpu.ops.pallas_decode import decode_frames_pallas
 
-        # The Pallas kernel has no n_valid mask, so zero the padded tail
-        # explicitly.  Zeroed bytes are provably un-decodable: a frame
-        # window touching them fails its tag checks (every non-flag offset
-        # requires top bits 1/2/3; zero has top bits 0) and a zero flag
-        # byte is neither 0xCC nor 0x33 — but we do not rely on the caller
-        # having padded with zeros.
+        # The Pallas kernel emits the densely packed layout; scatter it back
+        # to a masked-row table so both decoders feed the same downstream.
+        # Zero the padded tail first (the kernel has no n_valid mask);
+        # zeroed bytes are provably un-decodable: a frame window touching
+        # them fails its tag checks (every non-flag offset requires top
+        # bits 1/2/3; zero has top bits 0) and a zero flag byte is neither
+        # 0xCC nor 0x33 — but we do not rely on the caller's padding.
         chunk = jnp.where(jnp.arange(chunk.shape[0]) < n_bytes, chunk, 0)
-        new_frames, n_new = decode_frames_pallas(
+        packed, n_new = decode_frames_pallas(
             chunk, capacity=cap, interpret=jax.default_backend() != "tpu"
         )
+        r = -(-chunk.shape[0] // 11)
+        dst = jnp.where(jnp.arange(cap) < n_new, jnp.arange(cap), r)
+        new_rows = jnp.zeros((r, 5), jnp.int32).at[dst].set(packed, mode="drop")
+        new_valid = jnp.zeros((r,), bool).at[dst].set(True, mode="drop")
+        # NOTE: packs frames to the FIRST rows rather than their true block
+        # positions — positional invariants still hold (stream order, one
+        # frame per row), which is all the downstream uses.
     else:
-        # Mask decode to frames fully inside chunk[:n_bytes]: correctness on
-        # short/padded pieces is explicit, not a property of the pad bytes.
-        new_frames, n_new = decode_frames_jax(chunk, capacity=cap,
-                                              cfg=cfg.decode, n_valid=n_bytes)
+        # Gather-free masked-row decode (ops/decode.decode_rows_jax); mask
+        # to frames fully inside chunk[:n_bytes] so correctness on short/
+        # padded pieces is explicit, not a property of the pad bytes.
+        new_rows, new_valid, n_new = decode_rows_jax(chunk, cfg=cfg.decode,
+                                                     n_valid=n_bytes)
 
     cc = state.carry_count
-    total = cc + n_new
     gcap = group_capacity
-    t = gcap + cap
+    t = gcap + new_rows.shape[0]
 
-    # combined[i] = carry[i] for i < cc else new_frames[i - cc]; both
-    # gathers are clamped so every index is in range (masked rows are dead).
+    # Masked-row combine: dense carry prefix + the chunk's masked rows.
+    # Static concatenation — no per-row gather.
     rows = jnp.arange(t, dtype=jnp.int32)
-    from_carry = rows < cc
-    carry_idx = jnp.minimum(rows, gcap - 1)
-    new_idx = jnp.clip(rows - cc, 0, cap - 1)
-    combined = jnp.where(
-        from_carry[:, None],
-        state.carry_frames[carry_idx],
-        new_frames[new_idx],
+    combined = jnp.concatenate([state.carry_frames, new_rows])
+    valid = jnp.concatenate(
+        [jnp.arange(gcap, dtype=jnp.int32) < cc, new_valid]
     )
-    real = rows < total
 
-    # Sweep boundaries: a UE decrease starts a new group.  Row 0 continues
-    # the carried-over open group by construction.
+    # Sweep boundaries: a UE decrease vs the previous VALID row starts a
+    # new group; the first valid row continues the carried-over open group
+    # (has_prev is False there exactly when the carry is empty, i.e. start
+    # of stream, where the reference also opens the first group).
     ue = combined[:, 1]
-    prev_ue = jnp.concatenate([ue[:1], ue[:-1]])
-    boundary = (rows > 0) & real & (prev_ue > ue)
+
+    def _kl(a, b):
+        au, av = a
+        bu, bv = b
+        return jnp.where(bv, bu, au), av | bv
+
+    s_ue, s_v = jax.lax.associative_scan(_kl, (ue, valid))
+    prev_ue = jnp.concatenate([s_ue[:1] * 0, s_ue[:-1]])
+    has_prev = jnp.concatenate([jnp.zeros((1,), bool), s_v[:-1]])
+    boundary = valid & has_prev & (prev_ue > ue)
     closed = jnp.max(jnp.where(boundary, rows, 0))   # 0 when no boundary
 
-    from slam_process_tpu.ops.correct import correct_frames_jax
+    from slam_process_tpu.ops.correct import correct_rows_jax
 
-    corrected, keep, c_overflow = correct_frames_jax(
-        combined, closed, max_groups=max_groups,
+    corrected, keep, c_overflow = correct_rows_jax(
+        combined, valid & (rows < closed), max_groups=max_groups,
         max_baselines_per_group=max_baselines_per_group, cfg=cfg.correct,
     )
 
@@ -155,14 +167,14 @@ def _step_body(
         combined[:, 0], cfg.scene,
     )
 
-    # New carry: the open group's rows [closed, total).
-    n_carry = total - closed
-    carry_src = jnp.minimum(closed + jnp.arange(gcap, dtype=jnp.int32), t - 1)
-    new_carry = jnp.where(
-        (jnp.arange(gcap, dtype=jnp.int32) < n_carry)[:, None],
-        combined[carry_src],
-        0,
-    )
+    # New carry: the open group's valid rows in [closed, t), compacted into
+    # the dense [gcap] buffer — the ONE gather left in the step, bounded by
+    # gcap rows (not the chunk's frame capacity).
+    open_mask = valid & (rows >= closed)
+    n_carry = jnp.sum(open_mask.astype(jnp.int32))
+    src = jnp.nonzero(open_mask, size=gcap, fill_value=t)[0]
+    combined_pad = jnp.concatenate([combined, jnp.zeros((1, 5), jnp.int32)])
+    new_carry = combined_pad[src]
 
     if emit_capacity:
         emit_buf, emit_count, ring_overflow = _emit_kept_rows(
