@@ -180,6 +180,12 @@ def _add_estimate(sub):
                    help="time-resolved estimation: vmapped over every sweep "
                         "of the session (nn_omp/sm_sic; writes a table of "
                         "per-sweep paths instead of a figure)")
+    p.add_argument("--tracks", action="store_true",
+                   help="associate per-sweep paths into CLK-anchored tracks "
+                        "with angular-velocity fits (implies --per-sweep; "
+                        "writes a track table + trajectory figure)")
+    p.add_argument("--gate-deg", type=float, default=10.0,
+                   help="track association gate (Euclidean angle distance)")
     p.set_defaults(fn=_run_estimate)
 
 
@@ -200,6 +206,9 @@ def _run_estimate(args):
         overrides["beam_width"] = args.beam_width
     if args.engine != "host":
         overrides["engine"] = args.engine
+    if args.tracks:
+        _run_estimate_tracks(args, s, overrides)
+        return
     if args.per_sweep:
         _run_estimate_per_sweep(args, s, overrides)
         return
@@ -207,6 +216,37 @@ def _run_estimate(args):
     paths = run_estimator(args.model, s, args.mapping, out, **overrides)
     print(paths.to_string(index=False) if hasattr(paths, "to_string") else paths)
     print(f"输出PNG: {out}")
+
+
+def _run_estimate_tracks(args, s, overrides):
+    """CLK-anchored track association over per-sweep paths (ToA axis)."""
+    import numpy as np
+
+    from slam_process_tpu.io.xlsx import write_xlsx_table
+    from slam_process_tpu.render.tracks import save_track_figure
+
+    estimator = args.model if args.model in ("nn_omp", "sm_sic") else "nn_omp"
+    overrides.pop("engine", None)   # sweep_paths is device-only by design
+    tracks, times, vel = s.path_tracks(
+        args.mapping, estimator=estimator, gate_deg=args.gate_deg,
+        **overrides)
+    rows = []
+    for t in range(int(tracks.n_tracks)):
+        for sweep in np.nonzero(tracks.observed[t])[0]:
+            rows.append([t, sweep, times[sweep], tracks.pos_aoa[t][sweep],
+                         tracks.pos_aod[t][sweep], tracks.power[t][sweep],
+                         vel[0][t], vel[1][t]])
+    table = np.asarray(rows, dtype=np.float64).reshape(-1, 8)
+    base = args.output or (args.input.parent / f"{s.name}_tracks.xlsx")
+    out = write_xlsx_table(
+        base, ["Track", "Sweep", "CLK", "AoA", "AoD", "Power",
+               "Vel_AoA_deg_per_tick", "Vel_AoD_deg_per_tick"], table)
+    fig_path = Path(out).with_suffix(".png")
+    save_track_figure(tracks, times, fig_path, velocities=vel,
+                      title=f"Path tracks ({s.name})")
+    n_fit = int(np.sum(vel[2][: int(tracks.n_tracks)]))
+    print(f"tracks={int(tracks.n_tracks)} fitted={n_fit} "
+          f"rows={len(rows)} 输出={out} 图={fig_path}")
 
 
 def _run_estimate_per_sweep(args, s, overrides):

@@ -10,6 +10,7 @@ mirroring the reference's use of xlsx files as durable stage checkpoints
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Optional, Union
@@ -550,6 +551,60 @@ class Session:
         paths = type(out_h)(*(np.asarray(x)[:n_sweeps] for x in out_h))
         sweep_valid = np.asarray(valid_h)[:n_sweeps]
         return paths, sweep_valid
+
+    def path_tracks(
+        self,
+        angle_file: Union[str, Path],
+        estimator: str = "nn_omp",
+        max_tracks: int = 8,
+        gate_deg: float = 10.0,
+        engine: str = "host",
+        **overrides,
+    ):
+        """CLK-anchored multipath tracks — the ToA axis the reference left
+        unused (heatmap_gemini_v2.py:35-38 aggregates CLK "for future ToA
+        use" and never uses it).
+
+        Runs ``sweep_paths`` (time-resolved per-sweep estimation, on
+        device), anchors each sweep on its first kept frame's CLK
+        (``sweep_times``), then associates paths across sweeps into tracks
+        with per-track angular-velocity fits (deg per CLK tick).
+
+        ``engine`` selects the association implementation: "host"
+        (default — the [S<=64, K<=3] problem is microseconds) or "device"
+        (the jitted ``lax.scan`` formulation, bit-identical by test).
+
+        Returns (tracks, times, (vel_aoa, vel_aod, vel_ok)).
+        """
+        from slam_process_tpu.models.tracking import (
+            track_paths_jax,
+            track_paths_np,
+            track_velocities,
+        )
+
+        paths, sweep_valid = self.sweep_paths(
+            angle_file, estimator=estimator, **overrides)
+        times = self.sweep_times(len(sweep_valid))
+        power = paths.power if hasattr(paths, "power") else paths.metric
+        valid = (np.asarray(paths.valid, bool)
+                 & sweep_valid[:, None] & (times >= 0)[:, None])
+        if engine == "device":
+            import jax
+
+            tracks_d = jax.jit(
+                functools.partial(track_paths_jax, max_tracks=max_tracks,
+                                  gate_deg=gate_deg)
+            )(paths.aoa, paths.aod, power, valid)
+            from slam_process_tpu.models.tracking import Tracks
+
+            tracks = Tracks(*jax.device_get(tracks_d))
+        elif engine == "host":
+            tracks = track_paths_np(paths.aoa, paths.aod, power, valid,
+                                    max_tracks=max_tracks, gate_deg=gate_deg)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+        vel = track_velocities(tracks, times)
+        return tracks, times, vel
 
     def render_heatmap(
         self,
