@@ -226,34 +226,76 @@ def correct_rows_jax(
         & (~boundary)
     )
 
+    # Per-row one-hot over groups: every data-dependent table lookup below
+    # becomes an exact [F, G] @ [G, *] matmul on the MXU instead of a row
+    # gather (TPU gathers serialize at ~10 ns/element; the gather
+    # formulation dominated the whole-dataset program's device time —
+    # tools/diag_device_time.py).  Exactness: a one-hot row selects a
+    # single table entry, and every selected value is split into 15-bit
+    # limbs so it is an exact f32; HIGHEST precision keeps the MXU from
+    # downcasting the inputs to bf16.
+    hp = jax.lax.Precision.HIGHEST
+    onehot_g = (gid[:, None] == jnp.arange(max_groups)[None, :]
+                ).astype(jnp.float32)
+
+    def _sel_i32(table_f32_2col):
+        """One-hot select int32 values packed as (hi15, lo15) f32 limbs."""
+        s = jnp.dot(onehot_g, table_f32_2col, precision=hp)
+        n2 = s.shape[1] // 2
+        return (s[:, :n2].astype(jnp.int32) << 15) | s[:, n2:].astype(jnp.int32)
+
     blv = is_bl.astype(jnp.int32)
     csum = jnp.cumsum(blv)
-    group_counts = jax.ops.segment_sum(blv, gid, num_segments=max_groups)
+    group_counts = jax.ops.segment_sum(blv, gid, num_segments=max_groups,
+                                       indices_are_sorted=True)
     group_offs = jnp.cumsum(group_counts) - group_counts
-    rank = (csum - 1) - group_offs[gid]
+    offs_limbs = jnp.stack(
+        [group_offs >> 15, group_offs & 0x7FFF], axis=1).astype(jnp.float32)
+    rank = (csum - 1) - _sel_i32(offs_limbs)[:, 0]
 
     bmax = max_baselines_per_group
     slot = gid * bmax + rank
     dump = max_groups * bmax
     slot = jnp.where(is_bl & (rank < bmax), slot, dump)
-    tbl_clk = jnp.zeros(dump + 1, dtype=jnp.int32).at[slot].set(prev_clk)
-    tbl_bs = jnp.zeros(dump + 1, dtype=jnp.int32).at[slot].set(bs)
-    tbl_valid = jnp.zeros(dump + 1, dtype=jnp.bool_).at[slot].set(True)
-    tbl_clk = tbl_clk[:dump].reshape(max_groups, bmax)
-    tbl_bs = tbl_bs[:dump].reshape(max_groups, bmax)
-    tbl_valid = tbl_valid[:dump].reshape(max_groups, bmax)
+    # One scatter of an [F, 3] payload (clk, bs, valid) instead of three.
+    payload = jnp.stack(
+        [prev_clk, bs, jnp.ones_like(bs)], axis=1).astype(jnp.int32)
+    tbl = jnp.zeros((dump + 1, 3), dtype=jnp.int32).at[slot].set(payload)
+    tbl_clk = tbl[:dump, 0].reshape(max_groups, bmax)
+    tbl_bs = tbl[:dump, 1].reshape(max_groups, bmax)
+    tbl_valid = tbl[:dump, 2].reshape(max_groups, bmax)
 
-    d = clk[:, None] - tbl_clk[gid]                           # [F, Bmax]
+    # Row-local baseline planes [F, Bmax]: clk as two 15-bit limbs (30-bit
+    # counter), bs and valid directly (6-bit / 0-1 values, exact f32).
+    packed = jnp.concatenate(
+        [
+            (tbl_clk >> 15).astype(jnp.float32),
+            (tbl_clk & 0x7FFF).astype(jnp.float32),
+            tbl_bs.astype(jnp.float32),
+            tbl_valid.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    sel = jnp.dot(onehot_g, packed, precision=hp)
+    row_clk = ((sel[:, :bmax].astype(jnp.int32) << 15)
+               | sel[:, bmax:2 * bmax].astype(jnp.int32))
+    row_bs = sel[:, 2 * bmax:3 * bmax].astype(jnp.int32)
+    row_bl_valid = sel[:, 3 * bmax:] > 0.5
+
+    d = clk[:, None] - row_clk                                # [F, Bmax]
     k = jnp.floor_divide(d + cfg.cycle // 2, cfg.cycle)
     resid = jnp.abs(d - k * cfg.cycle)
-    accept = (resid <= cfg.tol) & tbl_valid[gid]
-    score = jnp.where(
-        accept, resid * (bmax + 1) + jnp.arange(bmax, dtype=jnp.int32), 2**30
-    )
-    best = jnp.argmin(score, axis=1)
-    has = jnp.take_along_axis(accept, best[:, None], axis=1)[:, 0]
-    k_best = jnp.take_along_axis(k, best[:, None], axis=1)[:, 0]
-    bs_best = jnp.take_along_axis(tbl_bs[gid], best[:, None], axis=1)[:, 0]
+    accept = (resid <= cfg.tol) & row_bl_valid
+    # Unique score per column (col index is the tiebreak, matching the
+    # host oracle's first-min selection), so the min row IS the argmin row
+    # and every "best" field selects with a compare+sum — no gather.
+    cols = jnp.arange(bmax, dtype=jnp.int32)
+    score = jnp.where(accept, resid * (bmax + 1) + cols, 2**30 + cols)
+    best_score = jnp.min(score, axis=1)
+    has = best_score < 2**30
+    pick = score == best_score[:, None]
+    k_best = jnp.sum(jnp.where(pick, k, 0), axis=1)
+    bs_best = jnp.sum(jnp.where(pick, row_bs, 0), axis=1)
     cand = jnp.mod(bs_best + k_best, cfg.mod_base)
 
     normal = (flag == 0) & valid
