@@ -79,38 +79,54 @@ def blur_nan_aware_np(data: np.ndarray, sigma: float) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _blur_operator_np(n: int, sigma: float) -> np.ndarray:
+    """Dense [n, n] row-blur operator: 1-D Gaussian taps with edge
+    replication folded into the boundary columns.
+
+    The reference's 2-D kernel (gaussian_kernel_np) is separable — the
+    outer product of its (normalized) marginals — so the NaN-aware blur's
+    two 2-D convs become ``K @ X @ K.T`` matmul chains.  On TPU this moves
+    the blur from conv ops (measured ~5 ms fixed cost at the 64x64 shape)
+    to two sub-microsecond MXU matmuls."""
+    k2 = gaussian_kernel_np(sigma)
+    g = k2.sum(axis=0)                       # 1-D factor, sums to 1
+    p = len(g) // 2
+    op = np.zeros((n, n))
+    rows = np.arange(n)
+    for t in range(-p, p + 1):
+        np.add.at(op, (rows, np.clip(rows + t, 0, n - 1)), g[t + p])
+    return op
+
+
 def blur_nan_aware_jax(data, sigma: float):
-    """Jittable NaN-aware blur (two conv passes over masked data)."""
+    """Jittable NaN-aware blur (separable operator matmuls over masked
+    data; equals the 2-D conv formulation up to f32 accumulation order)."""
     import jax.numpy as jnp
     from jax import lax
 
     if sigma <= 0:
         return data
-    k = jnp.asarray(gaussian_kernel_np(sigma), dtype=jnp.float32)
-    kh, kw = k.shape
-    ph, pw = kh // 2, kw // 2
+    op = jnp.asarray(_blur_operator_np(data.shape[-2], float(sigma)),
+                     dtype=jnp.float32)
+    op_t = (op.T if data.shape[-1] == data.shape[-2] else
+            jnp.asarray(_blur_operator_np(data.shape[-1], float(sigma)),
+                        dtype=jnp.float32).T)
     mask = jnp.isfinite(data).astype(jnp.float32)
     filled = jnp.nan_to_num(data, nan=0.0)
-    pd_ = jnp.pad(filled, ((ph, ph), (pw, pw)), mode="edge")
-    pm = jnp.pad(mask, ((ph, ph), (pw, pw)), mode="edge")
 
-    def conv(x):
-        # precision=HIGHEST: the TPU default runs this conv in bf16 on the
-        # MXU, and raw RSS spans 18 bits — the ~1e-3 relative error explodes
-        # through the shifted-log norm for cells near the global min
-        # (diagnosed on-device in round 2: a cell 880 units above mn moved
-        # by a full 0.076 in t; the f32 conv matches the f64 oracle).
-        return lax.conv_general_dilated(
-            x[None, None],
-            k[None, None],
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=lax.Precision.HIGHEST,
-        )[0, 0]
+    def blur(x):
+        # precision=HIGHEST: the TPU default runs these matmuls in bf16 on
+        # the MXU, and raw RSS spans 18 bits — the ~1e-3 relative error
+        # explodes through the shifted-log norm for cells near the global
+        # min (diagnosed on-device in round 2: a cell 880 units above mn
+        # moved by a full 0.076 in t; f32 matches the f64 oracle).
+        return jnp.matmul(
+            op, jnp.matmul(x, op_t, precision=lax.Precision.HIGHEST),
+            precision=lax.Precision.HIGHEST)
 
-    num = conv(pd_ * pm)
-    den = conv(pm)
+    num = blur(filled * mask)
+    den = blur(mask)
     return jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-30), jnp.nan)
 
 

@@ -109,13 +109,22 @@ def session_pipeline(
 
 @functools.lru_cache(maxsize=8)
 def compiled_session_pipeline(n_bytes_padded: int, blur_sigma: float = 1.0,
-                              use_log: bool = True):
-    """A jitted pipeline for one byte-capacity bucket."""
+                              use_log: bool = True, max_groups: int = 256,
+                              max_baselines_per_group: int = 256):
+    """A jitted pipeline for one byte-capacity bucket.
+
+    ``max_groups``/``max_baselines_per_group`` are the corrector's static
+    capacity bounds; the corrector's [F, Bmax] score planes scale with
+    them, so callers that know their data (bench: the dataset maxes at 58
+    groups / 93 baselines) pass tight bounds.  Overflow is flagged in the
+    output and Session falls back to the host path."""
     import jax
 
     cap = frame_capacity(n_bytes_padded)
     fn = functools.partial(session_pipeline, capacity=cap,
-                           blur_sigma=blur_sigma, use_log=use_log)
+                           blur_sigma=blur_sigma, use_log=use_log,
+                           max_groups=max_groups,
+                           max_baselines_per_group=max_baselines_per_group)
     from slam_process_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     return jax.jit(fn)
@@ -138,12 +147,15 @@ def bucket_size(n: int, quantum: int = 1 << 20) -> int:
 
 
 def run_session_on_device(raw_bytes: np.ndarray, blur_sigma: float = 1.0,
-                          use_log: bool = True) -> DeviceSessionOut:
+                          use_log: bool = True, max_groups: int = 256,
+                          max_baselines_per_group: int = 256,
+                          ) -> DeviceSessionOut:
     """Convenience host wrapper: tokenized bytes -> device pipeline outputs."""
     import jax.numpy as jnp
 
     n = bucket_size(len(raw_bytes))
-    fn = compiled_session_pipeline(n, blur_sigma, use_log)
+    fn = compiled_session_pipeline(n, blur_sigma, use_log, max_groups,
+                                   max_baselines_per_group)
     lut = jnp.asarray(colormap_lut("viridis"))
     padded = jnp.asarray(pad_bytes(raw_bytes, n))
     return fn(padded, jnp.int32(len(raw_bytes)), lut)
