@@ -13,6 +13,16 @@ reference itself publishes no numbers; its pure-Python decode loop measures
 ~2-4k frames/s on this machine, see "reference_frames_per_sec" in extras).
 Also reports the max premultiplied-RGBA pixel delta between the device
 raster and the float64 matplotlib-oracle render path (budget 1e-3).
+
+MEASUREMENT MODEL (round 3): every device-side number is TRUE DEVICE TIME
+from the jax.profiler xplane DEVICE plane (utils/device_timing.py).  Host
+wall-clock cannot bound device execution on this relay transport —
+block_until_ready returns on the dispatch acknowledgement (a chained
+K-iteration 256 MB-read program wall-times the same at K=2 and K=520;
+tools/diag_roofline.py) — which is how round 2 reported throughputs above
+the chip's HBM roofline.  Wall-clock numbers are still reported as
+``*_wall_s`` extras (they are the user-visible dispatch latencies), but
+every ``*_device_*`` key and the headline come from the device plane.
 """
 
 from __future__ import annotations
@@ -63,7 +73,15 @@ def main() -> None:
     from slam_process_tpu.io import read_hex_log
     from slam_process_tpu.ops.correct import correct_frames_np
     from slam_process_tpu.ops.decode import decode_frames_np
-    from slam_process_tpu.pipeline.device import run_session_on_device
+    from slam_process_tpu.pipeline.device import run_session_on_device as _run_dev
+    from slam_process_tpu.utils.device_timing import measure_device_time
+
+    # Dataset-tight corrector bounds (58 groups / 93 baselines max across
+    # the 19 logs): the corrector's [F, Bmax] score planes scale with the
+    # static bounds, and the generous 256/256 default wastes ~2.7x plane
+    # traffic here.  Matches the batched config below.
+    def run_session_on_device(r):
+        return _run_dev(r, max_groups=64, max_baselines_per_group=96)
 
     logs = sorted(glob.glob(str(DEBUGDOC / "*.txt")))
     if not logs:
@@ -79,55 +97,29 @@ def main() -> None:
     jax.block_until_ready([o.rgba for o in warm])
     del warm
 
-    # Timed: tokenized bytes -> device pipeline -> raster, all logs.
-    # No per-log sync within a pass: dispatch everything, block once.  One
-    # dataset pass is only ~30-40 ms — relay dispatch jitter swung the r1->r2
-    # headline by 23% with zero code change — so the timed region repeats
-    # whole-dataset passes until it spans >= 0.5 s, and the spread across
-    # 3 such regions is reported (regression detection needs swing < 5%).
+    # ------------------------------------------------------------------
+    # Phase 1: WALL timings (dispatch latency extras).  No D2H reads here:
+    # the FIRST read of any device buffer flips the relay transport into a
+    # persistent degraded mode (tools/diag_reads.py, diag_bisect.py), so
+    # every wall number is taken before the first trace window below.
+    # ------------------------------------------------------------------
     t0 = time.perf_counter()
     outs = [run_session_on_device(r) for r in raw]
     jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
-    one_pass = time.perf_counter() - t0
-    n_passes = max(int(np.ceil(0.5 / max(one_pass, 1e-4))), 1)
-    pass_times = []
-    for _ in range(3):
-        for _pass in range(n_passes):
-            t0 = time.perf_counter()
-            outs = [run_session_on_device(r) for r in raw]
-            jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
-            pass_times.append(time.perf_counter() - t0)
-    # This section is dispatch-bound (the device finishes the whole dataset
-    # in ~85 us — see batched_*): each pass pays ~19 relay dispatches whose
-    # host-side stalls are large, one-sided, and additive.  min over many
-    # passes is the reproducible sustained rate (stalls can only inflate a
-    # blocked pass, never deflate it); the median and spread are reported
-    # alongside so the jitter stays visible.
-    elapsed = min(pass_times)
-    elapsed_median = sorted(pass_times)[len(pass_times) // 2]
-    headline_spread = (max(pass_times) - min(pass_times)) / elapsed_median
-    # NO D2H reads until every timed section is done: the FIRST read of any
-    # device buffer flips the relay transport into a persistent degraded
-    # mode (subsequent 40 MB-input program calls: 0.05 ms -> 1196 ms,
-    # deterministic; tools/diag_reads.py + tools/diag_bisect.py phase 'a').
-    # This ordering discipline — time everything, then read — was the
-    # entire round-1 "batched dispatch anomaly".
+    headline_wall_s = time.perf_counter() - t0
+
     import jax.numpy as jnp
 
     total_frames_dev = jax.jit(lambda *xs: sum(xs))(
         *[o.n_frames for o in outs])   # read in the report phase below
 
-    # Fully end-to-end: file read + host tokenization + device pipeline.
+    # Fully end-to-end: file read + host tokenization + device dispatch.
     # Sequential ingest: the native tokenizer runs at ~536 MB/s so thread
     # overlap gains nothing (measured: sequential is the faster e2e).
-    # min of 3: the host stages inherit the box's CPU noise.
-    e2e_times = []
-    for _ in range(3):
-        t1 = time.perf_counter()
-        outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
-        jax.block_until_ready([o.rgba for o in outs2])
-        e2e_times.append(time.perf_counter() - t1)
-    e2e_elapsed = min(e2e_times)
+    t1 = time.perf_counter()
+    outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
+    jax.block_until_ready([o.rgba for o in outs2])
+    e2e_wall_s = time.perf_counter() - t1
 
     # Pixel parity needs one sequential output; keep it, free the rest.
     import gc
@@ -138,23 +130,9 @@ def main() -> None:
 
     # Batched-session config: ONE jitted program over the stacked [S, Nmax]
     # byte batch (the multi-chip layout, here on a single chip).
-    #
-    # Round-1's "dispatch anomaly" (1.2 s/call) is root-caused as TWO
-    # independent relay-transport behaviors (tools/diag_batched.py,
-    # tools/diag_reads.py, tools/diag_bisect.py):
-    #   1. blocking on a program whose large outputs stay live waits for
-    #      their eager host mirroring (~77 MB/s; 93 MB of [S, cap] frame
-    #      tensors = 1.2 s) -> the hot loop runs the 'summary' program;
-    #   2. the FIRST D2H read of ANY device buffer (even one aggregated
-    #      scalar) flips the transport into a persistent degraded mode
-    #      where this program costs 1196 ms/call (deterministic; bisect
-    #      phase 'a') -> bench performs NO reads until every timed
-    #      section is done (see the report phase below).
-    # With both fixes the whole-dataset single program measures ~0.1 ms.
     from slam_process_tpu.ops.raster import colormap_lut
     from slam_process_tpu.parallel.batch import batched_session_pipeline, stack_sessions
     from slam_process_tpu.parallel.mesh import make_mesh
-    import jax.numpy as jnp
 
     n_padded = max(len(r) for r in raw)
     n_padded = ((n_padded + (1 << 20) - 1) >> 20) << 20
@@ -164,80 +142,36 @@ def main() -> None:
     bfn = batched_session_pipeline(mesh, n_padded, max_groups=64,
                                    max_baselines_per_group=96,
                                    outputs="summary")
-    bfn_full = batched_session_pipeline(mesh, n_padded, max_groups=64,
-                                        max_baselines_per_group=96)
     lut_j = jnp.asarray(colormap_lut("viridis"))
     with mesh:
         batch_dev = jax.device_put(batch)
         len_dev = jax.device_put(lengths)
         bout = bfn(batch_dev, len_dev, lut_j)   # compile + warm
         jax.block_until_ready(bout.rgba)
-        # Median of 9 (sub-ms measurement; queue spikes are possible).
-        times = []
-        for _ in range(9):
-            t3 = time.perf_counter()
-            bout = bfn(batch_dev, len_dev, lut_j)
-            jax.block_until_ready((bout.rgba, bout.n_kept, bout.counts))
-            times.append(time.perf_counter() - t3)
-        batched_s = sorted(times)[len(times) // 2]
-        batched_trials = [round(t, 6) for t in times]
+        t3 = time.perf_counter()
+        bout = bfn(batch_dev, len_dev, lut_j)
+        jax.block_until_ready((bout.rgba, bout.n_kept, bout.counts))
+        batched_wall_s = time.perf_counter() - t3
         del bout
-        # Including the H2D transfer of the padded byte batch.
-        times = []
-        for _ in range(3):
-            t4 = time.perf_counter()
-            bout2 = bfn(jax.device_put(batch), jax.device_put(lengths), lut_j)
-            jax.block_until_ready((bout2.rgba, bout2.n_kept, bout2.counts))
-            times.append(time.perf_counter() - t4)
-            del bout2
-        batched_h2d_s = sorted(times)[1]
 
     # Streaming replay config (BASELINE config 5): chunked ingest with
     # alignment carry + sweep-granular correction, host state machine
-    # (pure numpy — performs no device reads).
+    # (pure numpy — a genuine wall measurement, no device work).
     from slam_process_tpu.parallel.streaming import replay_log
 
     t2 = time.perf_counter()
     stream_frames = sum(replay_log(r, chunk_bytes=1 << 16).n_frames for r in raw)
     stream_fps = stream_frames / (time.perf_counter() - t2)
 
-    # Device-resident streaming: decode + sweep-close + correct + fold all
-    # on device with donated state (parallel/streaming_device.py); the
-    # timed region blocks on device completion only.
+    # Device streaming warm (compile both variants before their windows).
     from slam_process_tpu.parallel.streaming_device import replay_log_device
 
-    replay_log_device(raw[0], chunk_bytes=1 << 20).block_until_ready()  # warm
-    t2 = time.perf_counter()
-    dev_sessions = [replay_log_device(r, chunk_bytes=1 << 20) for r in raw]
-    for s in dev_sessions:
-        s.block_until_ready()
-    dev_elapsed = time.perf_counter() - t2
-    dev_stream_frames_dev = jax.jit(lambda *xs: sum(xs))(
-        *[s._state.n_frames for s in dev_sessions])
-    del dev_sessions
-
-    # Emit-mode device streaming (collect_filtered=True): kept rows
-    # accumulate in a device-side ring and drain once at read time, so the
-    # feed loop stays read-free; timed region blocks on device completion
-    # only (the drain is a result-consumption cost, not a streaming cost).
+    replay_log_device(raw[0], chunk_bytes=1 << 20).block_until_ready()
     replay_log_device(raw[0], chunk_bytes=1 << 20,
-                      collect_filtered=True).block_until_ready()   # warm
-    t2 = time.perf_counter()
-    emit_sessions = [replay_log_device(r, chunk_bytes=1 << 20,
-                                       collect_filtered=True) for r in raw]
-    for s in emit_sessions:
-        s.block_until_ready()
-    emit_elapsed = time.perf_counter() - t2
-    emit_frames_dev = jax.jit(lambda *xs: sum(xs))(
-        *[s._state.n_frames for s in emit_sessions])
-    del emit_sessions
+                      collect_filtered=True).block_until_ready()
 
     # Flagship estimation (the reference's single heaviest compute): v1-7
-    # NN-OMP at the 0.1-degree grid (heatmap_gemini_v1-7.py:657-728).  All
-    # 19 sessions run as ONE vmapped program on padded scenes
-    # (models/batch_estimation.py, exact-parity padding); the timed region
-    # blocks on device completion only — results are read (and checked
-    # against the float64 host oracle) in the report phase.
+    # NN-OMP at the 0.1-degree grid (heatmap_gemini_v1-7.py:657-728).
     from slam_process_tpu.config import DictionaryConfig, OmpConfig
     from slam_process_tpu.models.batch_estimation import pack_scenes
     from slam_process_tpu.models.dictionary import make_dictionary
@@ -263,68 +197,79 @@ def main() -> None:
     # One compiled executable at the padded shape, dispatched per session
     # (~19x faster than a vmapped [N, ...] program on this chip: the NNLS
     # while_loops run in lockstep under vmap — batch_estimation docstring).
-    import jax.numpy as jnp  # noqa: F811
-
     per_dev = [jax.device_put((packed.phi_rx[i], packed.phi_tx[i],
                                packed.aoa_grid[i], packed.aod_grid[i],
                                packed.matrices[i]))
                for i in range(len(logs))]
-    # Per-trial input variants: identical-input repeat calls can hit a
-    # relay dedup fast path that reports impossible times (docs/STATUS.md)
-    # — every timed call below sees a fresh matrix.
-    variants = [[(a[0], a[1], a[2], a[3], a[4] + jnp.float32(t * 1e-6))
-                 for a in per_dev] for t in range(5)]
-    jax.block_until_ready(variants)
     est_out = [single_fn(*a) for a in per_dev]          # compile + warm
     jax.block_until_ready([o.power for o in est_out])
-    times = []
-    for trial in variants:
-        t7 = time.perf_counter()
-        outs_e = [single_fn(*a) for a in trial]
-        jax.block_until_ready([o.power for o in outs_e])
-        times.append(time.perf_counter() - t7)
-        del outs_e
-    est_dataset_s = sorted(times)[len(times) // 2]
+    t8 = time.perf_counter()
+    outs_e = [single_fn(*a) for a in per_dev]
+    jax.block_until_ready([o.power for o in outs_e])
+    est_wall_s = time.perf_counter() - t8
+    del outs_e
 
-    # Single biggest session (the flagship per-session latency), varied
-    # inputs, warm, block-only.
-    big_idx = int(np.argmax([len(r) for r in raw]))
-    times = []
-    for t in range(5):
-        a = variants[t][big_idx]
-        t8 = time.perf_counter()
-        sout = single_fn(*a)
-        jax.block_until_ready(sout.power)
-        times.append(time.perf_counter() - t8)
-        del sout
-    est_single_s = sorted(times)[len(times) // 2]
-
-    # The reference-shaped float64 host path on the same session (scipy
+    # The reference-shaped float64 host path on the biggest session (scipy
     # NNLS loop — the 0.285 s/session baseline this must beat).
+    big_idx = int(np.argmax([len(r) for r in raw]))
     t9 = time.perf_counter()
     est_host_paths = nn_omp_np(est_dicts[big_idx], est_mats[big_idx],
                                est_cfg, keep_rule="ratio",
                                stop_nonpositive=True)
     est_host_s = time.perf_counter() - t9
 
-    # Full-output program with all outputs held live: measures the relay's
-    # eager output mirroring (platform characterization; ~1.2 s by design).
-    # Measured BEFORE any section that performs D2H reads (sweep_paths does)
-    # so the mirroring number is taken on the non-degraded transport.
-    with mesh:
-        fout = bfn_full(batch_dev, len_dev, lut_j)
-        jax.block_until_ready(fout.rgba)
-        t5 = time.perf_counter()
-        fout = bfn_full(batch_dev, len_dev, lut_j)
-        jax.block_until_ready((fout.rgba, fout.n_kept, fout.counts))
-        fullout_mirror_s = time.perf_counter() - t5
-        del fout
+    # ------------------------------------------------------------------
+    # Phase 2: DEVICE-plane timings (the authoritative numbers).  Each
+    # window performs one D2H read to close it, so these run after every
+    # wall section.  Device-plane durations are immune to the transport.
+    # ------------------------------------------------------------------
 
-    # Per-sweep batched estimation at DATASET scale (sweep_paths_dataset):
-    # all 19 sessions' sweeps through one shared compiled estimator, Gram-
-    # domain NN-OMP.  It reads its results internally, so these are the
-    # LAST timed sections; the timed calls include those reads (they are
-    # the user-facing e2e ops).
+    # Headline: per-session pipeline over the whole dataset (19 dispatches
+    # of per-bucket executables).  3 passes; report per-pass device total.
+    def pass_all(_i):
+        outs = [run_session_on_device(r) for r in raw]
+        return outs[-1].n_kept
+
+    dt_head = measure_device_time(pass_all, n=3)
+    headline_runs = len(dt_head.runs)
+    headline_device_s = sum(sum(v) for v in dt_head.all_modules.values()) / 3
+
+    # Batched one-program whole dataset.
+    with mesh:
+        dt_batched = measure_device_time(
+            lambda i: bfn(batch_dev, len_dev, lut_j).n_kept, n=3,
+            module="batched")
+    batched_device_s = dt_batched.median
+
+    # Device-resident streaming (no-emit and emit modes): total device
+    # seconds across the full dataset replay (many step dispatches).
+    def stream_all(_i):
+        ss = [replay_log_device(r, chunk_bytes=1 << 20) for r in raw]
+        return ss[-1]._state.n_frames
+
+    dt_stream = measure_device_time(stream_all, n=1)
+    stream_device_s = sum(sum(v) for v in dt_stream.all_modules.values())
+
+    def stream_emit_all(_i):
+        ss = [replay_log_device(r, chunk_bytes=1 << 20,
+                                collect_filtered=True) for r in raw]
+        return ss[-1]._state.n_frames
+
+    dt_emit = measure_device_time(stream_emit_all, n=1)
+    emit_device_s = sum(sum(v) for v in dt_emit.all_modules.values())
+
+    # Flagship estimation: all 19 sessions, one executable, device plane.
+    def est_all(_i):
+        outs_e = [single_fn(*a) for a in per_dev]
+        return outs_e[-1].power
+
+    dt_est = measure_device_time(est_all, n=3)
+    est_device_s = sum(sum(v) for v in dt_est.all_modules.values()) / 3
+    est_single_device_s = dt_est.median   # per-session module execution
+
+    # ------------------------------------------------------------------
+    # Phase 3: per-sweep estimation (reads results internally) + report.
+    # ------------------------------------------------------------------
     from slam_process_tpu.pipeline.session import sweep_paths_dataset
 
     for s in est_sessions:
@@ -339,27 +284,9 @@ def main() -> None:
     ds_n_sweeps = sum(len(v) for _, v in ds_results)
     ds_sweeps_per_sec = ds_n_sweeps / ds_sweep_s
 
-    # Single-session variant (the round-2 metric, for continuity).
-    sess = est_sessions[big_idx]
-    sess.sweep_paths(mapping)          # compile + warm
-    t6 = time.perf_counter()
-    sweep_est_paths, sweep_valid = sess.sweep_paths(mapping)
-    sweep_est_s = time.perf_counter() - t6
-    sweep_per_sec = len(sweep_valid) / sweep_est_s
-
-    # ------------------------------------------------------------------
-    # Report phase: every timed section is done — D2H reads are safe now.
-    # ------------------------------------------------------------------
     total_frames = int(total_frames_dev)
-    fps = total_frames / elapsed
-    e2e_fps = total_frames / e2e_elapsed
-    batched_fps = total_frames / batched_s
-    batched_h2d_fps = total_frames / batched_h2d_s
-    dev_stream_frames = int(dev_stream_frames_dev)
-    assert dev_stream_frames == total_frames, (dev_stream_frames, total_frames)
-    dev_stream_fps = dev_stream_frames / dev_elapsed
-    assert int(emit_frames_dev) == total_frames
-    emit_stream_fps = total_frames / emit_elapsed
+    fps = total_frames / headline_device_s
+    e2e_fps = total_frames / e2e_wall_s
 
     # Pixel parity: device normalized raster vs float64 host oracle, plus
     # colormap LUT-bin agreement.
@@ -401,31 +328,37 @@ def main() -> None:
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10_000.0, 3),
-        "e2e_frames_per_sec_with_host_tokenize": round(e2e_fps, 1),
+        "measurement": "device-plane (xplane) seconds; *_wall_s = dispatch wall",
         "total_frames": total_frames,
         "n_logs": len(logs),
-        "elapsed_s": round(elapsed, 4),
-        "batched_resident_frames_per_sec": round(batched_fps, 1),
-        "batched_with_h2d_frames_per_sec": round(batched_h2d_fps, 1),
-        "batched_device_seconds_full_dataset": round(batched_s, 6),
-        "batched_trials_s": batched_trials,
-        "batched_fullout_mirror_s": round(fullout_mirror_s, 4),
-        "headline_median_pass_s": round(elapsed_median, 4),
-        "headline_pass_spread": round(headline_spread, 4),
-        "headline_passes_timed": 3 * n_passes,
+        "headline_device_seconds_per_pass": round(headline_device_s, 4),
+        "headline_device_runs": headline_runs,
+        "headline_wall_s": round(headline_wall_s, 4),
+        "e2e_frames_per_sec_with_host_tokenize": round(e2e_fps, 1),
+        "batched_device_seconds_full_dataset": round(batched_device_s, 4),
+        "batched_device_frames_per_sec": round(
+            total_frames / batched_device_s, 1),
+        "batched_device_trials_s": [round(t, 4) for t in dt_batched.runs],
+        "batched_wall_s": round(batched_wall_s, 4),
         "streaming_frames_per_sec": round(stream_fps, 1),
-        "streaming_device_frames_per_sec": round(dev_stream_fps, 1),
-        "streaming_device_emit_frames_per_sec": round(emit_stream_fps, 1),
-        "estimate_sessions_per_sec": round(len(logs) / est_dataset_s, 1),
-        "estimate_dataset_seconds": round(est_dataset_s, 6),
-        "estimate_single_session_seconds": round(est_single_s, 6),
+        "streaming_device_seconds_full_dataset": round(stream_device_s, 4),
+        "streaming_device_frames_per_sec": round(
+            total_frames / stream_device_s, 1),
+        "streaming_device_emit_seconds_full_dataset": round(emit_device_s, 4),
+        "streaming_device_emit_frames_per_sec": round(
+            total_frames / emit_device_s, 1),
+        "estimate_device_seconds_dataset": round(est_device_s, 4),
+        "estimate_sessions_per_sec_device": round(
+            len(logs) / est_device_s, 1),
+        "estimate_single_session_device_seconds": round(
+            est_single_device_s, 5),
+        "estimate_wall_s_dataset": round(est_wall_s, 4),
         "estimate_host_session_seconds": round(est_host_s, 4),
         "estimate_speedup_vs_host": round(
-            est_host_s / (est_dataset_s / len(logs)), 1),
+            est_host_s / est_single_device_s, 1),
         "estimate_parity_ok": est_parity_ok,
         "sweep_estimation_sweeps_per_sec": round(ds_sweeps_per_sec, 1),
         "sweep_estimation_n_sweeps": ds_n_sweeps,
-        "sweep_estimation_single_session_sweeps_per_sec": round(sweep_per_sec, 1),
         "max_pixel_delta_norm_raster": max_pixel_delta,
         "lut_bin_flips": bin_flips,
         "reference_frames_per_sec": round(ref_fps, 1),
