@@ -107,7 +107,7 @@ def session_pipeline(
     )
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=32)
 def compiled_session_pipeline(n_bytes_padded: int, blur_sigma: float = 1.0,
                               use_log: bool = True, max_groups: int = 256,
                               max_baselines_per_group: int = 256):
@@ -137,12 +137,15 @@ def pad_bytes(raw: np.ndarray, target: int) -> np.ndarray:
     return out
 
 
-def bucket_size(n: int, quantum: int = 1 << 20) -> int:
+def bucket_size(n: int, quantum: int = 1 << 18) -> int:
     """Round a byte length up to a bucket to bound recompilation count.
 
-    The pipeline is HBM-bandwidth bound in the byte scan, so padding waste
-    is cheap; a 1 MiB quantum keeps the whole 19-log dataset to 4 compiled
-    executables."""
+    Every per-frame stage (decode row reduction, corrector score planes)
+    scales with the PADDED length, so the quantum trades padding waste
+    against executable count: at 256 KiB the reference dataset pads 1.23x
+    across 5 compiled shapes (1 MiB padded 1.84x across 2 — measured 33%
+    of the pass's device time); the persistent compilation cache makes the
+    extra executables a one-time cost."""
     return ((n + quantum - 1) // quantum) * quantum
 
 
