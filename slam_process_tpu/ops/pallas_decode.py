@@ -130,7 +130,7 @@ def _build(n_rows: int, rows_per_chunk: int, interpret: bool):
     fn = pl.pallas_call(
         body,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct((n_rows, LANE), jnp.int32)] * 6,
         scratch_shapes=[
