@@ -72,11 +72,37 @@ def _sweep_intensity_fn(max_sweeps: int):
 
 @_functools.lru_cache(maxsize=1)
 def _stack_results_fn():
-    """Jitted cross-session result stacker (one compiled entry per shape)."""
+    """Jitted cross-session result stacker (one compiled entry per shape).
+
+    Sessions' sweep axes are bucketed (see ``_sweep_bucket``), so leaves
+    arrive as [S_i, ...] with differing S_i; each pads to the common max
+    along axis 0 (padded sweeps carry valid=False) before stacking, so the
+    host still reads ONE stacked pytree (each leaf read pays a relay round
+    trip — per-session reads would cost leaves x n_sessions trips)."""
     import jax
     import jax.numpy as jnp
 
-    return jax.jit(lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts))
+    def stack(ts):
+        s_max = max(t[1].shape[0] for t in ts)
+
+        def pad_stack(*xs):
+            return jnp.stack([
+                jnp.pad(x, ((0, s_max - x.shape[0]),)
+                        + ((0, 0),) * (x.ndim - 1)) for x in xs])
+
+        return jax.tree.map(pad_stack, *ts)
+
+    return jax.jit(stack)
+
+
+def _sweep_bucket(n: int, quantum: int = 8) -> int:
+    """Round a session's sweep count up to a bucket.
+
+    Padding every session to the DATASET max (58 sweeps here) makes the
+    estimator run 2.8x more sweep lanes than exist (1,102 padded vs 392
+    real); bucketing to multiples of 8 cuts the padded total to 480 for a
+    handful of compiled shapes (persistent-cached)."""
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
 def _sweep_estimator_body(est_key):
@@ -703,19 +729,21 @@ def sweep_paths_dataset(
 
     preps = [s._sweep_host_prep(angle_file, estimator, **overrides)
              for s in sessions]
-    s_max = max(p[1] for p in preps)
     u_max = max(len(p[2]) for p in preps)
     b_max = max(len(p[3]) for p in preps)
     ga_max = max(len(p[4].aoa_grid) for p in preps)
     gd_max = max(len(p[4].aod_grid) for p in preps)
-    pad_to = (s_max, u_max, b_max, ga_max, gd_max)
 
     import jax.numpy as jnp
 
     est_key = preps[0][5]
     per_session = []
     sweep_counts = []
-    for s in sessions:
+    for s, prep in zip(sessions, preps):
+        # Sweep axis bucketed per session (not dataset-max padded); the
+        # dictionary/measurement axes stay dataset-common so every bucket
+        # shape reuses one traced estimator per S.
+        pad_to = (_sweep_bucket(prep[1]), u_max, b_max, ga_max, gd_max)
         sub, d, key_i, n_sweeps = s._sweep_estimation_inputs(
             angle_file, estimator, pad_to=pad_to, **overrides)
         assert key_i == est_key
