@@ -284,6 +284,14 @@ def main() -> None:
     ds_n_sweeps = sum(len(v) for _, v in ds_results)
     ds_sweeps_per_sec = ds_n_sweeps / ds_sweep_s
 
+    # Device-plane seconds for the same section (the wall number above
+    # includes host prep, 19 dispatches, and the stacked read).
+    dt_sweep = measure_device_time(
+        lambda i: sweep_paths_dataset(est_sessions, mapping)
+        and jnp.zeros(()), n=2)
+    ds_sweep_device_s = sum(
+        sum(v) for v in dt_sweep.all_modules.values()) / 2
+
     total_frames = int(total_frames_dev)
     fps = total_frames / headline_device_s
     e2e_fps = total_frames / e2e_wall_s
@@ -358,6 +366,9 @@ def main() -> None:
             est_host_s / est_single_device_s, 1),
         "estimate_parity_ok": est_parity_ok,
         "sweep_estimation_sweeps_per_sec": round(ds_sweeps_per_sec, 1),
+        "sweep_estimation_device_seconds": round(ds_sweep_device_s, 4),
+        "sweep_estimation_sweeps_per_sec_device": round(
+            ds_n_sweeps / ds_sweep_device_s, 1),
         "sweep_estimation_n_sweeps": ds_n_sweeps,
         "max_pixel_delta_norm_raster": max_pixel_delta,
         "lut_bin_flips": bin_flips,
