@@ -238,24 +238,14 @@ def correct_rows_jax(
     onehot_g = (gid[:, None] == jnp.arange(max_groups)[None, :]
                 ).astype(jnp.float32)
 
-    def _sel_i32(table_f32_2col):
-        """One-hot select int32 values packed as (hi15, lo15) f32 limbs."""
-        s = jnp.dot(onehot_g, table_f32_2col, precision=hp)
-        n2 = s.shape[1] // 2
-        return (s[:, :n2].astype(jnp.int32) << 15) | s[:, n2:].astype(jnp.int32)
-
     # Group baseline counts as a one-hot contraction (a segment_sum scatter
     # measured ~150 ns/element on this chip; the [F, G] @ [F] product runs
     # at MXU rate and is exact for counts < 2^24).
-    blv = is_bl.astype(jnp.int32)
-    csum = jnp.cumsum(blv)
+    csum = jnp.cumsum(is_bl.astype(jnp.int32))
     group_counts = jnp.einsum(
         "fg,f->g", onehot_g, is_bl.astype(jnp.float32), precision=hp
     ).astype(jnp.int32)
     group_offs = jnp.cumsum(group_counts) - group_counts
-    offs_limbs = jnp.stack(
-        [group_offs >> 15, group_offs & 0x7FFF], axis=1).astype(jnp.float32)
-    rank = (csum - 1) - _sel_i32(offs_limbs)[:, 0]
 
     # Baseline table WITHOUT the [F]-update scatter (~36 ns/element):
     # compact the baseline rows by one [F] sort on their ordinal (stream

@@ -58,6 +58,10 @@ class DeviceStreamState(NamedTuple):
     #                              corrected_bs, rss, clk); Ecap=0 when
     #                              collect_filtered is off
     emit_count: "np.ndarray"     # scalar i32 rows written to emit_buf
+    emit_overflow: "np.ndarray"  # scalar bool: kept rows were dropped
+    #                              because the emit ring filled — exported
+    #                              `filtered` would be silently truncated,
+    #                              so reading it raises instead
 
 
 def _emit_kept_rows(state, combined, corrected, keep, ecap: int):
@@ -191,10 +195,10 @@ def _step_body(
         n_frames=state.n_frames + n_new,
         n_kept=state.n_kept + jnp.sum(keep.astype(jnp.int32)),
         n_groups=state.n_groups + jnp.sum(boundary.astype(jnp.int32)),
-        overflow=state.overflow | c_overflow | (n_carry > gcap)
-        | ring_overflow,
+        overflow=state.overflow | c_overflow | (n_carry > gcap),
         emit_buf=emit_buf,
         emit_count=emit_count,
+        emit_overflow=state.emit_overflow | ring_overflow,
     )
 
 
@@ -234,9 +238,10 @@ def _flush_body(
         n_frames=state.n_frames,
         n_kept=state.n_kept + jnp.sum(keep.astype(jnp.int32)),
         n_groups=state.n_groups + (state.carry_count > 0).astype(jnp.int32),
-        overflow=state.overflow | c_overflow | ring_overflow,
+        overflow=state.overflow | c_overflow,
         emit_buf=emit_buf,
         emit_count=emit_count,
+        emit_overflow=state.emit_overflow | ring_overflow,
     )
 
 
@@ -276,6 +281,7 @@ def _build_init(gcap: int, n_beams: int, emit_capacity: int):
             overflow=jnp.bool_(False),
             emit_buf=jnp.zeros((emit_capacity, 4), jnp.int32),
             emit_count=jnp.int32(0),
+            emit_overflow=jnp.bool_(False),
         )
 
     from slam_process_tpu.utils.cache import enable_persistent_cache
@@ -440,6 +446,12 @@ class DeviceStreamingSession:
         if not self.collect_filtered:
             raise ValueError("built with collect_filtered=False")
         self._check_overflow()
+        if bool(self._state.emit_overflow):
+            raise RuntimeError(
+                "emit ring overflowed: the stream kept more rows than "
+                f"emit_capacity; the exported table would be silently "
+                "truncated — rebuild the session with a larger "
+                "emit_capacity (counts/grids remain exact)")
         buf, count = jax.device_get((self._state.emit_buf,
                                      self._state.emit_count))
         return buf[: int(count)].astype(np.int64)

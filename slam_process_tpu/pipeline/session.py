@@ -288,6 +288,9 @@ class Session:
         res = correct_frames_np(self.frames, self.config.correct)
         self.timings["correct"] = time.perf_counter() - t0
         self.filtered = res.filtered
+        # filtered changed: drop the sweep-estimation memo (keyed on the
+        # array's identity) so stale prep can never be served.
+        self._sweep_prep_memo = {}
         self.corrected_bs = res.corrected_bs
         c = StageCounters(
             "correct",
@@ -350,6 +353,13 @@ class Session:
         The reference aggregates CLK "for future ToA use" without using it;
         here it anchors the per-sweep path tracks (sweep_paths) on the
         testbed's 30-bit clock axis.  Sweeps with no rows get -1.
+
+        The counter is a WRAPPING 30-bit value; per-sweep anchors are
+        unwrapped onto a monotone axis (a decrease between consecutive
+        observed sweeps adds one 2^30 period — sweeps are far shorter than
+        a full counter period, so any decrease is a wrap), so downstream
+        velocity fits (models/tracking.track_velocities) never see a
+        2^30-tick discontinuity.
         """
         from slam_process_tpu.ops.correct import detect_groups_np
 
@@ -361,6 +371,11 @@ class Session:
         # First occurrence per group id (filtered rows are in stream order).
         first = np.unique(gid, return_index=True)
         times[first[0][first[0] < s]] = self.filtered[first[1][first[0] < s], 3]
+        obs = times >= 0
+        if obs.sum() > 1:
+            t = times[obs]
+            wraps = np.cumsum(np.concatenate([[0], (np.diff(t) < 0)]))
+            times[obs] = t + (wraps.astype(np.int64) << 30)
         return times
 
     def _sweep_host_prep(
@@ -426,6 +441,10 @@ class Session:
             raise ValueError(f"unknown sweep estimator {estimator!r}")
         result = (gid, n_sweeps, ue_ids, bs_ids, d, est_key)
         cache[memo_key] = result
+        # Pin the keyed array: entries reference it, so its id can never be
+        # recycled by a different array while the memo lives (correct()
+        # additionally resets the memo when it rebuilds filtered).
+        cache.setdefault("_pins", []).append(self.filtered)
         return result
 
     def _sweep_estimation_inputs(

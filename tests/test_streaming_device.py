@@ -225,12 +225,16 @@ def test_decode_jax_n_valid_masks_nonzero_padding():
     assert int(count2) == 2                # unmasked: both decode
 
 
-def test_device_streaming_emit_ring_overflow_warns(small_log_bytes):
-    """A too-small emit ring must flag overflow (rows dropped, not silent)."""
+def test_device_streaming_emit_ring_overflow_raises(small_log_bytes):
+    """A too-small emit ring means the exported table would be silently
+    truncated — reading `filtered` must raise, not return partial data;
+    the counts/grids stay intact and readable."""
     from slam_process_tpu.parallel.streaming_device import replay_log_device
 
     s = replay_log_device(small_log_bytes, chunk_bytes=1 << 16,
                           collect_filtered=True, emit_capacity=64)
-    with pytest.warns(RuntimeWarning, match="capacity exceeded"):
-        rows = s.filtered
-    assert len(rows) == 64          # ring holds exactly the first 64 rows
+    with pytest.raises(RuntimeError, match="emit ring overflowed"):
+        s.filtered
+    # The aggregate results are unaffected by the ring cap.
+    assert s.n_frames > 64
+    assert np.isfinite(s.intensity().mean).any()

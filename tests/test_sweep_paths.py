@@ -123,11 +123,13 @@ def test_per_sweep_cli(tmp_path):
     assert names == ["Sweep", "CLK", "Path", "AoA", "AoD", "Power"]
     assert len(data) >= 3
     assert np.all(data[:, 5] > 0)
-    # CLK anchors are the first kept frame per sweep (the 30-bit counter
-    # may wrap within a session, so no monotonicity across sweeps).
+    # CLK anchors are the first kept frame per sweep, unwrapped onto a
+    # monotone axis (the 30-bit counter may wrap within a session;
+    # Session.sweep_times adds one 2^30 period per observed decrease).
     per_sweep = {int(r[0]): int(r[1]) for r in data}
     clks = [per_sweep[k] for k in sorted(per_sweep)]
-    assert all(0 <= c < (1 << 30) for c in clks)
+    assert all(c >= 0 for c in clks)
+    assert clks == sorted(clks)
     assert len(set(clks)) == len(clks)
 
 

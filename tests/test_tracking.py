@@ -213,6 +213,29 @@ def test_end_to_end_drifting_los_velocity():
     np.testing.assert_allclose(vd_d[0], vd[0], rtol=1e-6)
 
 
+def test_clk_wrap_unwrapped_velocity():
+    """A 30-bit CLK wrap mid-session must not corrupt the velocity fit:
+    Session.sweep_times unwraps the counter onto a monotone axis."""
+    drift_deg_per_sweep = 0.5 * 1.4
+    clk_per_sweep = 200_000.0
+    sess, times, _ = _drifting_los_session()
+    # Re-base the true time axis so the 30-bit counter wraps between
+    # sweeps 4 and 5, then store what the hardware would report (mod 2^30):
+    # the raw anchors drop by ~2^30 at sweep 5.
+    wrapped = sess.filtered.copy()
+    shift = (1 << 30) - int(times[5]) + 7
+    wrapped[:, 3] = (wrapped[:, 3] + shift) & ((1 << 30) - 1)
+    sess.filtered = wrapped
+    got_times = sess.sweep_times()
+    assert np.all(np.diff(got_times[got_times >= 0]) > 0), "not monotone"
+    _, _, (va, vd, ok) = sess.path_tracks(BEAM_ANGLE, max_paths=1,
+                                          gate_deg=10.0)
+    assert ok[0]
+    # The unwrapped axis is shifted but uniform, so the slope survives.
+    truth = drift_deg_per_sweep / clk_per_sweep
+    np.testing.assert_allclose(vd[0], truth, rtol=0.15)
+
+
 def test_cli_tracks(tmp_path):
     """cli estimate --tracks writes the track table + trajectory figure."""
     from slam_process_tpu.io.xlsx import read_xlsx_table, write_xlsx_table
