@@ -212,11 +212,14 @@ def main() -> None:
     # The reference-shaped float64 host path on the biggest session (scipy
     # NNLS loop — the 0.285 s/session baseline this must beat).
     big_idx = int(np.argmax([len(r) for r in raw]))
-    t9 = time.perf_counter()
-    est_host_paths = nn_omp_np(est_dicts[big_idx], est_mats[big_idx],
-                               est_cfg, keep_rule="ratio",
-                               stop_nonpositive=True)
-    est_host_s = time.perf_counter() - t9
+    host_times = []
+    for _ in range(3):   # min of 3: the host path inherits box CPU noise
+        t9 = time.perf_counter()
+        est_host_paths = nn_omp_np(est_dicts[big_idx], est_mats[big_idx],
+                                   est_cfg, keep_rule="ratio",
+                                   stop_nonpositive=True)
+        host_times.append(time.perf_counter() - t9)
+    est_host_s = min(host_times)
 
     # ------------------------------------------------------------------
     # Phase 2: DEVICE-plane timings (the authoritative numbers).  Each
