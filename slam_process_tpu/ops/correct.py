@@ -263,19 +263,24 @@ def correct_rows_jax(
     comp_bs = comp_bs[:m]
     cols = jnp.arange(bmax, dtype=jnp.int32)
     j_cell = jnp.clip(group_offs[:, None] + cols[None, :], 0, m - 1)
-    tbl_valid_b = cols[None, :] < jnp.minimum(group_counts, bmax)[:, None]
-    tbl_clk = jnp.where(tbl_valid_b, comp_clk[j_cell], 0)
-    tbl_bs = jnp.where(tbl_valid_b, comp_bs[j_cell], 0)
-    tbl_valid = tbl_valid_b.astype(jnp.int32)
+    tbl_clk = comp_clk[j_cell]
+    tbl_bs = comp_bs[j_cell]
+    # Cells at c >= count[g] hold clipped junk (real clk/bs values from
+    # other groups, so no overflow hazard); they are masked by the per-row
+    # count comparison below, never by a stored valid plane.
 
     # Row-local baseline planes [F, Bmax]: clk as two 15-bit limbs (30-bit
-    # counter), bs and valid directly (6-bit / 0-1 values, exact f32).
+    # counter), bs directly (6-bit, exact f32), plus the group's baseline
+    # count as two limbs — 2 matmul columns replacing a Bmax-wide valid
+    # plane (the validity test is c < count, computable per row).
+    n_cap = jnp.minimum(group_counts, bmax)
     packed = jnp.concatenate(
         [
             (tbl_clk >> 15).astype(jnp.float32),
             (tbl_clk & 0x7FFF).astype(jnp.float32),
             tbl_bs.astype(jnp.float32),
-            tbl_valid.astype(jnp.float32),
+            (n_cap >> 15)[:, None].astype(jnp.float32),
+            (n_cap & 0x7FFF)[:, None].astype(jnp.float32),
         ],
         axis=1,
     )
@@ -283,7 +288,9 @@ def correct_rows_jax(
     row_clk = ((sel[:, :bmax].astype(jnp.int32) << 15)
                | sel[:, bmax:2 * bmax].astype(jnp.int32))
     row_bs = sel[:, 2 * bmax:3 * bmax].astype(jnp.int32)
-    row_bl_valid = sel[:, 3 * bmax:] > 0.5
+    row_n = ((sel[:, 3 * bmax].astype(jnp.int32) << 15)
+             | sel[:, 3 * bmax + 1].astype(jnp.int32))
+    row_bl_valid = cols[None, :] < row_n[:, None]
 
     d = clk[:, None] - row_clk                                # [F, Bmax]
     k = jnp.floor_divide(d + cfg.cycle // 2, cfg.cycle)
