@@ -133,6 +133,35 @@ def test_per_sweep_cli(tmp_path):
     assert len(set(clks)) == len(clks)
 
 
+def test_sweep_memo_invalidated_on_recorrect(small_log_bytes):
+    """Re-running correct() must drop the sweep-estimation memo: results
+    after the data changes reflect the NEW filtered table, never stale
+    prep keyed on a recycled array id."""
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import BEAM_ANGLE
+
+    s = Session("memo_check")
+    s.frames = decode_frames_np(small_log_bytes).frames
+    s.correct()
+    paths_full, valid_full = s.sweep_paths(BEAM_ANGLE)
+
+    # Shrink the session to its first half and re-correct: fewer sweeps.
+    s.frames = s.frames[: len(s.frames) // 2]
+    s.correct()
+    paths_half, valid_half = s.sweep_paths(BEAM_ANGLE)
+    assert len(valid_half) < len(valid_full)
+
+    # And it must equal a fresh session over the same data.
+    f = Session("memo_fresh")
+    f.frames = s.frames
+    f.correct()
+    paths_ref, valid_ref = f.sweep_paths(BEAM_ANGLE)
+    np.testing.assert_array_equal(valid_half, valid_ref)
+    np.testing.assert_array_equal(paths_half.aoa_idx, paths_ref.aoa_idx)
+    np.testing.assert_array_equal(paths_half.aod_idx, paths_ref.aod_idx)
+
+
 def test_sweep_paths_dataset_matches_per_session(session):
     """sweep_paths_dataset (dataset-common padded shapes, one compiled
     estimator) == each session's own sweep_paths, on sessions of very
