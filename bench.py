@@ -125,6 +125,9 @@ def main() -> None:
     import gc
 
     parity_outs = {idx: outs[idx] for idx in (0, len(logs) - 1)}
+    # Tiny per-session scalars for the Phase-2 overflow guard (keeping
+    # them alive does not pin the big sibling outputs — separate buffers).
+    overflow_flags = [o.correct_overflow for o in outs]
     del outs, outs2
     gc.collect()
 
@@ -229,8 +232,12 @@ def main() -> None:
     # One real D2H read BEFORE the first window: block_until_ready only
     # acks dispatch on this transport, so Phase 1's queued device work
     # must be forced to complete (a read synchronizes) or it would execute
-    # inside the first trace window and inflate its totals.
+    # inside the first trace window and inflate its totals.  The fence is
+    # a FRESH trivial program dispatched after everything above — programs
+    # execute in dispatch order, so its completion implies the backlog's
+    # (reading an earlier value would only fence up to its own producer).
     # ------------------------------------------------------------------
+    jax.device_get(jax.jit(lambda: jnp.zeros(()))())
     total_frames = int(total_frames_dev)
 
     # Headline: per-session pipeline over the whole dataset (19 dispatches
@@ -244,13 +251,10 @@ def main() -> None:
     headline_device_s = sum(sum(v) for v in dt_head.all_modules.values()) / 3
 
     # The tight 64/96 corrector bounds are only valid while the dataset
-    # fits them: a single aggregated read of every session's overflow flag
-    # guards the whole run's numbers (reads are safe in this phase).
-    outs_chk = [run_session_on_device(r) for r in raw]
+    # fits them: one aggregated read of the Phase-1 overflow flags guards
+    # the whole run's numbers (reads are safe in this phase).
     any_overflow = bool(jax.device_get(jax.jit(
-        lambda *xs: sum(x.astype("int32") for x in xs))(
-        *[o.correct_overflow for o in outs_chk])))
-    del outs_chk
+        lambda *xs: sum(x.astype("int32") for x in xs))(*overflow_flags)))
     if any_overflow:
         raise RuntimeError(
             "corrector capacity bounds (64 groups / 96 baselines) exceeded "
@@ -291,8 +295,15 @@ def main() -> None:
     # so the host-vs-device speedup compares the SAME session on both
     # sides; median-across-sessions would understate the denominator.
     n_per_pass = len(dt_est.runs) // 3
-    big_runs = (sorted(dt_est.runs[big_idx::n_per_pass])
-                if n_per_pass == len(logs) else sorted(dt_est.runs))
+    est_single_fallback = n_per_pass != len(logs)
+    if est_single_fallback:   # trace dropped/added an event: say so loudly
+        import sys
+        print(f"WARNING: estimator trace had {len(dt_est.runs)} runs, "
+              f"expected {3 * len(logs)}; single-session device time "
+              "falls back to the cross-session median", file=sys.stderr)
+    big_runs = (sorted(dt_est.runs)
+                if est_single_fallback
+                else sorted(dt_est.runs[big_idx::n_per_pass]))
     est_single_device_s = big_runs[len(big_runs) // 2]
 
     # ------------------------------------------------------------------
@@ -387,6 +398,7 @@ def main() -> None:
             len(logs) / est_device_s, 1),
         "estimate_single_session_device_seconds": round(
             est_single_device_s, 5),
+        "estimate_single_session_is_fallback_median": est_single_fallback,
         "estimate_wall_s_dataset": round(est_wall_s, 4),
         "estimate_host_session_seconds": round(est_host_s, 4),
         "estimate_speedup_vs_host": round(

@@ -448,10 +448,11 @@ class DeviceStreamingSession:
         self._check_overflow()
         if bool(self._state.emit_overflow):
             raise RuntimeError(
-                "emit ring overflowed: the stream kept more rows than "
-                f"emit_capacity; the exported table would be silently "
-                "truncated — rebuild the session with a larger "
-                "emit_capacity (counts/grids remain exact)")
+                f"emit ring overflowed: the stream kept {self.n_kept} rows "
+                f"but emit_capacity is {self._state.emit_buf.shape[0]}; the "
+                "exported table would be silently truncated — rebuild the "
+                "session with a larger emit_capacity (counts/grids remain "
+                "exact)")
         buf, count = jax.device_get((self._state.emit_buf,
                                      self._state.emit_count))
         return buf[: int(count)].astype(np.int64)

@@ -319,6 +319,10 @@ def _add_replay(sub):
                    help="device = on-device streaming state machine")
     p.add_argument("--decoder", choices=["xla", "pallas"], default="xla",
                    help="device-engine decode stage (pallas = DMA kernel)")
+    p.add_argument("--emit-capacity", type=int, default=None,
+                   help="device emit-ring rows for --engine device "
+                        "(default: sized to the log, so file replays can "
+                        "never overflow the ring)")
     p.set_defaults(fn=_run_replay)
 
 
@@ -346,9 +350,14 @@ def _run_replay(args):
                 replay_log_device,
             )
 
+            # Ring sized to the log by default: kept rows can never
+            # exceed the frame capacity, so file replays cannot hit the
+            # emit-ring overflow error.
+            ecap = args.emit_capacity or (len(raw) // 11 + 1)
             s = replay_log_device(raw, chunk_bytes=args.chunk_bytes,
                                   decoder=args.decoder,
-                                  collect_filtered=True)
+                                  collect_filtered=True,
+                                  emit_capacity=ecap)
             s.block_until_ready()
         else:
             s = replay_log(raw, chunk_bytes=args.chunk_bytes,

@@ -163,3 +163,53 @@ def test_device_streaming_emit_parity_on_chip(small_log_bytes, decoded):
                           collect_filtered=True)
     assert s.n_frames == dec.valid
     np.testing.assert_array_equal(s.filtered, res.filtered)
+
+
+def test_sweep_paths_selection_matches_oracle_on_chip(small_log_bytes):
+    """Per-sweep Gram-domain NN-OMP on the chip: every sweep's selected
+    grid indices must equal the float64 per-sweep host oracle's (the same
+    bf16-argmax failure class as the session-level sentinel, on the
+    vmapped-and-bucketed path bench actually measures)."""
+    from slam_process_tpu.config import DictionaryConfig, OmpConfig, SceneConfig
+    from slam_process_tpu.models.dictionary import make_dictionary
+    from slam_process_tpu.models.nn_omp import nn_omp_np
+    from slam_process_tpu.ops.correct import correct_frames_np, detect_groups_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.io.angles import load_angle_lut
+    from slam_process_tpu.ops.scene import intensity_grid_np
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import BEAM_ANGLE
+
+    s = Session("tpu_sweeps")
+    s.frames = decode_frames_np(small_log_bytes).frames
+    s.correct()
+    paths, sweep_valid = s.sweep_paths(BEAM_ANGLE)
+
+    lut = load_angle_lut(BEAM_ANGLE)
+    filtered = s.filtered
+    gid = detect_groups_np(filtered[:, 0])
+    grid_all = intensity_grid_np(filtered[:, 0], filtered[:, 1],
+                                 filtered[:, 2], cfg=SceneConfig())
+    row_mask = np.asarray(grid_all.row_mask) & np.isfinite(lut)
+    col_mask = np.asarray(grid_all.col_mask) & np.isfinite(lut)
+    ue_ids, bs_ids = np.nonzero(row_mask)[0], np.nonzero(col_mask)[0]
+    d = make_dictionary(lut[ue_ids], lut[bs_ids],
+                        DictionaryConfig(grid_res=0.1, beam_width=1.4,
+                                         grid_kind="linspace"))
+    checked = 0
+    for sweep in np.nonzero(sweep_valid)[0]:
+        rows = filtered[gid == sweep]
+        g = intensity_grid_np(rows[:, 0], rows[:, 1], rows[:, 2],
+                              cfg=SceneConfig())
+        sub = np.asarray(g.mean)[np.ix_(ue_ids, bs_ids)]
+        finite = np.isfinite(sub)
+        sub = np.where(finite, sub, sub[finite].min())
+        ref = nn_omp_np(d, sub, OmpConfig(max_paths=3),
+                        keep_rule="positive", stop_nonpositive=False)
+        n = int(ref.n_iters)
+        np.testing.assert_array_equal(
+            np.asarray(paths.aoa_idx[sweep])[:n], ref.aoa_idx[:n])
+        np.testing.assert_array_equal(
+            np.asarray(paths.aod_idx[sweep])[:n], ref.aod_idx[:n])
+        checked += 1
+    assert checked >= 5
