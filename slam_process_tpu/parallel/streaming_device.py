@@ -65,24 +65,40 @@ class DeviceStreamState(NamedTuple):
 
 
 def _emit_kept_rows(state, combined, corrected, keep, ecap: int):
-    """Scatter this step's kept rows into the device emit ring.
+    """Append this step's kept rows to the device emit ring.
 
-    Stream order is preserved (destination = emit_count + running index of
-    the kept row); rows past the ring capacity are dropped and flagged via
-    overflow.  Keeps the feed loop read-free: the ring drains ONCE when
-    ``filtered`` is consumed, instead of a per-chunk device_get (the relay
-    transport's first-read degraded mode made that ~30x slower).
+    Kept rows sort-compact to a dense prefix (the sort key is the row
+    index where kept — unique and ascending, so stream order is exact),
+    then ONE dynamic_update_slice block write lands them at emit_count: a
+    data-dependent scatter of [t] rows measured ~45 ms across a dataset
+    replay becomes an in-place contiguous write.  The ring is allocated
+    with one block of slack (see DeviceStreamingSession), so the t-row
+    block never clamps: junk rows past this step's kept count are
+    overwritten by the next step's block (offsets advance by exactly
+    kept), and the final `[:emit_count]` read never sees them.  Keeps the
+    feed loop read-free: the ring drains ONCE when ``filtered`` is
+    consumed (the relay transport's first-read degraded mode made
+    per-chunk reads ~30x slower).
+
+    Rows past the LOGICAL capacity ``ecap`` are dropped and flagged via
+    overflow; ``emit_count`` saturates at ecap so later block writes land
+    in the slack region only.
     """
+    import jax
     import jax.numpy as jnp
 
-    kept_before = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dst = jnp.where(keep, state.emit_count + kept_before, ecap)  # ecap: drop
-    rows = jnp.stack([combined[:, 1], corrected, combined[:, 3],
-                      combined[:, 4]], axis=1)
-    new_buf = state.emit_buf.at[dst].set(rows, mode="drop")
+    t = keep.shape[0]
+    key = jnp.where(keep, jnp.arange(t, dtype=jnp.int32),
+                    jnp.int32(1 << 30))
+    _, s_ue, s_bs, s_rss, s_clk = jax.lax.sort(
+        (key, combined[:, 1], corrected, combined[:, 3], combined[:, 4]),
+        num_keys=1)
+    block = jnp.stack([s_ue, s_bs, s_rss, s_clk], axis=1)
     total_kept = jnp.sum(keep.astype(jnp.int32))
-    new_count = jnp.minimum(state.emit_count + total_kept, ecap)
     ring_overflow = state.emit_count + total_kept > ecap
+    new_buf = jax.lax.dynamic_update_slice(
+        state.emit_buf, block, (state.emit_count, jnp.int32(0)))
+    new_count = jnp.minimum(state.emit_count + total_kept, ecap)
     return new_buf, new_count, ring_overflow
 
 
@@ -335,6 +351,7 @@ class DeviceStreamingSession:
         # bounds the total rows an emit-mode replay can export; overflow is
         # flagged, not silently dropped.
         ecap = int(emit_capacity) if self.collect_filtered else 0
+        self._ecap = ecap
         cap = frame_capacity(self.chunk_bytes, self.config.decode)
 
         # Donated state: accumulators update in place on device; the
@@ -347,7 +364,12 @@ class DeviceStreamingSession:
             max_groups, max_baselines_per_group, self.config, ecap,
         )
 
-        self._state = _build_init(self._gcap, n_beams, ecap)()
+        # Ring allocation = logical capacity + one block of slack
+        # (gcap + chunk rows): the emit block write is a fixed t-row
+        # dynamic_update_slice whose tail may exceed the logical capacity
+        # with junk that later blocks overwrite (see _emit_kept_rows).
+        ecap_alloc = ecap + self._gcap + (-(-self.chunk_bytes // 11)) if ecap else 0
+        self._state = _build_init(self._gcap, n_beams, ecap_alloc)()
         self._byte_carry = np.zeros(0, dtype=np.uint8)
         self._finalized = False
         self._overflow_warned = False
@@ -449,7 +471,7 @@ class DeviceStreamingSession:
         if bool(self._state.emit_overflow):
             raise RuntimeError(
                 f"emit ring overflowed: the stream kept {self.n_kept} rows "
-                f"but emit_capacity is {self._state.emit_buf.shape[0]}; the "
+                f"but emit_capacity is {self._ecap}; the "
                 "exported table would be silently truncated — rebuild the "
                 "session with a larger emit_capacity (counts/grids remain "
                 "exact)")
