@@ -1,0 +1,124 @@
+"""Fused Pallas kernel for the corrector's baseline-plane chain.
+
+``ops/correct.correct_rows_jax`` computes, for every frame row, the best
+CLK-residual baseline in its sweep group via an exact one-hot MXU matmul
+and a [F, Bmax] score-plane reduction.  Under XLA that chain materializes
+the [F, W] selection matmul output and two [F, Bmax] plane intermediates
+in HBM (the matmul output cannot fuse into its consumers), ~4 ms of the
+25 ms whole-dataset pass.  This kernel fuses the whole chain per row
+block: the one-hot selection runs on the MXU into VMEM, the residual /
+acceptance / score planes live in registers/VMEM only, and just the
+per-row verdicts (has, k_best, bs_best) are written back — one byte-read
+of the inputs, no plane round trips.
+
+Numerics are IDENTICAL to the XLA formulation (same 15-bit-limb exact-f32
+selection at HIGHEST precision, same unique-score tiebreak); equality is
+asserted by tests in interpret mode and on the real chip (`-m tpu` lane).
+
+MEASURED (TPU v5e, F=98304, Bmax=96, xplane device plane, 2026-08-17):
+XLA chain 0.455 ms vs this kernel 1.03 ms (block_f 1024 and 2048 equal;
+4096 exceeds the 16 MB scoped-VMEM limit).  XLA's own fusion of the same
+chain wins ~2.2x — the in-kernel HIGHEST dot costs its 6 bf16 passes
+without XLA's cross-op scheduling — so, like the raster and DMA-decode
+kernels, this ships as a validated fused-VMEM pattern with honest
+numbers, NOT as the production default (the architecture rule:
+hand-schedule only what the compiler demonstrably does not).
+
+Packed-table layout (built by correct_rows_jax, padded to the kernel's
+lane width): cols [0:B) clk_hi15, [B:2B) clk_lo15, [2B:3B) bs,
+col 3B n_hi15, col 3B+1 n_lo15, rest zero.  Group axis padded to 128 so
+the one-hot contraction is a full-tile MXU op.
+
+Reference semantics: bs_beam_correction.py:64-76 (min |d - k*61000| over
+the group's baselines, <=500 tolerance, first-baseline tiebreak).
+"""
+
+from __future__ import annotations
+
+import functools
+
+__all__ = ["correct_planes_pallas"]
+
+BLOCK_F = 1024
+G_PAD = 128
+
+
+def _kernel(gid_ref, clk_ref, tbl_ref, has_ref, kbest_ref, bsbest_ref, *,
+            bmax: int, cycle: int, tol: int):
+    import jax
+    import jax.numpy as jnp
+
+    gid = gid_ref[:]                     # [B_F] i32
+    clk = clk_ref[:]                     # [B_F] i32
+    tbl = tbl_ref[:]                     # [G_PAD, W] f32
+
+    # broadcasted_iota: Mosaic requires >=2-D iota on TPU.
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, G_PAD), 1)
+    onehot = (gid[:, None] == g_iota).astype(jnp.float32)  # [B_F, G_PAD]
+    sel = jax.lax.dot(onehot, tbl,
+                      precision=jax.lax.Precision.HIGHEST)  # [B_F, W]
+
+    row_clk = ((sel[:, :bmax].astype(jnp.int32) << 15)
+               | sel[:, bmax:2 * bmax].astype(jnp.int32))
+    row_bs = sel[:, 2 * bmax:3 * bmax].astype(jnp.int32)
+    row_n = ((sel[:, 3 * bmax].astype(jnp.int32) << 15)
+             | sel[:, 3 * bmax + 1].astype(jnp.int32))
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bmax), 1)
+    d = clk[:, None] - row_clk
+    k = jnp.floor_divide(d + cycle // 2, cycle)
+    resid = jnp.abs(d - k * cycle)
+    accept = (resid <= tol) & (cols < row_n[:, None])
+    score = jnp.where(accept, resid * (bmax + 1) + cols, 2**30 + cols)
+    best = jnp.min(score, axis=1)
+    pick = score == best[:, None]
+    has_ref[:] = best < 2**30
+    kbest_ref[:] = jnp.sum(jnp.where(pick, k, 0), axis=1)
+    bsbest_ref[:] = jnp.sum(jnp.where(pick, row_bs, 0), axis=1)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("bmax", "cycle", "tol", "interpret", "block_f"),
+)
+def correct_planes_pallas(gid, clk, packed, *, bmax: int, cycle: int,
+                          tol: int, interpret: bool = False,
+                          block_f: int = BLOCK_F):
+    """Per-row best-baseline verdicts, fused in VMEM.
+
+    gid/clk: [F] i32 (F padded to a ``block_f`` multiple by the caller);
+    packed: [G_PAD, W] f32 table (W a 128-multiple >= 3*bmax+2).
+    Returns (has [F] bool, k_best [F] i32, bs_best [F] i32).
+    (``block_f`` is exposed for tests: interpret mode traces the kernel
+    body at full unroll, which is slow at the production block size.)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    f = gid.shape[0]
+    assert f % block_f == 0, f
+    assert packed.shape[0] == G_PAD and packed.shape[1] % 128 == 0
+
+    grid = (f // block_f,)
+    kernel = functools.partial(_kernel, bmax=bmax, cycle=cycle, tol=tol)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_f,), lambda i: (i,)),
+            pl.BlockSpec((block_f,), lambda i: (i,)),
+            pl.BlockSpec(packed.shape, lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_f,), lambda i: (i,)),
+            pl.BlockSpec((block_f,), lambda i: (i,)),
+            pl.BlockSpec((block_f,), lambda i: (i,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((f,), jnp.bool_),
+            jax.ShapeDtypeStruct((f,), jnp.int32),
+            jax.ShapeDtypeStruct((f,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(gid, clk, packed)

@@ -213,3 +213,30 @@ def test_sweep_paths_selection_matches_oracle_on_chip(small_log_bytes):
             np.asarray(paths.aod_idx[sweep])[:n], ref.aod_idx[:n])
         checked += 1
     assert checked >= 5
+
+
+def test_pallas_correct_planes_on_chip():
+    """The fused corrector-plane kernel, NON-interpreted, bit-exact vs the
+    XLA chain it mirrors (numbers in ops/pallas_correct.py's docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_pallas_correct import (
+        BMAX, CYCLE, TOL, _oracle, _pack)
+    from slam_process_tpu.ops.pallas_correct import G_PAD, correct_planes_pallas
+
+    rng = np.random.default_rng(7)
+    f = 4096
+    gid = np.sort(rng.integers(0, 64, f)).astype(np.int32)
+    clk = rng.integers(0, 1 << 30, f).astype(np.int32)
+    tbl_clk = rng.integers(0, 1 << 30, (G_PAD, BMAX)).astype(np.int32)
+    tbl_bs = rng.integers(0, 64, (G_PAD, BMAX)).astype(np.int32)
+    n_cap = rng.integers(0, BMAX + 1, G_PAD).astype(np.int32)
+    has, kb, bb = jax.device_get(correct_planes_pallas(
+        jnp.asarray(gid), jnp.asarray(clk),
+        jnp.asarray(_pack(tbl_clk, tbl_bs, n_cap)),
+        bmax=BMAX, cycle=CYCLE, tol=TOL, interpret=False))
+    ref_has, ref_k, ref_bs = _oracle(gid, clk, tbl_clk, tbl_bs, n_cap)
+    np.testing.assert_array_equal(has, ref_has)
+    np.testing.assert_array_equal(kb, ref_k)
+    np.testing.assert_array_equal(bb, ref_bs)
