@@ -285,26 +285,8 @@ def correct_rows_jax(
         axis=1,
     )
     sel = jnp.dot(onehot_g, packed, precision=hp)
-    row_clk = ((sel[:, :bmax].astype(jnp.int32) << 15)
-               | sel[:, bmax:2 * bmax].astype(jnp.int32))
-    row_bs = sel[:, 2 * bmax:3 * bmax].astype(jnp.int32)
-    row_n = ((sel[:, 3 * bmax].astype(jnp.int32) << 15)
-             | sel[:, 3 * bmax + 1].astype(jnp.int32))
-    row_bl_valid = cols[None, :] < row_n[:, None]
-
-    d = clk[:, None] - row_clk                                # [F, Bmax]
-    k = jnp.floor_divide(d + cfg.cycle // 2, cfg.cycle)
-    resid = jnp.abs(d - k * cfg.cycle)
-    accept = (resid <= cfg.tol) & row_bl_valid
-    # Unique score per column (col index is the tiebreak, matching the
-    # host oracle's first-min selection), so the min row IS the argmin row
-    # and every "best" field selects with a compare+sum — no gather.
-    score = jnp.where(accept, resid * (bmax + 1) + cols, 2**30 + cols)
-    best_score = jnp.min(score, axis=1)
-    has = best_score < 2**30
-    pick = score == best_score[:, None]
-    k_best = jnp.sum(jnp.where(pick, k, 0), axis=1)
-    bs_best = jnp.sum(jnp.where(pick, row_bs, 0), axis=1)
+    has, k_best, bs_best = baseline_plane_verdicts(
+        sel, clk, bmax=bmax, cycle=cfg.cycle, tol=cfg.tol)
     cand = jnp.mod(bs_best + k_best, cfg.mod_base)
 
     normal = (flag == 0) & valid
@@ -314,6 +296,45 @@ def correct_rows_jax(
         jnp.sum(boundary.astype(jnp.int32)) > max_groups
     )
     return corrected_bs, keep, overflow
+
+
+def baseline_plane_verdicts(sel, clk, *, bmax: int, cycle: int, tol: int):
+    """Per-row best-baseline verdicts from the one-hot-selected planes.
+
+    ``sel`` [F, >=3*bmax+2] f32 is the exact one-hot selection of the
+    packed baseline table (cols [0:B) clk_hi15, [B:2B) clk_lo15, [2B:3B)
+    bs, col 3B n_hi15, col 3B+1 n_lo15); returns (has [F] bool,
+    k_best [F] i32, bs_best [F] i32).
+
+    SHARED by correct_rows_jax (the production XLA chain) and the fused
+    Pallas kernel (ops/pallas_correct.py) so the two formulations can
+    never drift: identical jnp ops trace in both contexts.  The score's
+    column-index tiebreak makes the min unique (matching the host
+    oracle's first-min selection), so every "best" field selects with a
+    compare+sum — no gather.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    row_clk = ((sel[:, :bmax].astype(jnp.int32) << 15)
+               | sel[:, bmax:2 * bmax].astype(jnp.int32))
+    row_bs = sel[:, 2 * bmax:3 * bmax].astype(jnp.int32)
+    row_n = ((sel[:, 3 * bmax].astype(jnp.int32) << 15)
+             | sel[:, 3 * bmax + 1].astype(jnp.int32))
+    # broadcasted_iota rather than arange: Mosaic requires >=2-D iota.
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bmax), 1)
+
+    d = clk[:, None] - row_clk                                # [F, Bmax]
+    k = jnp.floor_divide(d + cycle // 2, cycle)
+    resid = jnp.abs(d - k * cycle)
+    accept = (resid <= tol) & (cols < row_n[:, None])
+    score = jnp.where(accept, resid * (bmax + 1) + cols, 2**30 + cols)
+    best_score = jnp.min(score, axis=1)
+    has = best_score < 2**30
+    pick = score == best_score[:, None]
+    k_best = jnp.sum(jnp.where(pick, k, 0), axis=1)
+    bs_best = jnp.sum(jnp.where(pick, row_bs, 0), axis=1)
+    return has, k_best, bs_best
 
 
 def compact_filtered(frames: np.ndarray, corrected_bs, keep) -> np.ndarray:

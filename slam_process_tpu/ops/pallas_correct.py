@@ -48,6 +48,8 @@ def _kernel(gid_ref, clk_ref, tbl_ref, has_ref, kbest_ref, bsbest_ref, *,
     import jax
     import jax.numpy as jnp
 
+    from slam_process_tpu.ops.correct import baseline_plane_verdicts
+
     gid = gid_ref[:]                     # [B_F] i32
     clk = clk_ref[:]                     # [B_F] i32
     tbl = tbl_ref[:]                     # [G_PAD, W] f32
@@ -58,29 +60,29 @@ def _kernel(gid_ref, clk_ref, tbl_ref, has_ref, kbest_ref, bsbest_ref, *,
     sel = jax.lax.dot(onehot, tbl,
                       precision=jax.lax.Precision.HIGHEST)  # [B_F, W]
 
-    row_clk = ((sel[:, :bmax].astype(jnp.int32) << 15)
-               | sel[:, bmax:2 * bmax].astype(jnp.int32))
-    row_bs = sel[:, 2 * bmax:3 * bmax].astype(jnp.int32)
-    row_n = ((sel[:, 3 * bmax].astype(jnp.int32) << 15)
-             | sel[:, 3 * bmax + 1].astype(jnp.int32))
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bmax), 1)
-    d = clk[:, None] - row_clk
-    k = jnp.floor_divide(d + cycle // 2, cycle)
-    resid = jnp.abs(d - k * cycle)
-    accept = (resid <= tol) & (cols < row_n[:, None])
-    score = jnp.where(accept, resid * (bmax + 1) + cols, 2**30 + cols)
-    best = jnp.min(score, axis=1)
-    pick = score == best[:, None]
-    has_ref[:] = best < 2**30
-    kbest_ref[:] = jnp.sum(jnp.where(pick, k, 0), axis=1)
-    bsbest_ref[:] = jnp.sum(jnp.where(pick, row_bs, 0), axis=1)
+    # The SAME traced ops as the production XLA chain (shared helper in
+    # ops/correct.py): the two formulations cannot drift.
+    has, k_best, bs_best = baseline_plane_verdicts(
+        sel, clk, bmax=bmax, cycle=cycle, tol=tol)
+    has_ref[:] = has
+    kbest_ref[:] = k_best
+    bsbest_ref[:] = bs_best
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("bmax", "cycle", "tol", "interpret", "block_f"),
-)
+@functools.lru_cache(maxsize=8)
+def _build(bmax: int, cycle: int, tol: int, interpret: bool, block_f: int):
+    """Lazy jit builder (jax imports deferred; persistent compile cache
+    enabled like every other jit factory in the package)."""
+    import jax
+
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    return jax.jit(functools.partial(
+        _call, bmax=bmax, cycle=cycle, tol=tol, interpret=interpret,
+        block_f=block_f))
+
+
 def correct_planes_pallas(gid, clk, packed, *, bmax: int, cycle: int,
                           tol: int, interpret: bool = False,
                           block_f: int = BLOCK_F):
@@ -92,6 +94,11 @@ def correct_planes_pallas(gid, clk, packed, *, bmax: int, cycle: int,
     (``block_f`` is exposed for tests: interpret mode traces the kernel
     body at full unroll, which is slow at the production block size.)
     """
+    return _build(bmax, cycle, tol, interpret, block_f)(gid, clk, packed)
+
+
+def _call(gid, clk, packed, *, bmax: int, cycle: int, tol: int,
+          interpret: bool, block_f: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

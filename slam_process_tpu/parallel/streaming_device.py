@@ -88,6 +88,13 @@ def _emit_kept_rows(state, combined, corrected, keep, ecap: int):
     import jax.numpy as jnp
 
     t = keep.shape[0]
+    # Trace-time guard: the ring must hold one full t-row block past the
+    # logical capacity, or dynamic_update_slice would clamp the start
+    # backward near the end and silently corrupt previously-emitted rows
+    # (the constructor sizes the slack from the decoder row count; this
+    # assert turns any future drift into a loud error).
+    assert state.emit_buf.shape[0] >= ecap + t, (
+        state.emit_buf.shape, ecap, t)
     key = jnp.where(keep, jnp.arange(t, dtype=jnp.int32),
                     jnp.int32(1 << 30))
     _, s_ue, s_bs, s_rss, s_clk = jax.lax.sort(

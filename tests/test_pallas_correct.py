@@ -52,10 +52,16 @@ def test_interpret_matches_oracle(seed):
     gid = np.sort(rng.integers(0, 64, f)).astype(np.int32)
     clk = rng.integers(0, 1 << 30, f).astype(np.int32)
     tbl_clk = rng.integers(0, 1 << 30, (G_PAD, BMAX)).astype(np.int32)
-    # Plant near-boundary residuals: exact TOL and TOL+1 offsets.
-    tbl_clk[1, :4] = (clk[3] - np.array([TOL, TOL + 1, -TOL, -(TOL + 1)])) & ((1 << 30) - 1)
+    # Plant near-boundary residuals IN row 3's own group: exact TOL and
+    # TOL+1 offsets around its clk, so the acceptance edge (resid <= tol)
+    # is exercised deterministically, not by random luck.
+    g3 = int(gid[3])
+    n_cap_min4 = 4
+    tbl_clk[g3, :4] = (clk[3] - np.array(
+        [TOL, TOL + 1, -TOL, -(TOL + 1)])) & ((1 << 30) - 1)
     tbl_bs = rng.integers(0, 64, (G_PAD, BMAX)).astype(np.int32)
     n_cap = rng.integers(0, BMAX + 1, G_PAD).astype(np.int32)
+    n_cap[g3] = max(n_cap[g3], n_cap_min4)   # planted cells must be live
 
     has, kb, bb = correct_planes_pallas(
         jnp.asarray(gid), jnp.asarray(clk), jnp.asarray(_pack(tbl_clk, tbl_bs, n_cap)),
@@ -65,3 +71,4 @@ def test_interpret_matches_oracle(seed):
     np.testing.assert_array_equal(np.asarray(kb), ref_k)
     np.testing.assert_array_equal(np.asarray(bb), ref_bs)
     assert ref_has.any() and not ref_has.all()
+    assert ref_has[3], "the planted exact-TOL baseline must be accepted"
