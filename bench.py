@@ -267,6 +267,23 @@ def main() -> None:
             module="batched")
     batched_device_s = dt_batched.median
 
+    # Grouped batched (the same multi-chip layout, per-bucket programs —
+    # no uniform-padding waste).  Device seconds = sum over the per-bucket
+    # programs of one pass.
+    from slam_process_tpu.parallel.batch import run_dataset_batched_grouped
+
+    with mesh:
+        warm_g = run_dataset_batched_grouped(mesh, raw, max_groups=64,
+                                             max_baselines_per_group=96)
+        jax.block_until_ready([o.n_kept for _, o in warm_g])
+        jax.device_get(jax.jit(lambda: jnp.zeros(()))())   # fence
+        dt_grouped = measure_device_time(
+            lambda i: run_dataset_batched_grouped(
+                mesh, raw, max_groups=64,
+                max_baselines_per_group=96)[-1][1].n_kept, n=3)
+    grouped_device_s = sum(
+        sum(v) for v in dt_grouped.all_modules.values()) / 3
+
     # Device-resident streaming (no-emit and emit modes): total device
     # seconds across the full dataset replay (many step dispatches).
     def stream_all(_i):
@@ -385,6 +402,10 @@ def main() -> None:
         "batched_device_frames_per_sec": round(
             total_frames / batched_device_s, 1),
         "batched_device_trials_s": [round(t, 4) for t in dt_batched.runs],
+        "batched_grouped_device_seconds_full_dataset": round(
+            grouped_device_s, 4),
+        "batched_grouped_device_frames_per_sec": round(
+            total_frames / grouped_device_s, 1),
         "batched_wall_s": round(batched_wall_s, 4),
         "streaming_frames_per_sec": round(stream_fps, 1),
         "streaming_device_seconds_full_dataset": round(stream_device_s, 4),

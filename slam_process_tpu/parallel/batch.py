@@ -116,3 +116,50 @@ def stack_sessions(raw_list: Sequence[np.ndarray], n_bytes_padded: Optional[int]
     batch = np.stack([pad_bytes(r, n_bytes_padded) for r in raw_list])
     lengths = np.asarray([len(r) for r in raw_list], dtype=np.int32)
     return batch, lengths
+
+
+def run_dataset_batched_grouped(
+    mesh,
+    raw_list: Sequence[np.ndarray],
+    quantum: int = 1 << 18,
+    **pipeline_kwargs,
+):
+    """The batched multi-chip layout WITHOUT uniform-padding waste.
+
+    ``batched_session_pipeline`` pads every session to the dataset max
+    (2.6x the real bytes on the reference dataset — every per-frame stage
+    scales with the padded length).  Here sessions group by their byte
+    bucket (pipeline.device.bucket_size), each group padded to a multiple
+    of the mesh's 'data'-axis size with empty sessions (zero bytes decode
+    to zero frames), and one sharded batched program runs per bucket —
+    the same data-parallel layout at per-session padding cost.
+
+    Returns ``[(indices, SessionSummaryOut), ...]`` — one entry per
+    bucket group, each output carrying a leading S axis whose first
+    ``len(indices)`` rows are the sessions at those input positions
+    (trailing rows are the empty padding sessions).  Dispatches are
+    async and the outputs stay on device: eagerly slicing a sharded
+    output per session would dispatch a gather per leaf, so callers
+    split after their own ``device_get``.
+    """
+    from slam_process_tpu.ops.raster import colormap_lut
+    from slam_process_tpu.pipeline.device import bucket_size
+
+    import jax.numpy as jnp
+
+    dp = mesh.shape.get("data", 1)
+    groups: dict = {}
+    for i, r in enumerate(raw_list):
+        groups.setdefault(bucket_size(len(r), quantum), []).append(i)
+
+    lut = jnp.asarray(colormap_lut("viridis"))
+    results = []
+    for bucket, idxs in sorted(groups.items()):
+        sessions = [raw_list[i] for i in idxs]
+        pad_n = (-len(sessions)) % dp
+        sessions = sessions + [np.zeros(0, np.uint8)] * pad_n
+        batch, lengths = stack_sessions(sessions, bucket)
+        fn = batched_session_pipeline(mesh, bucket, outputs="summary",
+                                      **pipeline_kwargs)
+        results.append((idxs, fn(batch, lengths, lut)))
+    return results

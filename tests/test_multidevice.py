@@ -180,3 +180,49 @@ def test_dryrun_multichip_inprocess():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_grouped_batched_matches_single_device(stacked):
+    """run_dataset_batched_grouped (per-bucket programs, empty-session
+    padding to the data-axis multiple) == the uniform-padded batched
+    pipeline, on the (4,2) virtual mesh."""
+    import jax
+
+    from slam_process_tpu.ops.raster import colormap_lut
+    from slam_process_tpu.parallel.batch import (
+        batched_session_pipeline,
+        run_dataset_batched_grouped,
+        stack_sessions,
+    )
+    from slam_process_tpu.parallel.mesh import make_mesh
+
+    raws, _, _, _ = stacked
+    mesh = make_mesh((4, 2), ("data", "model"))
+    with mesh:
+        grouped = run_dataset_batched_grouped(
+            mesh, raws, max_groups=64, max_baselines_per_group=96)
+        n_padded = max(len(r) for r in raws)
+        batch, lengths = stack_sessions(raws, n_padded)
+        bfn = batched_session_pipeline(mesh, n_padded, max_groups=64,
+                                       max_baselines_per_group=96,
+                                       outputs="summary")
+        import jax.numpy as jnp
+
+        ref = bfn(batch, lengths, jnp.asarray(colormap_lut("viridis")))
+        grouped_h, ref_h = jax.device_get((grouped, ref))
+    seen = set()
+    for idxs, out in grouped_h:
+        for j, s in enumerate(idxs):
+            seen.add(s)
+            assert int(out.n_frames[j]) == int(ref_h.n_frames[s])
+            assert int(out.n_kept[j]) == int(ref_h.n_kept[s])
+            assert not bool(out.correct_overflow[j])
+            np.testing.assert_array_equal(
+                np.nan_to_num(np.asarray(out.norm_t[j])),
+                np.nan_to_num(np.asarray(ref_h.norm_t[s])))
+            np.testing.assert_array_equal(np.asarray(out.counts[j]),
+                                          np.asarray(ref_h.counts[s]))
+        # Padding sessions decode to zero frames.
+        for j in range(len(idxs), len(np.asarray(out.n_frames))):
+            assert int(out.n_frames[j]) == 0
+    assert seen == set(range(len(raws)))
