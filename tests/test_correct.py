@@ -350,3 +350,41 @@ def test_rows_layout_matches_np_adversarial_fuzz(seed):
     np.testing.assert_array_equal(keep[pos], ref.keep)
     filt = compact_filtered(rows, corrected, keep)
     np.testing.assert_array_equal(filt, ref.filtered)
+
+
+def test_rows_layout_all_invalid():
+    """correct_rows_jax on an all-invalid table: nothing kept, nothing
+    corrected, no overflow — junk field values never leak through."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.correct import correct_rows_jax
+
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 1 << 20, (64, 5)).astype(np.int32)
+    corrected, keep, overflow = jax.jit(
+        lambda x, v: correct_rows_jax(x, v, max_groups=8,
+                                      max_baselines_per_group=8)
+    )(jnp.asarray(rows), jnp.zeros(64, bool))
+    assert not np.asarray(keep).any()
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(corrected), rows[:, 2])
+
+
+def test_rows_layout_single_valid_row():
+    """One lone frame: opens a group, no baseline possible, kept=False
+    (FLAG=0 rows without a correction are filtered, matching the
+    reference's corrected-rows-only output)."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.correct import correct_rows_jax
+
+    rows = np.zeros((16, 5), np.int32)
+    rows[7] = [0, 3, 63, 500, 12345]
+    valid = np.zeros(16, bool)
+    valid[7] = True
+    corrected, keep, overflow = correct_rows_jax(
+        jnp.asarray(rows), jnp.asarray(valid), max_groups=4,
+        max_baselines_per_group=4)
+    assert not np.asarray(keep).any()
+    assert not bool(overflow)

@@ -194,3 +194,40 @@ def test_all_logs_decode_and_spacing(log):
     res = decode_frames_np(b)
     assert res.valid == starts.size
     assert res.valid > 10_000
+
+
+def test_decode_rows_n_valid_boundary():
+    """n_valid masking: a frame needs its FULL 11-byte window inside
+    b[:n_valid] — exactly at the boundary decodes, one byte short does
+    not, and bytes past n_valid never produce frames even when they hold
+    a valid frame."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.decode import decode_rows_jax
+
+    f1 = make_frame(ue=1, clk=1000)
+    f2 = make_frame(ue=2, clk=2000)
+    b = np.array(f1 + f2, dtype=np.uint8)
+
+    # Full window of frame 1 exactly inside: decodes.
+    _, valid, count = decode_rows_jax(jnp.asarray(b), n_valid=jnp.int32(11))
+    assert int(count) == 1
+    # One byte short: rejected.
+    _, _, count = decode_rows_jax(jnp.asarray(b), n_valid=jnp.int32(10))
+    assert int(count) == 0
+    # Frame 2 is real data but lies past n_valid: never decoded.
+    rows, valid, count = decode_rows_jax(jnp.asarray(b),
+                                         n_valid=jnp.int32(12))
+    assert int(count) == 1
+    np.testing.assert_array_equal(
+        np.asarray(rows)[np.asarray(valid)][:, 1], [1])
+
+
+def test_decode_rows_empty_and_all_junk():
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.decode import decode_rows_jax
+
+    rows, valid, count = decode_rows_jax(jnp.zeros(33, jnp.uint8))
+    assert int(count) == 0 and not np.asarray(valid).any()
+    assert not np.any(np.asarray(rows))
