@@ -149,6 +149,117 @@ def bucket_size(n: int, quantum: int = 1 << 18) -> int:
     return ((n + quantum - 1) // quantum) * quantum
 
 
+# ---------------------------------------------------------------------------
+# Text-ingest path: raw LOG TEXT is the only host->device traffic; the
+# stride-3 tokenizer (ops/tokenize.py) fuses into the same jit program as
+# decode+correct+render.  Closes round 3's end-to-end gap (the host
+# tokenizer at ~536 MB/s on one core was ~2/3 of true end-to-end time).
+# ---------------------------------------------------------------------------
+
+
+class TextSessionOut(NamedTuple):
+    out: DeviceSessionOut
+    tokenize_regular: "np.ndarray"  # scalar bool: stride-3 proof flag held
+    n_tokens: "np.ndarray"          # scalar i32
+
+
+def session_pipeline_from_text(
+    text_tensor,            # jnp [M] uint8, M % 3 == 0, whitespace-padded
+    n_text,                 # jnp scalar i32: real body byte count
+    lut,                    # jnp [256, 4] f32 colormap LUT
+    *,
+    capacity: int,
+    blur_sigma: float = 1.0,
+    use_log: bool = True,
+    log_transform_scene: bool = False,
+    max_groups: int = 256,
+    max_baselines_per_group: int = 256,
+    decode_cfg: DecodeConfig = DecodeConfig(),
+    correct_cfg: CorrectConfig = CorrectConfig(),
+) -> TextSessionOut:
+    """Fused text -> raster pipeline body (jit-able).
+
+    The caller must have established the stride3_offset precondition (no
+    valid token before the body, body starts a token run); the returned
+    ``tokenize_regular`` flag certifies the on-device half of the
+    equivalence proof.  Results are only trustworthy when it is True —
+    run_session_from_text re-runs via the host tokenizer otherwise.
+    """
+    from slam_process_tpu.ops.tokenize import tokenize_stride3_jax
+
+    b, n_tok, regular = tokenize_stride3_jax(text_tensor, n_text)
+    out = session_pipeline(
+        b, n_tok, lut, capacity=capacity, blur_sigma=blur_sigma,
+        use_log=use_log, log_transform_scene=log_transform_scene,
+        max_groups=max_groups,
+        max_baselines_per_group=max_baselines_per_group,
+        decode_cfg=decode_cfg, correct_cfg=correct_cfg,
+    )
+    return TextSessionOut(out=out, tokenize_regular=regular, n_tokens=n_tok)
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_text_session_pipeline(n_text_padded: int, blur_sigma: float = 1.0,
+                                   use_log: bool = True, max_groups: int = 256,
+                                   max_baselines_per_group: int = 256):
+    """A jitted text-ingest pipeline for one text-capacity bucket."""
+    import jax
+
+    cap = frame_capacity(n_text_padded // 3)
+    fn = functools.partial(session_pipeline_from_text, capacity=cap,
+                           blur_sigma=blur_sigma, use_log=use_log,
+                           max_groups=max_groups,
+                           max_baselines_per_group=max_baselines_per_group)
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    return jax.jit(fn)
+
+
+def run_session_from_text(data: bytes, blur_sigma: float = 1.0,
+                          use_log: bool = True, max_groups: int = 256,
+                          max_baselines_per_group: int = 256,
+                          check: bool = True):
+    """Raw log file contents -> device pipeline outputs via device tokenize.
+
+    Host work is limited to the O(head) stride3_offset scan and one padded
+    buffer copy.  With ``check=True`` (the default) the stride-proof flag
+    is read and an irregular stream transparently re-runs through the host
+    tokenizer path — callers get correct results either way.  Performance
+    paths (bench) pass ``check=False`` and audit the flags in batch.
+
+    Returns TextSessionOut; when the host fallback was taken,
+    ``tokenize_regular`` is a host-side False and ``out`` comes from
+    run_session_on_device.
+    """
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.tokenize import (
+        prepare_text, stride3_offset, text_bucket,
+    )
+
+    def _fallback():
+        from slam_process_tpu.io.hexlog import tokenize_hex
+
+        raw = tokenize_hex(data)
+        out = run_session_on_device(
+            raw, blur_sigma, use_log, max_groups, max_baselines_per_group)
+        return TextSessionOut(out=out,
+                              tokenize_regular=np.asarray(False),
+                              n_tokens=np.asarray(len(raw), np.int32))
+
+    p = stride3_offset(data)
+    if p is None:
+        return _fallback()
+    text, n_text = prepare_text(data, p, text_bucket(len(data) - p))
+    fn = compiled_text_session_pipeline(len(text), blur_sigma, use_log,
+                                        max_groups, max_baselines_per_group)
+    lut = jnp.asarray(colormap_lut("viridis"))
+    res = fn(jnp.asarray(text), jnp.int32(n_text), lut)
+    if check and not bool(res.tokenize_regular):
+        return _fallback()
+    return res
+
+
 def run_session_on_device(raw_bytes: np.ndarray, blur_sigma: float = 1.0,
                           use_log: bool = True, max_groups: int = 256,
                           max_baselines_per_group: int = 256,
