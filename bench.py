@@ -113,13 +113,37 @@ def main() -> None:
     total_frames_dev = jax.jit(lambda *xs: sum(xs))(
         *[o.n_frames for o in outs])   # read in the report phase below
 
-    # Fully end-to-end: file read + host tokenization + device dispatch.
-    # Sequential ingest: the native tokenizer runs at ~536 MB/s so thread
-    # overlap gains nothing (measured: sequential is the faster e2e).
+    # Fully end-to-end, host-tokenize config: file read + native AVX-512
+    # hexscan (runtime/hexscan.c, ~3.9 GB/s on this core) + H2D of the
+    # token bytes + device pipeline.  Single host core (nproc=1): thread
+    # overlap is not available, sequential ingest is the honest number.
     t1 = time.perf_counter()
     outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
     jax.block_until_ready([o.rgba for o in outs2])
     e2e_wall_s = time.perf_counter() - t1
+
+    # Fully end-to-end, device-tokenize config: file read + stride-3 text
+    # prep + H2D of the RAW TEXT + fused tokenize+decode+correct+render
+    # program (ops/tokenize.py).  3x the H2D bytes buys zero host tokenize
+    # time — which path wins depends on the transport's H2D rate (~550
+    # MB/s on this relay; PCIe-class hosts favor the text path).
+    from slam_process_tpu.pipeline.device import run_session_from_text
+
+    def text_pass():
+        return [run_session_from_text(open(p, "rb").read(), max_groups=64,
+                                      max_baselines_per_group=96,
+                                      check=False) for p in logs]
+
+    outs3 = text_pass()   # warm: compile every text bucket
+    jax.block_until_ready([o.out.rgba for o in outs3])
+    # Aggregate the stride-proof flags on device; read in Phase 2.
+    tokenize_regular_dev = jax.jit(lambda *xs: sum(xs))(
+        *[o.tokenize_regular.astype("int32") for o in outs3])
+    t1 = time.perf_counter()
+    outs3 = text_pass()
+    jax.block_until_ready([o.out.rgba for o in outs3])
+    e2e_devtok_wall_s = time.perf_counter() - t1
+    del outs3
 
     # Pixel parity needs one sequential output; keep it, free the rest.
     import gc
@@ -260,6 +284,21 @@ def main() -> None:
             "corrector capacity bounds (64 groups / 96 baselines) exceeded "
             "by the dataset; bench numbers would be invalid")
 
+    # Fused text pipeline (device tokenize): device seconds per pass, and
+    # the stride-proof audit (all 19 logs must take the device path).
+    datas_text = [open(p, "rb").read() for p in logs]
+
+    def text_pass_mem(_i):
+        outs = [run_session_from_text(d, max_groups=64,
+                                      max_baselines_per_group=96,
+                                      check=False) for d in datas_text]
+        return outs[-1].out.n_kept
+
+    dt_text = measure_device_time(text_pass_mem, n=3)
+    text_device_s = sum(sum(v) for v in dt_text.all_modules.values()) / 3
+    tokenize_all_regular = int(jax.device_get(tokenize_regular_dev)) == len(logs)
+    del datas_text
+
     # Batched one-program whole dataset.
     with mesh:
         dt_batched = measure_device_time(
@@ -398,6 +437,15 @@ def main() -> None:
         "headline_device_runs": headline_runs,
         "headline_wall_s": round(headline_wall_s, 4),
         "e2e_frames_per_sec_with_host_tokenize": round(e2e_fps, 1),
+        "e2e_frames_per_sec_device_tokenize": round(
+            total_frames / e2e_devtok_wall_s, 1),
+        "e2e_wall_s_device_tokenize": round(e2e_devtok_wall_s, 4),
+        "e2e_frames_per_sec": round(
+            total_frames / min(e2e_wall_s, e2e_devtok_wall_s), 1),
+        "text_pipeline_device_seconds_per_pass": round(text_device_s, 4),
+        "text_pipeline_device_frames_per_sec": round(
+            total_frames / text_device_s, 1),
+        "tokenize_all_regular": tokenize_all_regular,
         "batched_device_seconds_full_dataset": round(batched_device_s, 4),
         "batched_device_frames_per_sec": round(
             total_frames / batched_device_s, 1),

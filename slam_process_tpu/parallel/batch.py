@@ -32,6 +32,7 @@ class SessionSummaryOut(NamedTuple):
     norm_t: "np.ndarray"            # [S, 64, 64] f32
 
 
+@functools.lru_cache(maxsize=32)
 def batched_session_pipeline(
     mesh,
     n_bytes_padded: int,
@@ -42,6 +43,10 @@ def batched_session_pipeline(
     outputs: str = "full",
 ):
     """Build a jitted [S, N]-batched pipeline sharded over mesh axis 'data'.
+
+    Cached per (mesh, bucket, config): a fresh ``jax.jit`` object per call
+    would retrace on every invocation even at repeated shapes (the
+    per-bucket grouped runner calls this once per bucket per call).
 
     Returns fn(byte_batch[S, N] u8, n_bytes[S] i32, lut[256,4] f32) ->
     DeviceSessionOut with a leading S axis on every field.

@@ -218,6 +218,22 @@ def _run_estimate(args):
     print(f"输出PNG: {out}")
 
 
+def _coerce_sweep_estimator(args, overrides, what: str) -> str:
+    """Resolve --model/--engine for the per-sweep paths, warning loudly
+    instead of silently coercing (only nn_omp/sm_sic estimate per sweep,
+    and that path is device-only by design)."""
+    if args.model in ("nn_omp", "sm_sic"):
+        estimator = args.model
+    else:
+        estimator = "nn_omp"
+        print(f"warning: --model {args.model} is not a sweep estimator "
+              f"(nn_omp/sm_sic); using nn_omp for {what}", file=sys.stderr)
+    if overrides.pop("engine", None) is not None:
+        print(f"warning: --engine is ignored with {what} (per-sweep "
+              "estimation always runs on device)", file=sys.stderr)
+    return estimator
+
+
 def _run_estimate_tracks(args, s, overrides):
     """CLK-anchored track association over per-sweep paths (ToA axis)."""
     import numpy as np
@@ -225,8 +241,7 @@ def _run_estimate_tracks(args, s, overrides):
     from slam_process_tpu.io.xlsx import write_xlsx_table
     from slam_process_tpu.render.tracks import save_track_figure
 
-    estimator = args.model if args.model in ("nn_omp", "sm_sic") else "nn_omp"
-    overrides.pop("engine", None)   # sweep_paths is device-only by design
+    estimator = _coerce_sweep_estimator(args, overrides, "--tracks")
     tracks, times, vel = s.path_tracks(
         args.mapping, estimator=estimator, gate_deg=args.gate_deg,
         **overrides)
@@ -254,8 +269,7 @@ def _run_estimate_per_sweep(args, s, overrides):
 
     from slam_process_tpu.io.xlsx import write_xlsx_table
 
-    estimator = args.model if args.model in ("nn_omp", "sm_sic") else "nn_omp"
-    overrides.pop("engine", None)   # sweep_paths is device-only by design
+    estimator = _coerce_sweep_estimator(args, overrides, "--per-sweep")
     paths, sweep_valid = s.sweep_paths(args.mapping, estimator=estimator,
                                        **overrides)
     times = s.sweep_times(len(sweep_valid))

@@ -199,10 +199,26 @@ class Session:
         self.config = config or PipelineConfig()
         self.logger = get_logger(f"slam_process_tpu.{name}")
         self.frames: Optional[np.ndarray] = None       # [F, 5]
-        self.filtered: Optional[np.ndarray] = None     # [K, 4]
+        self._filtered: Optional[np.ndarray] = None    # [K, 4]
+        self._filtered_gen = 0
+        self._sweep_prep_memo: dict = {}
         self.corrected_bs: Optional[np.ndarray] = None  # [F] per-row corrected
         self.counters: list[StageCounters] = []
         self.timings: dict[str, float] = {}
+
+    @property
+    def filtered(self) -> Optional[np.ndarray]:
+        return self._filtered
+
+    @filtered.setter
+    def filtered(self, value: Optional[np.ndarray]) -> None:
+        # Every rebind bumps the generation and drops the sweep-estimation
+        # memo — memo entries key on the generation (a monotone counter, so
+        # a recycled array id can never alias a stale entry, and no pin
+        # list is needed to keep ids live).
+        self._filtered = value
+        self._filtered_gen += 1
+        self._sweep_prep_memo = {}
 
     # -- construction -------------------------------------------------------
 
@@ -287,10 +303,7 @@ class Session:
         t0 = time.perf_counter()
         res = correct_frames_np(self.frames, self.config.correct)
         self.timings["correct"] = time.perf_counter() - t0
-        self.filtered = res.filtered
-        # filtered changed: drop the sweep-estimation memo (keyed on the
-        # array's identity) so stale prep can never be served.
-        self._sweep_prep_memo = {}
+        self.filtered = res.filtered   # setter bumps the memo generation
         self.corrected_bs = res.corrected_bs
         c = StageCounters(
             "correct",
@@ -355,11 +368,13 @@ class Session:
         testbed's 30-bit clock axis.  Sweeps with no rows get -1.
 
         The counter is a WRAPPING 30-bit value; per-sweep anchors are
-        unwrapped onto a monotone axis (a decrease between consecutive
-        observed sweeps adds one 2^30 period — sweeps are far shorter than
-        a full counter period, so any decrease is a wrap), so downstream
-        velocity fits (models/tracking.track_velocities) never see a
-        2^30-tick discontinuity.
+        unwrapped onto a monotone axis so downstream velocity fits
+        (models/tracking.track_velocities) never see a 2^30-tick
+        discontinuity.  Only decreases CONSISTENT with a wrap (drop of
+        more than half a period, 2^29 ticks) unwrap; a small decrease is
+        a testbed counter reset or an out-of-order anchor — unwrapping it
+        would shift every later timestamp by ~1e9 ticks, so those are
+        left as-is and warned about instead.
         """
         from slam_process_tpu.ops.correct import detect_groups_np
 
@@ -374,7 +389,16 @@ class Session:
         obs = times >= 0
         if obs.sum() > 1:
             t = times[obs]
-            wraps = np.cumsum(np.concatenate([[0], (np.diff(t) < 0)]))
+            d = np.diff(t)
+            wrap = (d < 0) & (-d > (1 << 29))
+            odd = (d < 0) & ~wrap
+            if odd.any():
+                self.logger.warning(
+                    "sweep_times: %d non-wrap CLK decrease(s) between "
+                    "sweeps (counter reset or out-of-order anchor); "
+                    "timestamps left unadjusted — velocity fits across "
+                    "the discontinuity are unreliable", int(odd.sum()))
+            wraps = np.cumsum(np.concatenate([[0], wrap]))
             times[obs] = t + (wraps.astype(np.int64) << 30)
         return times
 
@@ -399,10 +423,8 @@ class Session:
         if self.filtered is None:
             self.correct()
         memo_key = (str(angle_file), estimator, max_sweeps,
-                    tuple(sorted(overrides.items())), id(self.filtered))
-        cache = getattr(self, "_sweep_prep_memo", None)
-        if cache is None:
-            cache = self._sweep_prep_memo = {}
+                    tuple(sorted(overrides.items())), self._filtered_gen)
+        cache = self._sweep_prep_memo
         if memo_key in cache:
             return cache[memo_key]
         gid = detect_groups_np(self.filtered[:, 0])
@@ -441,10 +463,6 @@ class Session:
             raise ValueError(f"unknown sweep estimator {estimator!r}")
         result = (gid, n_sweeps, ue_ids, bs_ids, d, est_key)
         cache[memo_key] = result
-        # Pin the keyed array: entries reference it, so its id can never be
-        # recycled by a different array while the memo lives (correct()
-        # additionally resets the memo when it rebuilds filtered).
-        cache.setdefault("_pins", []).append(self.filtered)
         return result
 
     def _sweep_estimation_inputs(
@@ -477,7 +495,7 @@ class Session:
         # (session, config, pad shape), so repeat calls skip the H2D
         # transfers, eager gathers, and intensity dispatch entirely.
         memo_key = ("inputs", str(angle_file), estimator, max_sweeps, pad_to,
-                    tuple(sorted(overrides.items())), id(self.filtered))
+                    tuple(sorted(overrides.items())), self._filtered_gen)
         cache = self._sweep_prep_memo
         if memo_key in cache:
             return cache[memo_key]

@@ -42,6 +42,29 @@ def test_native_random_token_streams():
         np.testing.assert_array_equal(hexscan.tokenize(data), tokenize_hex(data))
 
 
+def test_native_simd_blocks_and_resync():
+    """Streams long enough for the AVX-512 block path (192-byte blocks),
+    with mid-stream irregularities that force scalar resync at every
+    alignment: the SIMD fast path must bail for one token and re-engage
+    at the next whitespace boundary, never mis-emitting."""
+    rng = np.random.default_rng(7)
+    # Pure regular long stream (multiple blocks + odd tail).
+    for n_tok in (64, 65, 640, 641, 1000):
+        vals = rng.integers(0, 256, n_tok)
+        data = b" ".join(b"%02X" % int(v) for v in vals)
+        for suffix in (b"", b" ", b"\n"):
+            np.testing.assert_array_equal(
+                hexscan.tokenize(data + suffix), tokenize_hex(data + suffix))
+    # Junk planted at every offset inside a block span.
+    base = b" ".join(b"%02X" % int(v) for v in rng.integers(0, 256, 256)) + b" "
+    for pos in range(0, 384, 7):
+        for junk in (b"zz ", b"0x41 ", b"1 ", b"  ", b"\xc2\xab "):
+            data = base[:pos] + junk + base[pos:]
+            np.testing.assert_array_equal(
+                hexscan.tokenize(data), tokenize_hex(data),
+                err_msg=f"pos={pos} junk={junk!r}")
+
+
 @pytest.mark.slow
 def test_native_all_logs_and_speed():
     total_bytes = 0

@@ -123,14 +123,18 @@ def test_per_sweep_cli(tmp_path):
     assert names == ["Sweep", "CLK", "Path", "AoA", "AoD", "Power"]
     assert len(data) >= 3
     assert np.all(data[:, 5] > 0)
-    # CLK anchors are the first kept frame per sweep, unwrapped onto a
-    # monotone axis (the 30-bit counter may wrap within a session;
-    # Session.sweep_times adds one 2^30 period per observed decrease).
+    # CLK anchors are the first kept frame per sweep.  This log's anchors
+    # contain SMALL decreases (testbed counter resets / out-of-order
+    # anchors, nowhere near the 2^30 wrap band), so sweep_times must NOT
+    # fabricate 2^30 unwrap offsets for them: every anchor stays below one
+    # counter period, and any decrease present is small (a genuine wrap
+    # would drop by more than half a period before unwrapping).
     per_sweep = {int(r[0]): int(r[1]) for r in data}
     clks = [per_sweep[k] for k in sorted(per_sweep)]
     assert all(c >= 0 for c in clks)
-    assert clks == sorted(clks)
-    assert len(set(clks)) == len(clks)
+    assert max(clks) < 1 << 30, "non-wrap decreases must not unwrap"
+    drops = [a - b for a, b in zip(clks, clks[1:]) if b < a]
+    assert all(d <= 1 << 29 for d in drops)
 
 
 def test_sweep_memo_invalidated_on_recorrect(small_log_bytes):
