@@ -129,12 +129,41 @@ def track_paths_jax(
     import jax
     import jax.numpy as jnp
 
+    import jax
+    import jax.numpy as jnp
+
     aoa = jnp.asarray(aoa, jnp.float32)
     aod = jnp.asarray(aod, jnp.float32)
     power = jnp.asarray(power, jnp.float32)
     valid = jnp.asarray(valid, bool)
     s_n, k_n = aoa.shape
     t_n = int(max_tracks)
+
+    sweep_step = make_track_sweep_step(k_n, t_n, gate_deg)
+    carry0 = (jnp.zeros((t_n, 2), jnp.float32), jnp.zeros(t_n, bool),
+              jnp.int32(0))
+    (_, created, count), ys = jax.lax.scan(
+        sweep_step, carry0, (aoa, aod, power, valid))
+    y_aoa, y_aod, y_pow, y_obs = ys
+    return Tracks(y_aoa.T, y_aod.T, y_pow.T, y_obs.T, created, count)
+
+
+def make_track_sweep_step(k_n: int, t_n: int, gate_deg: float):
+    """The one-sweep association step as a ``lax.scan`` body.
+
+    carry = (pos [T, 2] f32, created [T] bool, count i32); input =
+    (aoa [K], aod [K], power [K], valid [K]); output per sweep =
+    (pos_aoa [T], pos_aod [T], power [T], observed [T]).  Exposed so the
+    streaming path can hold the carry in device state and fold closed
+    sweeps incrementally — the SAME float ops in the SAME order as the
+    offline scan, so incremental == offline exactly.  An all-invalid
+    input sweep is a no-op on the carry (gating can never pass, no
+    leftover paths), which the streaming step uses to pad its per-step
+    sweep block.
+    """
+    import jax
+    import jax.numpy as jnp
+
     gate2 = jnp.float32(gate_deg) * jnp.float32(gate_deg)
 
     def sweep_step(carry, inp):
@@ -181,12 +210,7 @@ def track_paths_jax(
         y = (pos[:, 0], pos[:, 1], opow, obs)
         return (pos, created, count), y
 
-    carry0 = (jnp.zeros((t_n, 2), jnp.float32), jnp.zeros(t_n, bool),
-              jnp.int32(0))
-    (_, created, count), ys = jax.lax.scan(
-        sweep_step, carry0, (aoa, aod, power, valid))
-    y_aoa, y_aod, y_pow, y_obs = ys
-    return Tracks(y_aoa.T, y_aod.T, y_pow.T, y_obs.T, created, count)
+    return sweep_step
 
 
 def track_velocities(

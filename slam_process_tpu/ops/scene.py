@@ -174,7 +174,7 @@ def intensity_grid_jax(
     return IntensityGrid(mean, counts.astype(jnp.int32), row_mask, col_mask, fill)
 
 
-def intensity_per_sweep_jax(
+def intensity_per_sweep_sums_jax(
     ue,                       # jnp [F] int32 (padded)
     bs,                       # jnp [F] int32
     rss,                      # jnp [F] f32
@@ -183,13 +183,11 @@ def intensity_per_sweep_jax(
     max_sweeps: int,
     cfg: SceneConfig = _DEFAULT,
 ):
-    """Per-sweep intensity tensor [S, U, B] via one 3-way one-hot contraction.
+    """Per-sweep (sums, counts) accumulators [S, U, B] (both f32).
 
-    The SURVEY design keeps the session as ``intensity[S, 64, 64]`` so
-    renders/estimators can ``vmap`` across sweeps; this assembles it with a
-    single einsum over (frame -> sweep) x (frame -> ue) x (frame -> bs)
-    one-hots — still MXU work, [F, S]x[F, U]x[F, B].
-    Returns (mean [S, U, B] with NaN empties, counts [S, U, B] i32).
+    The raw-accumulator form of :func:`intensity_per_sweep_jax`; the
+    streaming path needs sums so a sweep spanning chunk boundaries can
+    fold its partials before the mean is taken.
     """
     import jax.numpy as jnp
 
@@ -219,6 +217,30 @@ def intensity_per_sweep_jax(
 
     _, (sums, counts) = jax.lax.scan(one_sweep, None,
                                      jnp.arange(max_sweeps, dtype=gid.dtype))
+    return sums, counts
+
+
+def intensity_per_sweep_jax(
+    ue,                       # jnp [F] int32 (padded)
+    bs,                       # jnp [F] int32
+    rss,                      # jnp [F] f32
+    gid,                      # jnp [F] int32 sweep ids (0..max_sweeps-1)
+    valid,                    # jnp [F] bool
+    max_sweeps: int,
+    cfg: SceneConfig = _DEFAULT,
+):
+    """Per-sweep intensity tensor [S, U, B] via one 3-way one-hot contraction.
+
+    The SURVEY design keeps the session as ``intensity[S, 64, 64]`` so
+    renders/estimators can ``vmap`` across sweeps; this assembles it with a
+    single einsum over (frame -> sweep) x (frame -> ue) x (frame -> bs)
+    one-hots — still MXU work, [F, S]x[F, U]x[F, B].
+    Returns (mean [S, U, B] with NaN empties, counts [S, U, B] i32).
+    """
+    import jax.numpy as jnp
+
+    sums, counts = intensity_per_sweep_sums_jax(
+        ue, bs, rss, gid, valid, max_sweeps, cfg)
     mean = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), jnp.nan)
     return mean, counts.astype(jnp.int32)
 

@@ -1,2 +1,6 @@
 from slam_process_tpu.parallel.mesh import make_mesh  # noqa: F401
 from slam_process_tpu.parallel.batch import batched_session_pipeline  # noqa: F401
+from slam_process_tpu.parallel.streaming_device import (  # noqa: F401
+    DeviceStreamingSession,
+    make_paths_spec,
+)

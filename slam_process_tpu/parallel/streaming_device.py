@@ -35,7 +35,7 @@ from typing import NamedTuple, Optional, Union
 
 import numpy as np
 
-from slam_process_tpu.config import PipelineConfig
+from slam_process_tpu.config import PipelineConfig, SceneConfig
 from slam_process_tpu.ops.decode import decode_rows_jax, frame_capacity
 from slam_process_tpu.ops.scene import IntensityGrid, intensity_sums_jax
 from slam_process_tpu.utils import get_logger
@@ -43,6 +43,104 @@ from slam_process_tpu.utils import get_logger
 _LOGGER = get_logger("slam_process_tpu.streaming_device")
 
 CARRY_BYTES = 10   # frame_len - 1: the only positions without a verdict
+
+
+class StreamPathsSpec(NamedTuple):
+    """Hashable config for ONLINE per-sweep estimation + tracking.
+
+    The offline flagship (``Session.sweep_paths`` / ``path_tracks``) runs
+    as a batch pass over a finished session; this spec arms the streaming
+    state machine to do the same work AS SWEEPS CLOSE, fully device-
+    resident: when the kept-row stream shows a UE decrease, the finished
+    sweep's intensity grid feeds the per-sweep estimator inside the SAME
+    jitted step, and the greedy-NN tracker (models/tracking) advances its
+    carry.  An unbounded stream therefore yields paths and CLK-anchored
+    tracks continuously — not only grids.
+
+    The beam set (``ue_ids``/``bs_ids``) and the dictionary derived from
+    it are FIXED UP FRONT (production streaming knows its codebook; the
+    offline path can be pinned to the same set via ``sweep_paths``'s
+    ``beam_ids`` override, which is how the exact-parity tests compare
+    the two).  ``s_step`` bounds sweeps closing per step and ``capacity``
+    bounds total closed sweeps; exceeding either flags ``paths_overflow``
+    and result reads raise rather than return truncated data.
+    """
+
+    estimator: str          # "nn_omp" | "sm_sic"
+    est_key: tuple          # from sweep_estimator_setup
+    ue_ids: tuple           # participating UE beam ids (ints)
+    bs_ids: tuple           # participating BS beam ids
+    s_step: int             # max sweeps closing per step
+    capacity: int           # max total closed sweeps
+    max_tracks: int
+    gate_deg: float
+
+
+def make_paths_spec(
+    angle_file,
+    estimator: str = "nn_omp",
+    beam_ids=None,
+    s_step: int = 64,
+    capacity: int = 4096,
+    max_tracks: int = 8,
+    gate_deg: float = 10.0,
+    **overrides,
+):
+    """Build (spec, dict_args) for ``DeviceStreamingSession(collect_paths=...)``.
+
+    ``beam_ids``: optional (ue_ids, bs_ids) sequences; defaults to every
+    beam with a finite angle in the mapping file.  ``overrides`` are the
+    same estimator overrides ``Session.sweep_paths`` takes (max_paths,
+    grid_res, beam_width, keep_rule, stop_nonpositive).  ``dict_args`` is
+    the (phi_rx, phi_tx, aoa_grid, aod_grid) tuple of f32 numpy arrays to
+    pass alongside the spec.
+    """
+    from slam_process_tpu.io.angles import load_angle_lut
+    from slam_process_tpu.models.sweep_estimation import sweep_estimator_setup
+
+    lut = load_angle_lut(angle_file)
+    if beam_ids is None:
+        ids = np.nonzero(np.isfinite(lut))[0]
+        ue_ids, bs_ids = ids, ids
+    else:
+        ue_ids = np.asarray(beam_ids[0], dtype=np.int64)
+        bs_ids = np.asarray(beam_ids[1], dtype=np.int64)
+    d, est_key = sweep_estimator_setup(estimator, lut[ue_ids], lut[bs_ids],
+                                       **overrides)
+    spec = StreamPathsSpec(
+        estimator=estimator, est_key=est_key,
+        ue_ids=tuple(int(i) for i in ue_ids),
+        bs_ids=tuple(int(i) for i in bs_ids),
+        s_step=int(s_step), capacity=int(capacity),
+        max_tracks=int(max_tracks), gate_deg=float(gate_deg),
+    )
+    dict_args = (np.asarray(d.phi_rx, np.float32),
+                 np.asarray(d.phi_tx, np.float32),
+                 np.asarray(d.aoa_grid, np.float32),
+                 np.asarray(d.aod_grid, np.float32))
+    return spec, dict_args
+
+
+class PathsState(NamedTuple):
+    """Device-resident online-estimation state (None when disabled)."""
+
+    open_sums: "np.ndarray"    # [64, 64] f32 — the OPEN kept-sweep's cells
+    open_counts: "np.ndarray"  # [64, 64] f32
+    open_time: "np.ndarray"    # i32 CLK of the open sweep's first kept row
+    #                            (-1: no open sweep yet)
+    last_kept_ue: "np.ndarray" # i32 previous kept row's UE (-1: none)
+    n_closed: "np.ndarray"     # i32 sweeps closed+estimated so far
+    overflow: "np.ndarray"     # bool: s_step or capacity exceeded
+    est_rings: object          # estimator-output pytree, leaves [Palloc, ...]
+    valid_ring: "np.ndarray"   # [Palloc] bool (sweep had observed cells)
+    time_ring: "np.ndarray"    # [Palloc] i32 raw CLK anchors
+    trk_pos: "np.ndarray"      # [T, 2] f32 tracker carry
+    trk_created: "np.ndarray"  # [T] bool
+    trk_count: "np.ndarray"    # i32
+    trk_aoa: "np.ndarray"      # [Palloc, T] f32 track history rings
+    trk_aod: "np.ndarray"      # [Palloc, T] f32
+    trk_pow: "np.ndarray"      # [Palloc, T] f32
+    trk_obs: "np.ndarray"      # [Palloc, T] bool
 
 
 class DeviceStreamState(NamedTuple):
@@ -62,6 +160,7 @@ class DeviceStreamState(NamedTuple):
     #                              because the emit ring filled — exported
     #                              `filtered` would be silently truncated,
     #                              so reading it raises instead
+    paths: object                # PathsState (online estimation) or None
 
 
 def _emit_kept_rows(state, combined, corrected, keep, ecap: int):
@@ -109,10 +208,183 @@ def _emit_kept_rows(state, combined, corrected, keep, ecap: int):
     return new_buf, new_count, ring_overflow
 
 
+def _paths_substep(
+    p: PathsState,
+    combined,                  # jnp [t, 5] i32 (flag, ue, bs, rss, clk)
+    corrected,                 # jnp [t] i32 corrected BS per row
+    keep,                      # jnp [t] bool — kept (filtered) closed rows
+    spec: StreamPathsSpec,
+    dict_args,                 # (phi_rx, phi_tx, aoa_grid, aod_grid) jnp f32
+    close_all: bool,
+):
+    """Advance the online-estimation state by one step's kept rows.
+
+    Kept rows are exactly the offline filtered table's rows in stream
+    order (the emit-ring parity theorem), so segmenting THEM by UE
+    decrease — seeded with ``last_kept_ue`` across steps — reproduces
+    ``detect_groups_np(filtered[:, 0])`` exactly.  A kept-sweep may span
+    chunk boundaries (its closing UE decrease can only be observed
+    later), so the open sweep's cells accumulate in ``open_sums/counts``
+    until a later step (or the flush, ``close_all=True``) closes it; the
+    sweeps that DO close this step are fully determined, run through the
+    per-sweep estimator (same program body as Session.sweep_paths) and
+    the tracker scan (same step fn as track_paths_jax) inside this jit.
+
+    Steps that close nothing take a cheap branch: one session-level
+    accumulation into the open sweep, no estimator.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.models.sweep_estimation import sweep_estimator_body
+    from slam_process_tpu.models.tracking import make_track_sweep_step
+    from slam_process_tpu.ops.scene import intensity_per_sweep_sums_jax
+
+    ue = combined[:, 1]
+    clk = combined[:, 4]
+    rss_f = combined[:, 3].astype(jnp.float32)
+    t = ue.shape[0]
+    rows = jnp.arange(t, dtype=jnp.int32)
+    s1 = spec.s_step + 1
+    palloc = p.time_ring.shape[0]
+
+    # Kept-row sweep boundaries (carry-seeded last-valid scan).
+    def _kl(a, b):
+        au, av = a
+        bu, bv = b
+        return jnp.where(bv, bu, au), av | bv
+
+    s_ue, s_v = jax.lax.associative_scan(_kl, (ue, keep))
+    prev_ue = jnp.concatenate([s_ue[:1] * 0, s_ue[:-1]])
+    prev_v = jnp.concatenate([jnp.zeros((1,), bool), s_v[:-1]])
+    prev_eff = jnp.where(prev_v, prev_ue, p.last_kept_ue)
+    has_prev = prev_v | (p.last_kept_ue >= 0)
+    bnd = keep & has_prev & (prev_eff > ue)
+    ls = jnp.cumsum(bnd.astype(jnp.int32))          # local sweep id per row
+    m = jnp.sum(bnd.astype(jnp.int32))              # sweeps closed by boundary
+    last_ue_new = jnp.where(s_v[-1], s_ue[-1], p.last_kept_ue)
+
+    def cheap_branch(p):
+        # Nothing closes: fold this step's kept rows into the open sweep.
+        d_sums, d_counts = intensity_sums_jax(
+            ue, corrected, rss_f, keep, None, SceneConfig())
+        first = jnp.min(jnp.where(keep, rows, t))
+        clk_pad = jnp.concatenate([clk, -jnp.ones((1,), jnp.int32)])
+        t0 = jnp.where(p.open_time >= 0, p.open_time, clk_pad[first])
+        return p._replace(
+            open_sums=p.open_sums + d_sums,
+            open_counts=p.open_counts + d_counts,
+            open_time=t0,
+            last_kept_ue=last_ue_new,
+        )
+
+    def full_branch(p):
+        use = keep & (ls < s1)
+        sums, counts = intensity_per_sweep_sums_jax(
+            ue, corrected, rss_f, ls, use, max_sweeps=s1, cfg=SceneConfig())
+        sums = sums.at[0].add(p.open_sums)
+        counts = counts.at[0].add(p.open_counts)
+
+        # First kept row's CLK per local sweep; sweep 0 inherits the open
+        # sweep's anchor when one exists.
+        in_s = use[None, :] & (ls[None, :] == jnp.arange(s1)[:, None])
+        first = jnp.min(jnp.where(in_s, rows[None, :], t), axis=1)
+        clk_pad = jnp.concatenate([clk, -jnp.ones((1,), jnp.int32)])
+        times = clk_pad[jnp.minimum(first, t)]
+        times = times.at[0].set(
+            jnp.where(p.open_time >= 0, p.open_time, times[0]))
+
+        # Sweeps that close: the m boundary-closed ones, plus (at flush)
+        # the final open sweep when it has any cells.
+        mc = jnp.minimum(m, s1 - 1)
+        if close_all:
+            has_open = jnp.sum(
+                jax.lax.dynamic_index_in_dim(counts, mc, 0, False)) > 0
+            m_eff = m + has_open.astype(jnp.int32)
+        else:
+            m_eff = m
+
+        # Estimator on the whole [s1] block (same program body as the
+        # offline path; lanes >= m_eff are computed and discarded).
+        mean = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0),
+                         jnp.nan)
+        sub = jnp.take(mean, jnp.asarray(spec.ue_ids), axis=1,
+                       mode="fill", fill_value=jnp.nan)
+        sub = jnp.take(sub, jnp.asarray(spec.bs_ids), axis=2,
+                       mode="fill", fill_value=jnp.nan)
+        run_all = sweep_estimator_body(spec.est_key)
+        with jax.default_matmul_precision("highest"):
+            est, sweep_valid = run_all(sub.astype(jnp.float32), *dict_args)
+
+        # Tracker: advance the carry over exactly the closed sweeps (an
+        # all-invalid sweep is a carry no-op, so the padded lanes are
+        # harmless) — identical op order to the offline scan.
+        power = est.power if hasattr(est, "power") else est.metric
+        closed_lane = jnp.arange(s1) < m_eff
+        trk_valid = (jnp.asarray(est.valid, bool)
+                     & sweep_valid[:, None] & closed_lane[:, None])
+        step_fn = make_track_sweep_step(
+            trk_valid.shape[1], spec.max_tracks, spec.gate_deg)
+        carry0 = (p.trk_pos, p.trk_created, p.trk_count)
+        (pos, created, count), ys = jax.lax.scan(
+            step_fn, carry0,
+            (jnp.asarray(est.aoa, jnp.float32),
+             jnp.asarray(est.aod, jnp.float32),
+             jnp.asarray(power, jnp.float32), trk_valid))
+        y_aoa, y_aod, y_pow, y_obs = ys
+
+        # Ring writes: one s1-row block each at offset n_closed (one
+        # block of slack is allocated; junk lanes beyond m_eff are
+        # overwritten by later blocks — the emit-ring pattern).
+        off = p.n_closed
+
+        def write(ring, block):
+            idx = (off,) + (jnp.int32(0),) * (block.ndim - 1)
+            return jax.lax.dynamic_update_slice(ring, block, idx)
+
+        est_rings = jax.tree.map(write, p.est_rings, est)
+        overflow = (p.overflow | (m_eff > spec.s_step)
+                    | (p.n_closed + m_eff > spec.capacity))
+
+        # New open accumulator = local sweep m's partial (when m == 0 the
+        # open contribution is already folded into plane 0).  At flush
+        # everything is closed: reset.
+        if close_all:
+            open_sums = jnp.zeros_like(p.open_sums)
+            open_counts = jnp.zeros_like(p.open_counts)
+            open_time = jnp.int32(-1)
+        else:
+            open_sums = jax.lax.dynamic_index_in_dim(sums, mc, 0, False)
+            open_counts = jax.lax.dynamic_index_in_dim(counts, mc, 0, False)
+            open_time = jnp.where(jnp.sum(open_counts) > 0, times[mc],
+                                  jnp.int32(-1))
+        return p._replace(
+            open_sums=open_sums, open_counts=open_counts,
+            open_time=open_time, last_kept_ue=last_ue_new,
+            n_closed=jnp.minimum(p.n_closed + m_eff,
+                                 jnp.int32(spec.capacity)),
+            overflow=overflow,
+            est_rings=est_rings,
+            valid_ring=write(p.valid_ring, sweep_valid),
+            time_ring=write(p.time_ring, times),
+            trk_pos=pos, trk_created=created, trk_count=count,
+            trk_aoa=write(p.trk_aoa, y_aoa),
+            trk_aod=write(p.trk_aod, y_aod),
+            trk_pow=write(p.trk_pow, y_pow),
+            trk_obs=write(p.trk_obs, y_obs),
+        )
+
+    assert palloc >= spec.capacity + s1, (palloc, spec.capacity, s1)
+    if close_all:
+        return full_branch(p)
+    return jax.lax.cond(m > 0, full_branch, cheap_branch, p)
+
+
 def _step_body(
     state: DeviceStreamState,
     chunk,                     # jnp [C] u8 (zero-padded past n_bytes)
     n_bytes,                   # jnp scalar i32
+    dict_args=(),              # jnp f32 dictionary tensors when paths_spec
     *,
     cap: int,
     group_capacity: int,
@@ -121,6 +393,7 @@ def _step_body(
     cfg: PipelineConfig,
     decoder: str,
     emit_capacity: int,
+    paths_spec: Optional[StreamPathsSpec] = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -210,6 +483,12 @@ def _step_body(
         emit_buf, emit_count, ring_overflow = (
             state.emit_buf, state.emit_count, False)
 
+    if paths_spec is not None:
+        new_paths = _paths_substep(state.paths, combined, corrected, keep,
+                                   paths_spec, dict_args, close_all=False)
+    else:
+        new_paths = state.paths
+
     return DeviceStreamState(
         carry_frames=new_carry.astype(jnp.int32),
         carry_count=jnp.minimum(n_carry, gcap),
@@ -222,16 +501,19 @@ def _step_body(
         emit_buf=emit_buf,
         emit_count=emit_count,
         emit_overflow=state.emit_overflow | ring_overflow,
+        paths=new_paths,
     )
 
 
 def _flush_body(
     state: DeviceStreamState,
+    dict_args=(),
     *,
     max_groups: int,
     max_baselines_per_group: int,
     cfg: PipelineConfig,
     emit_capacity: int,
+    paths_spec: Optional[StreamPathsSpec] = None,
 ):
     """Close the final open group at end of stream."""
     import jax.numpy as jnp
@@ -253,6 +535,12 @@ def _flush_body(
     else:
         emit_buf, emit_count, ring_overflow = (
             state.emit_buf, state.emit_count, False)
+    if paths_spec is not None:
+        new_paths = _paths_substep(state.paths, state.carry_frames, corrected,
+                                   keep, paths_spec, dict_args,
+                                   close_all=True)
+    else:
+        new_paths = state.paths
     return DeviceStreamState(
         carry_frames=jnp.zeros_like(state.carry_frames),
         carry_count=jnp.zeros_like(state.carry_count),
@@ -265,11 +553,13 @@ def _flush_body(
         emit_buf=emit_buf,
         emit_count=emit_count,
         emit_overflow=state.emit_overflow | ring_overflow,
+        paths=new_paths,
     )
 
 
 @functools.lru_cache(maxsize=16)
-def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_capacity):
+def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_capacity,
+                paths_spec=None):
     """Shared jitted step per static configuration (the config dataclasses
     are frozen/hashable), so many sessions reuse one compiled executable."""
     import jax
@@ -280,14 +570,59 @@ def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_capacity):
         functools.partial(
             _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
             max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
-            emit_capacity=emit_capacity,
+            emit_capacity=emit_capacity, paths_spec=paths_spec,
         ),
         donate_argnums=0,
     )
 
 
+def _paths_state_zero(spec: StreamPathsSpec, ga: int, gd: int):
+    """The zero PathsState (traced): ring shapes come from the estimator's
+    output structure via eval_shape — no estimator code runs here."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.models.sweep_estimation import sweep_estimator_body
+
+    s1 = spec.s_step + 1
+    u, b = len(spec.ue_ids), len(spec.bs_ids)
+    palloc = spec.capacity + s1
+    tks = spec.max_tracks
+
+    run_all = sweep_estimator_body(spec.est_key)
+    est_shape, _valid_shape = jax.eval_shape(
+        run_all,
+        jax.ShapeDtypeStruct((s1, u, b), jnp.float32),
+        jax.ShapeDtypeStruct((u, ga), jnp.float32),
+        jax.ShapeDtypeStruct((b, gd), jnp.float32),
+        jax.ShapeDtypeStruct((ga,), jnp.float32),
+        jax.ShapeDtypeStruct((gd,), jnp.float32),
+    )
+    est_rings = jax.tree.map(
+        lambda s: jnp.zeros((palloc,) + s.shape[1:], s.dtype), est_shape)
+    return PathsState(
+        open_sums=jnp.zeros((64, 64), jnp.float32),
+        open_counts=jnp.zeros((64, 64), jnp.float32),
+        open_time=jnp.int32(-1),
+        last_kept_ue=jnp.int32(-1),
+        n_closed=jnp.int32(0),
+        overflow=jnp.bool_(False),
+        est_rings=est_rings,
+        valid_ring=jnp.zeros((palloc,), bool),
+        time_ring=jnp.zeros((palloc,), jnp.int32),
+        trk_pos=jnp.zeros((tks, 2), jnp.float32),
+        trk_created=jnp.zeros((tks,), bool),
+        trk_count=jnp.int32(0),
+        trk_aoa=jnp.zeros((palloc, tks), jnp.float32),
+        trk_aod=jnp.zeros((palloc, tks), jnp.float32),
+        trk_pow=jnp.zeros((palloc, tks), jnp.float32),
+        trk_obs=jnp.zeros((palloc, tks), bool),
+    )
+
+
 @functools.lru_cache(maxsize=16)
-def _build_init(gcap: int, n_beams: int, emit_capacity: int):
+def _build_init(gcap: int, n_beams: int, emit_capacity: int,
+                paths_spec=None, ga: int = 0, gd: int = 0):
     """One jitted call producing the zero state (vs separate allocs)."""
     import jax
     import jax.numpy as jnp
@@ -305,6 +640,8 @@ def _build_init(gcap: int, n_beams: int, emit_capacity: int):
             emit_buf=jnp.zeros((emit_capacity, 4), jnp.int32),
             emit_count=jnp.int32(0),
             emit_overflow=jnp.bool_(False),
+            paths=(_paths_state_zero(paths_spec, ga, gd)
+                   if paths_spec is not None else None),
         )
 
     from slam_process_tpu.utils.cache import enable_persistent_cache
@@ -313,14 +650,14 @@ def _build_init(gcap: int, n_beams: int, emit_capacity: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _build_flush(max_groups, max_bpg, cfg, emit_capacity):
+def _build_flush(max_groups, max_bpg, cfg, emit_capacity, paths_spec=None):
     import jax
 
     return jax.jit(
         functools.partial(
             _flush_body, max_groups=max_groups,
             max_baselines_per_group=max_bpg, cfg=cfg,
-            emit_capacity=emit_capacity,
+            emit_capacity=emit_capacity, paths_spec=paths_spec,
         ),
         donate_argnums=0,
     )
@@ -345,6 +682,7 @@ class DeviceStreamingSession:
         collect_filtered: bool = False,
         n_beams: int = 64,
         emit_capacity: int = 1 << 18,
+        collect_paths=None,   # (spec, dict_args) from make_paths_spec
     ):
         self.config = config or PipelineConfig()
         self.chunk_bytes = int(chunk_bytes)
@@ -361,14 +699,29 @@ class DeviceStreamingSession:
         self._ecap = ecap
         cap = frame_capacity(self.chunk_bytes, self.config.decode)
 
+        # Online estimation + tracking (the offline flagship, in-stream).
+        if collect_paths is not None:
+            import jax.numpy as jnp
+
+            spec, dict_args = collect_paths
+            self._paths_spec: Optional[StreamPathsSpec] = spec
+            self._dict_args = tuple(jnp.asarray(a, jnp.float32)
+                                    for a in dict_args)
+            ga, gd = len(dict_args[2]), len(dict_args[3])
+        else:
+            self._paths_spec = None
+            self._dict_args = ()
+            ga = gd = 0
+
         # Donated state: accumulators update in place on device; the
         # compiled step is shared across sessions with the same config.
         self._step = _build_step(
             cap, self._gcap, max_groups, max_baselines_per_group,
-            self.config, decoder, ecap,
+            self.config, decoder, ecap, self._paths_spec,
         )
         self._flush = _build_flush(
             max_groups, max_baselines_per_group, self.config, ecap,
+            self._paths_spec,
         )
 
         # Ring allocation = logical capacity + one block of slack
@@ -376,7 +729,8 @@ class DeviceStreamingSession:
         # dynamic_update_slice whose tail may exceed the logical capacity
         # with junk that later blocks overwrite (see _emit_kept_rows).
         ecap_alloc = ecap + self._gcap + (-(-self.chunk_bytes // 11)) if ecap else 0
-        self._state = _build_init(self._gcap, n_beams, ecap_alloc)()
+        self._state = _build_init(self._gcap, n_beams, ecap_alloc,
+                                  self._paths_spec, ga, gd)()
         self._byte_carry = np.zeros(0, dtype=np.uint8)
         self._finalized = False
         self._overflow_warned = False
@@ -404,7 +758,7 @@ class DeviceStreamingSession:
             if m < c:
                 piece = np.pad(piece, (0, c - m))
             self._state = self._step(self._state, jnp.asarray(piece),
-                                     jnp.int32(m))
+                                     jnp.int32(m), self._dict_args)
             off = min(off + c, n) - CARRY_BYTES
         self._byte_carry = buf[off:].copy()
 
@@ -418,7 +772,7 @@ class DeviceStreamingSession:
         """
         if self._finalized:
             return
-        self._state = self._flush(self._state)
+        self._state = self._flush(self._state, self._dict_args)
         self._byte_carry = np.zeros(0, dtype=np.uint8)
         self._finalized = True
 
@@ -485,6 +839,73 @@ class DeviceStreamingSession:
         buf, count = jax.device_get((self._state.emit_buf,
                                      self._state.emit_count))
         return buf[: int(count)].astype(np.int64)
+
+    # -- online estimation results -------------------------------------------
+
+    def _paths_read(self):
+        import jax
+
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        self._check_overflow()
+        p = self._state.paths
+        host = jax.device_get((p.n_closed, p.overflow, p.est_rings,
+                               p.valid_ring, p.time_ring, p.trk_aoa,
+                               p.trk_aod, p.trk_pow, p.trk_obs,
+                               p.trk_created, p.trk_count))
+        (n, overflow, est, valid, times, taoa, taod, tpow, tobs,
+         created, count) = host
+        if bool(overflow):
+            raise RuntimeError(
+                f"online estimation overflow: more than "
+                f"{self._paths_spec.s_step} sweeps closed in one step or "
+                f"more than {self._paths_spec.capacity} sweeps total; "
+                "rebuild the session with larger s_step/capacity "
+                "(grids/counts remain exact)")
+        return (int(n), est, valid, times, taoa, taod, tpow, tobs,
+                created, int(count))
+
+    def sweep_paths(self):
+        """Online per-sweep estimates: (paths [n_closed, K], sweep_valid).
+
+        Equals ``Session.sweep_paths(..., beam_ids=(spec.ue_ids,
+        spec.bs_ids))`` on the same stream (exact-parity tested) — but
+        produced incrementally as the stream's sweeps closed.
+        """
+        n, est, valid, *_ = self._paths_read()
+        paths = type(est)(*(np.asarray(x)[:n] for x in est))
+        return paths, np.asarray(valid)[:n]
+
+    def sweep_times(self):
+        """CLK anchors of the closed sweeps, unwrapped like the offline
+        ``Session.sweep_times`` (shared helper)."""
+        from slam_process_tpu.utils.timestamps import unwrap_clk_anchors
+
+        n, _est, _valid, times, *_ = self._paths_read()
+        return unwrap_clk_anchors(times[:n].astype(np.int64), _LOGGER)
+
+    def path_tracks(self):
+        """Online CLK-anchored tracks: (tracks, times, (vel_aoa, vel_aod,
+        ok)) — the offline ``Session.path_tracks`` contract, produced by
+        the in-stream tracker carry."""
+        from slam_process_tpu.models.tracking import Tracks, track_velocities
+
+        (n, _est, _valid, times, taoa, taod, tpow, tobs, created,
+         count) = self._paths_read()
+        tracks = Tracks(taoa[:n].T.copy(), taod[:n].T.copy(),
+                        tpow[:n].T.copy(), tobs[:n].T.copy(),
+                        created, count)
+        t = self.sweep_times()
+        vel = track_velocities(tracks, t)
+        return tracks, t, vel
+
+    @property
+    def n_sweeps_closed(self) -> int:
+        import jax
+
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        return int(jax.device_get(self._state.paths.n_closed))
 
     def intensity(self) -> IntensityGrid:
         import jax

@@ -337,6 +337,10 @@ def _add_replay(sub):
                    help="device emit-ring rows for --engine device "
                         "(default: sized to the log, so file replays can "
                         "never overflow the ring)")
+    p.add_argument("--paths", action="store_true",
+                   help="online per-sweep estimation + CLK tracks inside "
+                        "the streaming step (--engine device only); writes "
+                        "<name>_stream_tracks.xlsx per log")
     p.set_defaults(fn=_run_replay)
 
 
@@ -368,10 +372,18 @@ def _run_replay(args):
             # exceed the frame capacity, so file replays cannot hit the
             # emit-ring overflow error.
             ecap = args.emit_capacity or (len(raw) // 11 + 1)
+            cp = None
+            if args.paths:
+                from slam_process_tpu.parallel.streaming_device import (
+                    make_paths_spec,
+                )
+
+                cp = make_paths_spec(args.mapping)
             s = replay_log_device(raw, chunk_bytes=args.chunk_bytes,
                                   decoder=args.decoder,
                                   collect_filtered=True,
-                                  emit_capacity=ecap)
+                                  emit_capacity=ecap,
+                                  collect_paths=cp)
             s.block_until_ready()
         else:
             s = replay_log(raw, chunk_bytes=args.chunk_bytes,
@@ -384,6 +396,23 @@ def _run_replay(args):
             title=f"streaming replay ({name})",
         )
         write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
+        if args.engine == "device" and args.paths:
+            from slam_process_tpu.io.xlsx import write_xlsx_table
+
+            tracks, times, vel = s.path_tracks()
+            rows = []
+            for t in range(int(tracks.n_tracks)):
+                for sweep in np.nonzero(tracks.observed[t])[0]:
+                    rows.append([t, sweep, times[sweep],
+                                 tracks.pos_aoa[t][sweep],
+                                 tracks.pos_aod[t][sweep],
+                                 tracks.power[t][sweep],
+                                 vel[0][t], vel[1][t]])
+            write_xlsx_table(
+                args.outdir / f"{name}_stream_tracks.xlsx",
+                ["Track", "Sweep", "CLK", "AoA", "AoD", "Power",
+                 "Vel_AoA_deg_per_tick", "Vel_AoD_deg_per_tick"],
+                np.asarray(rows, dtype=np.float64).reshape(-1, 8))
         stats.append({"session": name, "frames": s.n_frames,
                       "kept": s.n_kept, "sweeps": s.n_groups,
                       "frames_per_sec": round(s.n_frames / dt, 1)})

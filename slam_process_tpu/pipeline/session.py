@@ -105,53 +105,10 @@ def _sweep_bucket(n: int, quantum: int = 8) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
-def _sweep_estimator_body(est_key):
-    """The per-session sweep-estimator callable (un-jitted).
-
-    ``est_key`` = (name, frozen config, keep_rule, stop_nonpositive).
-    Signature: (mats [S, U, B], phi_rx, phi_tx, aoa_g, aod_g) ->
-    (paths [S, K], sweep_valid [S]).  Shared by the single-session jit,
-    its sharded variant, and the dataset-level outer vmap.
-    """
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    name, cfg, keep_rule, stop_np = est_key
-
-    def _fill_per_sweep(mats):
-        # Per-sweep fill: empty cells get the sweep's observed min
-        # (the v1-7 fillna(min) policy applied per sweep).
-        finite = jnp.isfinite(mats)
-        fill = jnp.min(jnp.where(finite, mats, jnp.inf), axis=(1, 2))
-        fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
-        return jnp.where(finite, mats, fill[:, None, None]), finite
-
-    if name == "nn_omp":
-        from slam_process_tpu.models.nn_omp import nn_omp_gram_batch_jax
-
-        def run_all(mats, phi_rx, phi_tx, aoa_g, aod_g):
-            # Gram-domain batched formulation: the correlation chain runs
-            # once instead of K times, and the batched GEMMs beat the
-            # vmapped per-sweep form ~20x on the chip (see the
-            # nn_omp_gram_batch_jax / nn_omp_batch_jax docstrings).
-            filled, finite = _fill_per_sweep(mats)
-            out = nn_omp_gram_batch_jax(phi_rx, phi_tx, aoa_g, aod_g, filled,
-                                        cfg=cfg, keep_rule=keep_rule,
-                                        stop_nonpositive=stop_np)
-            return out, finite.any(axis=(1, 2))
-    else:
-        from slam_process_tpu.models.sm_sic import sm_sic_jax
-
-        est = functools.partial(sm_sic_jax, cfg=cfg)
-
-        def run_all(mats, phi_rx, phi_tx, aoa_g, aod_g):
-            filled, finite = _fill_per_sweep(mats)
-            return (jax.vmap(lambda m: est(phi_rx, phi_tx, aoa_g, aod_g, m))(
-                filled), finite.any(axis=(1, 2)))
-
-    return run_all
+from slam_process_tpu.models.sweep_estimation import (  # noqa: E402
+    sweep_estimator_body as _sweep_estimator_body,
+    sweep_estimator_setup as _sweep_estimator_setup,
+)
 
 
 @_functools.lru_cache(maxsize=16)
@@ -386,21 +343,9 @@ class Session:
         # First occurrence per group id (filtered rows are in stream order).
         first = np.unique(gid, return_index=True)
         times[first[0][first[0] < s]] = self.filtered[first[1][first[0] < s], 3]
-        obs = times >= 0
-        if obs.sum() > 1:
-            t = times[obs]
-            d = np.diff(t)
-            wrap = (d < 0) & (-d > (1 << 29))
-            odd = (d < 0) & ~wrap
-            if odd.any():
-                self.logger.warning(
-                    "sweep_times: %d non-wrap CLK decrease(s) between "
-                    "sweeps (counter reset or out-of-order anchor); "
-                    "timestamps left unadjusted — velocity fits across "
-                    "the discontinuity are unreliable", int(odd.sum()))
-            wraps = np.cumsum(np.concatenate([[0], wrap]))
-            times[obs] = t + (wraps.astype(np.int64) << 30)
-        return times
+        from slam_process_tpu.utils.timestamps import unwrap_clk_anchors
+
+        return unwrap_clk_anchors(times, self.logger)
 
     def _sweep_host_prep(
         self,
@@ -415,8 +360,6 @@ class Session:
         padded shape before building anything on device.  Memoized per
         (angle_file, estimator, overrides): the host pivot + dictionary cost
         ~15 ms/session and dominate repeated dataset-scale calls otherwise."""
-        from slam_process_tpu.config import DictionaryConfig, OmpConfig, SmSicConfig
-        from slam_process_tpu.models.dictionary import make_dictionary
         from slam_process_tpu.ops.correct import detect_groups_np
         from slam_process_tpu.ops.scene import intensity_grid_np
 
@@ -430,37 +373,27 @@ class Session:
         gid = detect_groups_np(self.filtered[:, 0])
         n_sweeps = max_sweeps or int(gid.max()) + 1
         lut = load_angle_lut(angle_file)
-        # Session-level compact submatrix: shared static shape across sweeps
-        # (masks computed on host from the host pivot — no device reads).
-        grid = intensity_grid_np(self.filtered[:, 0], self.filtered[:, 1],
-                                 self.filtered[:, 2], cfg=SceneConfig())
-        row_mask = np.asarray(grid.row_mask) & np.isfinite(lut)
-        col_mask = np.asarray(grid.col_mask) & np.isfinite(lut)
-        ue_ids = np.nonzero(row_mask)[0]
-        bs_ids = np.nonzero(col_mask)[0]
+        if "beam_ids" in overrides:
+            # Explicit beam set (e.g. to match a streaming session that
+            # fixed its beams up front, or to compare sessions on one
+            # dictionary).  Used verbatim: the ids select the compact
+            # submatrix AND span the dictionary grid.
+            ue_ids = np.asarray(overrides["beam_ids"][0], dtype=np.int64)
+            bs_ids = np.asarray(overrides["beam_ids"][1], dtype=np.int64)
+        else:
+            # Session-level compact submatrix: shared static shape across
+            # sweeps (masks from the host pivot — no device reads).
+            grid = intensity_grid_np(self.filtered[:, 0], self.filtered[:, 1],
+                                     self.filtered[:, 2], cfg=SceneConfig())
+            row_mask = np.asarray(grid.row_mask) & np.isfinite(lut)
+            col_mask = np.asarray(grid.col_mask) & np.isfinite(lut)
+            ue_ids = np.nonzero(row_mask)[0]
+            bs_ids = np.nonzero(col_mask)[0]
         ue_ang = lut[ue_ids]
         bs_ang = lut[bs_ids]
 
-        if estimator == "nn_omp":
-            cfg = OmpConfig(max_paths=overrides.get("max_paths", 3))
-            d = make_dictionary(ue_ang, bs_ang, DictionaryConfig(
-                grid_res=overrides.get("grid_res", 0.1),
-                beam_width=overrides.get("beam_width", 1.4),
-                grid_kind="linspace"))
-            est_key = (estimator, cfg,
-                       overrides.get("keep_rule", "positive"),
-                       overrides.get("stop_nonpositive", False))
-        elif estimator == "sm_sic":
-            cfg = SmSicConfig(
-                max_paths=overrides.get("max_paths", 3),
-                beam_width=overrides.get("beam_width", 10.0),
-                grid_res=overrides.get("grid_res", 0.5))
-            d = make_dictionary(ue_ang, bs_ang, DictionaryConfig(
-                grid_res=cfg.grid_res, beam_width=cfg.beam_width,
-                grid_kind="arange_inclusive"))
-            est_key = (estimator, cfg, None, None)
-        else:
-            raise ValueError(f"unknown sweep estimator {estimator!r}")
+        d, est_key = _sweep_estimator_setup(estimator, ue_ang, bs_ang,
+                                            **overrides)
         result = (gid, n_sweeps, ue_ids, bs_ids, d, est_key)
         cache[memo_key] = result
         return result

@@ -27,3 +27,33 @@ def extract_timestamp(path: str) -> Optional[str]:
     if m2:
         return f"{m2.group(1)} {m2.group(2)}"
     return None
+
+
+def unwrap_clk_anchors(times, logger=None):
+    """Unwrap 30-bit CLK sweep anchors onto a monotone axis, in place.
+
+    ``times`` is an int64 array of per-sweep CLK anchors (-1 = sweep with
+    no rows).  Only decreases consistent with a counter wrap (a drop of
+    more than half the 2^30 period) unwrap; small decreases are testbed
+    counter resets / out-of-order anchors and are left as-is with a
+    warning — fabricating a 2^30 offset for them would shift every later
+    timestamp by ~1e9 ticks (see Session.sweep_times).
+    """
+    import numpy as np
+
+    times = np.array(times, dtype=np.int64, copy=True)
+    obs = times >= 0
+    if obs.sum() > 1:
+        t = times[obs]
+        d = np.diff(t)
+        wrap = (d < 0) & (-d > (1 << 29))
+        odd = (d < 0) & ~wrap
+        if odd.any() and logger is not None:
+            logger.warning(
+                "sweep anchors: %d non-wrap CLK decrease(s) between "
+                "sweeps (counter reset or out-of-order anchor); "
+                "timestamps left unadjusted — velocity fits across "
+                "the discontinuity are unreliable", int(odd.sum()))
+        wraps = np.cumsum(np.concatenate([[0], wrap]))
+        times[obs] = t + (wraps.astype(np.int64) << 30)
+    return times

@@ -1,0 +1,146 @@
+"""Online streaming estimation + tracking == offline batch, exactly.
+
+The round-3 gap: the unbounded-stream axis stopped at the intensity grid —
+paths/tracks existed only as offline batch passes.  These tests pin the
+online path (DeviceStreamingSession(collect_paths=...), estimation running
+INSIDE the jitted step as sweeps close) to the offline flagship
+(Session.sweep_paths / path_tracks) on the same beam set: every estimator
+output leaf, the sweep-validity vector, the unwrapped CLK anchors, the
+track tensors, and the velocity fits must be EXACTLY equal at multiple
+chunk sizes.
+"""
+
+import glob
+
+import numpy as np
+import pytest
+
+from slam_process_tpu.io import read_hex_log
+from slam_process_tpu.ops.decode import decode_frames_np
+from slam_process_tpu.parallel.streaming_device import (
+    DeviceStreamingSession,
+    make_paths_spec,
+)
+from slam_process_tpu.pipeline.session import Session
+from tests.conftest import BEAM_ANGLE, DEBUGDOC, SMALL_LOG
+
+
+def _replay(raw, spec, chunk_bytes, **kw):
+    s = DeviceStreamingSession(chunk_bytes=chunk_bytes, collect_paths=spec,
+                               **kw)
+    for off in range(0, len(raw), chunk_bytes):
+        s.feed(raw[off:off + chunk_bytes])
+    s.finalize()
+    return s
+
+
+def _offline(raw, spec, estimator="nn_omp", **overrides):
+    sess = Session("offline")
+    sess.frames = decode_frames_np(raw).frames
+    beam_ids = (spec.ue_ids, spec.bs_ids)
+    paths, valid = sess.sweep_paths(BEAM_ANGLE, estimator=estimator,
+                                    beam_ids=beam_ids, **overrides)
+    times = sess.sweep_times(len(valid))
+    tracks, ttimes, vel = sess.path_tracks(BEAM_ANGLE, estimator=estimator,
+                                           beam_ids=beam_ids, **overrides)
+    return paths, valid, times, tracks, ttimes, vel
+
+
+def _assert_stream_equals_offline(s, offline):
+    paths, valid = s.sweep_paths()
+    times = s.sweep_times()
+    tracks, t2, vel = s.path_tracks()
+    opaths, ovalid, otimes, otracks, ott, ovel = offline
+    assert s.n_sweeps_closed == len(ovalid)
+    np.testing.assert_array_equal(valid, ovalid)
+    np.testing.assert_array_equal(times, otimes)
+    for name in opaths._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(paths, name)),
+            np.asarray(getattr(opaths, name)), err_msg=name)
+    for name in ("pos_aoa", "pos_aod", "power", "observed", "created"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tracks, name)),
+            np.asarray(getattr(otracks, name)), err_msg=name)
+    assert int(tracks.n_tracks) == int(otracks.n_tracks)
+    np.testing.assert_array_equal(t2, ott)
+    for v_s, v_o in zip(vel, ovel):
+        np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_o))
+
+
+@pytest.mark.parametrize("chunk", [1 << 16, 1 << 20])
+def test_online_paths_match_offline_small_log(chunk):
+    raw = read_hex_log(SMALL_LOG)
+    spec = make_paths_spec(BEAM_ANGLE)
+    s = _replay(raw, spec, chunk)
+    _assert_stream_equals_offline(s, _offline(raw, spec[0]))
+
+
+def test_online_paths_sm_sic_matches_offline():
+    raw = read_hex_log(SMALL_LOG)
+    spec = make_paths_spec(BEAM_ANGLE, estimator="sm_sic")
+    s = _replay(raw, spec, 1 << 18)
+    _assert_stream_equals_offline(
+        s, _offline(raw, spec[0], estimator="sm_sic"))
+
+
+def test_online_paths_estimator_overrides_flow():
+    """v1-7-style overrides (keep_rule/stop_nonpositive/max_paths) reach
+    the in-step estimator identically to the offline path."""
+    raw = read_hex_log(SMALL_LOG)
+    kw = dict(max_paths=5, keep_rule="ratio", stop_nonpositive=True)
+    spec = make_paths_spec(BEAM_ANGLE, **kw)
+    s = _replay(raw, spec, 1 << 18)
+    _assert_stream_equals_offline(s, _offline(raw, spec[0], **kw))
+
+
+def test_capacity_overflow_raises_not_truncates():
+    raw = read_hex_log(SMALL_LOG)
+    spec, dicts = make_paths_spec(BEAM_ANGLE, capacity=2)
+    s = _replay(raw, (spec, dicts), 1 << 18)
+    assert s.n_frames > 0
+    with pytest.raises(RuntimeError, match="overflow"):
+        s.sweep_paths()
+    with pytest.raises(RuntimeError, match="overflow"):
+        s.path_tracks()
+
+
+def test_s_step_overflow_raises():
+    """More sweeps closing in one step than s_step allows must flag, not
+    silently mis-estimate."""
+    raw = read_hex_log(SMALL_LOG)
+    spec, dicts = make_paths_spec(BEAM_ANGLE, s_step=1)
+    s = _replay(raw, (spec, dicts), 1 << 20)   # whole log in one step
+    with pytest.raises(RuntimeError, match="overflow"):
+        s.sweep_paths()
+
+
+def test_junk_only_stream_yields_no_sweeps():
+    spec = make_paths_spec(BEAM_ANGLE)
+    s = DeviceStreamingSession(chunk_bytes=1 << 16, collect_paths=spec)
+    s.feed(np.zeros(4096, np.uint8))
+    s.finalize()
+    paths, valid = s.sweep_paths()
+    assert s.n_sweeps_closed == 0
+    assert len(valid) == 0
+    tracks, times, vel = s.path_tracks()
+    assert int(tracks.n_tracks) == 0
+    assert len(times) == 0
+
+
+def test_without_collect_paths_accessors_raise():
+    s = DeviceStreamingSession(chunk_bytes=1 << 16)
+    with pytest.raises(ValueError, match="collect_paths"):
+        s.sweep_paths()
+    with pytest.raises(ValueError, match="collect_paths"):
+        s.path_tracks()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("path", sorted(glob.glob(str(DEBUGDOC / "*.txt"))))
+def test_online_paths_match_offline_all_logs(path):
+    raw = read_hex_log(path)
+    spec = make_paths_spec(BEAM_ANGLE)
+    for chunk in (1 << 18, 1 << 20):
+        s = _replay(raw, spec, chunk)
+        _assert_stream_equals_offline(s, _offline(raw, spec[0]))
