@@ -196,6 +196,12 @@ def main() -> None:
     replay_log_device(raw[0], chunk_bytes=1 << 20).block_until_ready()
     replay_log_device(raw[0], chunk_bytes=1 << 20,
                       collect_filtered=True).block_until_ready()
+    # Online estimation + tracking inside the stream (collect_paths).
+    from slam_process_tpu.parallel.streaming_device import make_paths_spec
+
+    paths_cfg = make_paths_spec(DEBUGDOC.parent / "beam_angle.xlsx")
+    replay_log_device(raw[0], chunk_bytes=1 << 20,
+                      collect_paths=paths_cfg).block_until_ready()
 
     # Flagship estimation (the reference's single heaviest compute): v1-7
     # NN-OMP at the 0.1-degree grid (heatmap_gemini_v1-7.py:657-728).
@@ -221,18 +227,35 @@ def main() -> None:
         est_sessions.append(s)
     packed = pack_scenes(est_mats, est_dicts)
     single_fn = _jitted_nn_omp(est_cfg, "ratio", True)
-    # One compiled executable at the padded shape, dispatched per session
-    # (~19x faster than a vmapped [N, ...] program on this chip: the NNLS
-    # while_loops run in lockstep under vmap — batch_estimation docstring).
+    # Async per-session dispatch (adjudication baseline) AND the vmapped
+    # one-program path — the device-plane WINNER (49.5 ms vs 83 ms;
+    # tools/diag_est_dispatch.py) and the production formulation.
+    from slam_process_tpu.models.batch_estimation import (
+        _batched_nn_omp_fn,
+        nn_omp_sessions_sharded,
+    )
+
     per_dev = [jax.device_put((packed.phi_rx[i], packed.phi_tx[i],
                                packed.aoa_grid[i], packed.aod_grid[i],
                                packed.matrices[i]))
                for i in range(len(logs))]
     est_out = [single_fn(*a) for a in per_dev]          # compile + warm
     jax.block_until_ready([o.power for o in est_out])
+    vm_fn = _batched_nn_omp_fn(est_cfg, "ratio", True)
+    vm_args = jax.device_put((packed.matrices, packed.phi_rx,
+                              packed.phi_tx, packed.aoa_grid,
+                              packed.aod_grid))
+    vm_warm = vm_fn(*vm_args)
+    jax.block_until_ready(vm_warm.power)
+    del vm_warm
+    # Sharded formulation on this chip's (1, 1) mesh: same program XLA
+    # compiles for the multi-chip layout (virtual-mesh parity tested).
+    sh_warm = nn_omp_sessions_sharded(packed, est_cfg, mesh)
+    jax.block_until_ready(sh_warm.power)
+    del sh_warm
     t8 = time.perf_counter()
-    outs_e = [single_fn(*a) for a in per_dev]
-    jax.block_until_ready([o.power for o in outs_e])
+    outs_e = vm_fn(*vm_args)
+    jax.block_until_ready(outs_e.power)
     est_wall_s = time.perf_counter() - t8
     del outs_e
 
@@ -340,7 +363,29 @@ def main() -> None:
     dt_emit = measure_device_time(stream_emit_all, n=1)
     emit_device_s = sum(sum(v) for v in dt_emit.all_modules.values())
 
-    # Flagship estimation: all 19 sessions, one executable, device plane.
+    # Streaming with ONLINE per-sweep estimation + tracking: the offline
+    # flagship produced in-stream as sweeps close (exact-parity tested
+    # against Session.sweep_paths/path_tracks on every log).
+    def stream_paths_all(_i):
+        ss = [replay_log_device(r, chunk_bytes=1 << 20,
+                                collect_paths=paths_cfg) for r in raw]
+        return ss[-1]._state.n_frames
+
+    dt_spaths = measure_device_time(stream_paths_all, n=1)
+    spaths_device_s = sum(sum(v) for v in dt_spaths.all_modules.values())
+
+    # Flagship estimation, three formulations on the device plane:
+    # vmapped one-program (production), async per-session (baseline),
+    # mesh-sharded (the multi-chip program, here at (1, 1)).
+    dt_vm = measure_device_time(lambda i: vm_fn(*vm_args).power, n=3)
+    est_vm_device_s = sum(sum(v) for v in dt_vm.all_modules.values()) / 3
+
+    with mesh:
+        dt_sh = measure_device_time(
+            lambda i: nn_omp_sessions_sharded(packed, est_cfg, mesh).power,
+            n=3)
+    est_sh_device_s = sum(sum(v) for v in dt_sh.all_modules.values()) / 3
+
     def est_all(_i):
         outs_e = [single_fn(*a) for a in per_dev]
         return outs_e[-1].power
@@ -462,8 +507,19 @@ def main() -> None:
         "streaming_device_emit_seconds_full_dataset": round(emit_device_s, 4),
         "streaming_device_emit_frames_per_sec": round(
             total_frames / emit_device_s, 1),
-        "estimate_device_seconds_dataset": round(est_device_s, 4),
+        "streaming_with_estimation_seconds_full_dataset": round(
+            spaths_device_s, 4),
+        "streaming_with_estimation_frames_per_sec": round(
+            total_frames / spaths_device_s, 1),
+        "estimate_device_seconds_dataset": round(est_vm_device_s, 4),
         "estimate_sessions_per_sec_device": round(
+            len(logs) / est_vm_device_s, 1),
+        "estimate_sharded_device_seconds_dataset": round(
+            est_sh_device_s, 4),
+        "estimate_sharded_sessions_per_sec_device": round(
+            len(logs) / est_sh_device_s, 1),
+        "estimate_async_device_seconds_dataset": round(est_device_s, 4),
+        "estimate_async_sessions_per_sec_device": round(
             len(logs) / est_device_s, 1),
         "estimate_single_session_device_seconds": round(
             est_single_device_s, 5),

@@ -90,10 +90,16 @@ def pack_scenes(
 def _batched_nn_omp_fn(cfg: OmpConfig, keep_rule: str, stop_np: bool):
     """ONE compiled program: vmap(nn_omp_jax) over the leading axis.
 
-    Used where many instances must live in one program (the per-sweep
-    dataset path).  For whole sessions, :func:`nn_omp_sessions_device`'s
-    async per-session dispatch is ~19x faster on the chip — see its
-    docstring for the measured reason.
+    The PRODUCTION whole-dataset formulation.  Adjudicated on the DEVICE
+    plane (tools/diag_est_dispatch.py, TPU v5e, 19 real sessions at the
+    v1-7 config): this one-program path runs the dataset in 49.5 ms
+    device time (384 sessions/s) vs 83 ms (229/s) for async per-session
+    dispatch, selections exactly equal.  Round 2 had concluded the
+    opposite ("async ~19x faster") from WALL numbers — which on this
+    relay transport only measure the dispatch acknowledgement, not
+    device execution (docs/STATUS.md "Measurement model").  It is also
+    the only formulation that shards over a mesh
+    (:func:`nn_omp_sessions_sharded`).
     """
     import jax
 
@@ -114,6 +120,86 @@ def _batched_nn_omp_fn(cfg: OmpConfig, keep_rule: str, stop_np: bool):
     return jit_highest(run)
 
 
+@functools.lru_cache(maxsize=16)
+def _batched_nn_omp_sharded_fn(cfg: OmpConfig, keep_rule: str, stop_np: bool,
+                               mesh):
+    """The vmapped one-program estimator with mesh shardings: sessions
+    over 'data', the AoA dictionary-grid axis over 'model' (the same TP
+    layout as the per-sweep sharded path, pipeline/session._sweep_specs).
+    The correlation planes and the atom argmax partition over 'model';
+    XLA inserts the (tiny) cross-shard argmax/gather collectives."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from slam_process_tpu.models.nn_omp import nn_omp_jax
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+    from slam_process_tpu.utils.precision import jit_highest
+
+    enable_persistent_cache()
+    est = functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
+                            stop_nonpositive=stop_np)
+
+    def run(mats, phi_rx, phi_tx, aoa_g, aod_g):
+        return jax.vmap(
+            lambda m, rx, tx, a, d: est(rx, tx, a, d, m)
+        )(mats, phi_rx, phi_tx, aoa_g, aod_g)
+
+    specs = (
+        P("data", None, None),      # matrices [N, U, B]
+        P("data", None, "model"),   # phi_rx [N, U, Ga]
+        P("data", None, None),      # phi_tx [N, B, Gd]
+        P("data", "model"),         # aoa_grid [N, Ga]
+        P("data", None),            # aod_grid [N, Gd]
+    )
+    return jit_highest(run, in_shardings=tuple(
+        NamedSharding(mesh, s) for s in specs))
+
+
+def nn_omp_sessions_sharded(
+    packed: PackedScenes,
+    cfg: OmpConfig,
+    mesh,
+    keep_rule: str = "ratio",
+    stop_nonpositive: bool = True,
+):
+    """Whole-dataset estimation sharded over the mesh: ONE program, the
+    session axis data-parallel and the dictionary grid tensor-parallel.
+
+    This is the formulation that scales past one chip — the async
+    per-session dispatch (:func:`nn_omp_sessions_device`) runs each
+    session's program on a single device.  Sessions pad to a multiple of
+    the 'data' axis with zero scenes (zero phi/matrix: every correlation
+    is 0, so selection stops immediately under either stopping rule — the
+    padded lanes are inert); the padded results are dropped before return.
+
+    Returns an OmpPaths of [N, ...] DEVICE arrays (one transfer to read).
+    """
+    import jax
+
+    n = packed.matrices.shape[0]
+    dp = mesh.shape["data"]
+    tp = mesh.shape.get("model", 1)
+    pad = (-n) % dp
+
+    def padn(x):
+        return np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    # The sharded Ga axis must divide the 'model' axis: pad with zero phi
+    # columns + edge-repeated grid angles — zero-correlation atoms can
+    # never win a selection (the pack_scenes exactness argument), so the
+    # padded atoms are inert.
+    gpad = (-packed.phi_rx.shape[2]) % tp
+    phi_rx = np.pad(packed.phi_rx, ((0, 0), (0, 0), (0, gpad)))
+    aoa_grid = np.pad(packed.aoa_grid, ((0, 0), (0, gpad)), mode="edge")
+
+    args = (padn(packed.matrices), padn(phi_rx), padn(packed.phi_tx),
+            padn(aoa_grid), padn(packed.aod_grid))
+    fn = _batched_nn_omp_sharded_fn(cfg, keep_rule, stop_nonpositive, mesh)
+    with mesh:
+        out = fn(*args)
+    return jax.tree.map(lambda x: x[:n], out)
+
+
 def nn_omp_sessions_device(
     packed: PackedScenes,
     cfg: OmpConfig,
@@ -122,13 +208,15 @@ def nn_omp_sessions_device(
 ) -> list:
     """Run N padded sessions as N async dispatches of ONE compiled program.
 
-    Measured on the chip (TPU v5e, 19 real sessions at the v1-7 config):
-    async per-session dispatch of the shared padded executable runs the
-    dataset in ~4 ms (~4,600 sessions/s) while a vmapped [N, ...] program
-    takes ~78 ms — the NNLS active-set ``lax.while_loop``s run in lockstep
-    under vmap (every lane pays the slowest lane's iteration count, and the
-    [N, K, K] batched solves pessimize), whereas separate dispatches let
-    each session's solver exit early and overlap in the device queue.
+    NOT the production dataset path: on the DEVICE plane
+    (tools/diag_est_dispatch.py, TPU v5e, 19 real sessions, v1-7 config)
+    this runs the dataset in 83 ms (229 sessions/s) vs 49.5 ms (384/s)
+    for the vmapped one-program path (:func:`_batched_nn_omp_fn`) —
+    per-session while_loop early exit does NOT beat the batched GEMMs'
+    utilization.  (Round 2's "~19x faster" claim for this path came from
+    wall clocks, which on the relay transport measure only dispatch
+    acknowledgement.)  Kept for per-session incremental use and as the
+    adjudication baseline.
 
     Returns a list of N device-resident OmpPaths; transfer with ONE
     ``jax.device_get(list)`` (per-leaf reads pay a relay round trip each).
@@ -154,9 +242,11 @@ def estimate_sessions(
     """v1-7 (or v1) NN-OMP over N sessions in one device program.
 
     Per-session host work is only the scene pivot + dictionary construction;
-    the estimation runs as a single vmapped jitted call.  Returns a list of
-    per-session :class:`OmpPaths` (numpy, unpadded K slots), equal to
-    ``run_estimator("nn_omp", s, ..., engine="device")``'s core output.
+    the estimation runs as a single vmapped jitted call (the device-plane
+    winner — see ``_batched_nn_omp_fn``), optionally mesh-sharded via
+    ``mesh=``.  Returns a list of per-session :class:`OmpPaths` (numpy,
+    unpadded K slots), equal to ``run_estimator("nn_omp", s, ...,
+    engine="device")``'s core output.
     """
     import jax
 
@@ -186,5 +276,13 @@ def estimate_sessions(
         mats.append(matrix)
         dicts.append(make_dictionary(ue_ang, bs_ang, dict_cfg))
     packed = pack_scenes(mats, dicts)
-    outs = nn_omp_sessions_device(packed, cfg, keep_rule, stop_np)
-    return jax.device_get(outs)   # one batched pytree transfer
+    mesh = overrides.get("mesh")
+    if mesh is not None:
+        out = nn_omp_sessions_sharded(packed, cfg, mesh, keep_rule, stop_np)
+    else:
+        fn = _batched_nn_omp_fn(cfg, keep_rule, stop_np)
+        out = fn(packed.matrices, packed.phi_rx, packed.phi_tx,
+                 packed.aoa_grid, packed.aod_grid)
+    host = jax.device_get(out)   # one batched pytree transfer
+    n = len(sessions)
+    return [jax.tree.map(lambda x: x[i], host) for i in range(n)]

@@ -650,6 +650,22 @@ def _build_init(gcap: int, n_beams: int, emit_capacity: int,
 
 
 @functools.lru_cache(maxsize=16)
+def _build_emit_grow(old_alloc: int, new_alloc: int):
+    """Device-side emit-ring doubling: copy the old ring into a larger
+    zero buffer (one dynamic_update_slice; no host read anywhere)."""
+    import jax
+    import jax.numpy as jnp
+
+    def grow(state: DeviceStreamState) -> DeviceStreamState:
+        new_buf = jnp.zeros((new_alloc, 4), jnp.int32)
+        new_buf = jax.lax.dynamic_update_slice(new_buf, state.emit_buf,
+                                               (jnp.int32(0), jnp.int32(0)))
+        return state._replace(emit_buf=new_buf)
+
+    return jax.jit(grow, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=16)
 def _build_flush(max_groups, max_bpg, cfg, emit_capacity, paths_spec=None):
     import jax
 
@@ -681,7 +697,7 @@ class DeviceStreamingSession:
         decoder: str = "xla",
         collect_filtered: bool = False,
         n_beams: int = 64,
-        emit_capacity: int = 1 << 18,
+        emit_capacity: Optional[int] = None,
         collect_paths=None,   # (spec, dict_args) from make_paths_spec
     ):
         self.config = config or PipelineConfig()
@@ -692,10 +708,24 @@ class DeviceStreamingSession:
         self._gcap = int(group_capacity)
         # Emit ring: kept rows accumulate on device and drain ONCE when
         # `filtered` is read (a per-chunk device_get would flip the relay
-        # transport's degraded mode inside the feed loop).  The capacity
-        # bounds the total rows an emit-mode replay can export; overflow is
-        # flagged, not silently dropped.
-        ecap = int(emit_capacity) if self.collect_filtered else 0
+        # transport's degraded mode inside the feed loop).
+        #
+        # Capacity policy: an explicit ``emit_capacity`` is FIXED (overflow
+        # flags and result reads raise — never truncate).  The default
+        # (None) AUTO-GROWS: the host tracks a conservative upper bound on
+        # emitted rows (kept <= decoded <= one frame per 11 bytes fed — no
+        # device read needed), and before a window that could exceed the
+        # ring, a device-side copy program doubles it.  Growth recompiles
+        # the step for the new static shape, so unbounded streams pay a
+        # (rare, amortized-2x) compile per doubling; size up front via
+        # ``emit_capacity`` (replay_log_device auto-sizes from the log)
+        # to avoid even that.
+        self._emit_auto = self.collect_filtered and emit_capacity is None
+        if self.collect_filtered:
+            ecap = int(emit_capacity) if emit_capacity is not None else 1 << 18
+        else:
+            ecap = 0
+        self._emit_bound = 0
         self._ecap = ecap
         cap = frame_capacity(self.chunk_bytes, self.config.decode)
 
@@ -713,27 +743,60 @@ class DeviceStreamingSession:
             self._dict_args = ()
             ga = gd = 0
 
-        # Donated state: accumulators update in place on device; the
-        # compiled step is shared across sessions with the same config.
-        self._step = _build_step(
-            cap, self._gcap, max_groups, max_baselines_per_group,
-            self.config, decoder, ecap, self._paths_spec,
-        )
-        self._flush = _build_flush(
-            max_groups, max_baselines_per_group, self.config, ecap,
-            self._paths_spec,
-        )
-
+        self._cap = cap
+        self._mg = max_groups
+        self._mbpg = max_baselines_per_group
+        self._decoder = decoder
         # Ring allocation = logical capacity + one block of slack
         # (gcap + chunk rows): the emit block write is a fixed t-row
         # dynamic_update_slice whose tail may exceed the logical capacity
         # with junk that later blocks overwrite (see _emit_kept_rows).
-        ecap_alloc = ecap + self._gcap + (-(-self.chunk_bytes // 11)) if ecap else 0
-        self._state = _build_init(self._gcap, n_beams, ecap_alloc,
+        self._emit_slack = self._gcap + (-(-self.chunk_bytes // 11))
+
+        # Donated state: accumulators update in place on device; the
+        # compiled step is shared across sessions with the same config.
+        self._build_programs()
+        self._state = _build_init(self._gcap, n_beams, self._emit_alloc(),
                                   self._paths_spec, ga, gd)()
         self._byte_carry = np.zeros(0, dtype=np.uint8)
         self._finalized = False
         self._overflow_warned = False
+
+    def _emit_alloc(self) -> int:
+        return self._ecap + self._emit_slack if self._ecap else 0
+
+    def _build_programs(self) -> None:
+        self._step = _build_step(
+            self._cap, self._gcap, self._mg, self._mbpg,
+            self.config, self._decoder, self._ecap, self._paths_spec,
+        )
+        self._flush = _build_flush(
+            self._mg, self._mbpg, self.config, self._ecap, self._paths_spec,
+        )
+
+    def _maybe_grow_emit(self, rows_next: int) -> None:
+        """Auto-grow the emit ring BEFORE a window that could overflow it.
+
+        ``self._emit_bound`` over-counts kept rows (one frame per 11 fed
+        bytes, every kept row decoded exactly once), so growing whenever
+        the bound plus the next window's worst case crosses the logical
+        capacity guarantees the ring never overflows — with zero device
+        reads in the feed loop.
+        """
+        if not self._emit_auto:
+            return
+        need = self._emit_bound + rows_next
+        if need <= self._ecap:
+            return
+        new_ecap = max(self._ecap * 2, need)
+        new_ecap = -(-new_ecap // (1 << 18)) * (1 << 18)
+        old_alloc = self._emit_alloc()
+        self._ecap = new_ecap
+        _LOGGER.info("emit ring auto-grow: %d -> %d rows", old_alloc,
+                     self._emit_alloc())
+        self._state = _build_emit_grow(old_alloc, self._emit_alloc())(
+            self._state)
+        self._build_programs()
 
     # -- ingest --------------------------------------------------------------
 
@@ -757,8 +820,11 @@ class DeviceStreamingSession:
             m = len(piece)
             if m < c:
                 piece = np.pad(piece, (0, c - m))
+            rows_next = m // 11 + 1
+            self._maybe_grow_emit(rows_next)
             self._state = self._step(self._state, jnp.asarray(piece),
                                      jnp.int32(m), self._dict_args)
+            self._emit_bound += rows_next
             off = min(off + c, n) - CARRY_BYTES
         self._byte_carry = buf[off:].copy()
 
@@ -935,13 +1001,178 @@ class DeviceStreamingSession:
         return self
 
 
+@functools.lru_cache(maxsize=8)
+def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder):
+    """Vmapped streaming step: S independent streams advance in ONE
+    program.  Sharding comes from the inputs (states/chunks laid out over
+    the mesh 'data' axis) — XLA propagates it through the vmapped body, so
+    S live streams on an S-chip mesh each run on their own chip with no
+    collectives (the state machine is per-stream)."""
+    import jax
+
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    body = functools.partial(
+        _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
+        max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
+        emit_capacity=0, paths_spec=None,
+    )
+    return jax.jit(jax.vmap(lambda st, ch, nb: body(st, ch, nb)),
+                   donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=8)
+def _build_multi_flush(max_groups, max_bpg, cfg):
+    import jax
+
+    body = functools.partial(
+        _flush_body, max_groups=max_groups, max_baselines_per_group=max_bpg,
+        cfg=cfg, emit_capacity=0, paths_spec=None,
+    )
+    return jax.jit(jax.vmap(lambda st: body(st)), donate_argnums=0)
+
+
+class MultiStreamingSession:
+    """S live streams, one vmapped device program per step (mesh-shardable).
+
+    The scaling shape for ingest: a deployment with many concurrent
+    serial feeds runs them as ONE [S, ...] streaming state advanced by one
+    program dispatch per chunk round, with the S axis sharded over a mesh
+    'data' axis (each chip owns its streams; no cross-chip traffic).
+    Per-stream results equal S independent :class:`DeviceStreamingSession`
+    replays exactly (tests/test_multidevice.py).
+
+    ``feed`` takes one chunk per stream (same chunk schedule across
+    streams; pad the tail with empty chunks — a zero-length chunk is a
+    provable no-op for the state machine).  Byte carries are handled per
+    stream on the host exactly as in the single-stream session.
+    """
+
+    def __init__(
+        self,
+        n_streams: int,
+        config: Optional[PipelineConfig] = None,
+        chunk_bytes: int = 1 << 20,
+        group_capacity: int = 4096,
+        max_groups: int = 64,
+        max_baselines_per_group: int = 96,
+        decoder: str = "xla",
+        n_beams: int = 64,
+        mesh=None,
+    ):
+        import jax
+
+        self.config = config or PipelineConfig()
+        self.n_streams = int(n_streams)
+        self.chunk_bytes = int(chunk_bytes)
+        if self.chunk_bytes <= CARRY_BYTES:
+            raise ValueError("chunk_bytes must exceed the 10-byte carry")
+        self._gcap = int(group_capacity)
+        self.mesh = mesh
+        cap = frame_capacity(self.chunk_bytes, self.config.decode)
+        self._step = _build_multi_step(
+            cap, self._gcap, max_groups, max_baselines_per_group,
+            self.config, decoder)
+        self._flush = _build_multi_flush(
+            max_groups, max_baselines_per_group, self.config)
+
+        init1 = _build_init(self._gcap, n_beams, 0)
+        state = jax.vmap(lambda _: init1())(np.arange(self.n_streams))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def shard(x):
+                spec = P("data", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            state = jax.tree.map(shard, state)
+        self._state = state
+        self._byte_carry = [np.zeros(0, np.uint8)
+                            for _ in range(self.n_streams)]
+        self._finalized = False
+
+    def feed(self, chunks) -> None:
+        """Advance every stream by one chunk (``chunks``: S byte buffers;
+        use b"" for streams with no new data this round)."""
+        import jax
+        import jax.numpy as jnp
+
+        if len(chunks) != self.n_streams:
+            raise ValueError(f"expected {self.n_streams} chunks")
+        c = self.chunk_bytes
+        bufs, offs = [], []
+        for i, chunk in enumerate(chunks):
+            if isinstance(chunk, (bytes, bytearray)):
+                chunk = np.frombuffer(chunk, dtype=np.uint8)
+            bufs.append(np.concatenate(
+                [self._byte_carry[i], np.asarray(chunk, np.uint8)]))
+            offs.append(0)
+        # Drain every stream's buffer in lockstep window rounds (same
+        # 10-byte-overlap windows as the single-stream session); streams
+        # with no window left pass an empty piece — a provable no-op (no
+        # new rows, no boundary, carry compaction is the identity).
+        while any(len(b) - o > CARRY_BYTES for b, o in zip(bufs, offs)):
+            pieces = np.zeros((self.n_streams, c), np.uint8)
+            lens = np.zeros((self.n_streams,), np.int32)
+            for i in range(self.n_streams):
+                n, off = len(bufs[i]), offs[i]
+                if n - off > CARRY_BYTES:
+                    piece = bufs[i][off:off + c]
+                    pieces[i, : len(piece)] = piece
+                    lens[i] = len(piece)
+                    offs[i] = min(off + c, n) - CARRY_BYTES
+            p_dev = jnp.asarray(pieces)
+            l_dev = jnp.asarray(lens)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                p_dev = jax.device_put(
+                    p_dev, NamedSharding(self.mesh, P("data", None)))
+                l_dev = jax.device_put(
+                    l_dev, NamedSharding(self.mesh, P("data")))
+            self._state = self._step(self._state, p_dev, l_dev)
+        for i in range(self.n_streams):
+            self._byte_carry[i] = bufs[i][offs[i]:].copy()
+
+    def finalize(self) -> None:
+        if self._finalized:
+            return
+        # Byte carries are <= 10 bytes here (feed drains every full
+        # window) — too short for an 11-byte frame, same as the
+        # single-stream finalize.
+        self._state = self._flush(self._state)
+        self._byte_carry = [np.zeros(0, np.uint8)
+                            for _ in range(self.n_streams)]
+        self._finalized = True
+
+    def results(self):
+        """One transfer: per-stream (n_frames, n_kept, n_groups, sums,
+        counts, overflow) numpy arrays with leading S axis."""
+        import jax
+
+        s = self._state
+        return jax.device_get((s.n_frames, s.n_kept, s.n_groups,
+                               s.sums, s.counts, s.overflow))
+
+
 def replay_log_device(
     raw: np.ndarray,
     chunk_bytes: int = 1 << 20,
     config: Optional[PipelineConfig] = None,
     **kwargs,
 ) -> DeviceStreamingSession:
-    """Replay one tokenized log through the device streaming pipeline."""
+    """Replay one tokenized log through the device streaming pipeline.
+
+    File replays know the stream length, so emit mode sizes its ring to
+    the log up front (one frame per 11 bytes bounds kept rows) — no
+    auto-growth recompiles, no overflow possible.
+    """
+    if kwargs.get("collect_filtered") and "emit_capacity" not in kwargs:
+        # Bucketed (64k rows) so logs of similar size share one compiled
+        # step (the ring capacity is a static shape).
+        need = len(raw) // 11 + 1
+        kwargs["emit_capacity"] = -(-need // (1 << 16)) * (1 << 16)
     s = DeviceStreamingSession(config, chunk_bytes=chunk_bytes, **kwargs)
     for off in range(0, len(raw), chunk_bytes):
         s.feed(raw[off : off + chunk_bytes])

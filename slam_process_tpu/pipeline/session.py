@@ -701,8 +701,14 @@ def sweep_paths_dataset(
              for s in sessions]
     u_max = max(len(p[2]) for p in preps)
     b_max = max(len(p[3]) for p in preps)
-    ga_max = max(len(p[4].aoa_grid) for p in preps)
-    gd_max = max(len(p[4].aod_grid) for p in preps)
+    # Dictionary-grid axes pad to LANE-TILE multiples (128): the selection
+    # loop's [S, Ga, Gd] surfaces otherwise carry ~14% tile padding the
+    # VPU re-touches on every pass, and any flattening becomes a
+    # re-tiling copy.  Padded atoms are zero phi columns + edge-repeated
+    # angles — inert by the models/batch_estimation exactness argument
+    # (same mechanism as the dataset-max padding itself).
+    ga_max = -(-max(len(p[4].aoa_grid) for p in preps) // 128) * 128
+    gd_max = -(-max(len(p[4].aod_grid) for p in preps) // 128) * 128
 
     import jax.numpy as jnp
 

@@ -37,6 +37,7 @@ __all__ = [
     "DeviceTiming",
     "measure_device_time",
     "module_device_times",
+    "op_device_times",
 ]
 
 
@@ -83,6 +84,31 @@ def module_device_times(trace_dir) -> Dict[str, List[float]]:
                     t0 = line.timestamp_ns * 1e3 + ev.offset_ps  # ps
                     out[name].append((t0, ev.duration_ps / 1e12))
     return {k: [d for _, d in sorted(v)] for k, v in out.items()}
+
+
+def op_device_times(trace_dir) -> Dict[str, float]:
+    """Total device seconds per XLA OP name across a trace.
+
+    Parses the device planes' ``XLA Ops`` lines (per-op begin/end on the
+    TPU) and sums durations by op name.  Op names are HLO instruction
+    names (``fusion.123``, ``dot.45``...); callers aggregate further if
+    needed.  Used by tools/diag_hot_ops.py for the stage-level
+    roofline-bound table.
+    """
+    xplane_pb2 = _load_xplane_pb2()
+    out: Dict[str, float] = defaultdict(float)
+    for pb in sorted(Path(trace_dir).rglob("*.xplane.pb")):
+        space = xplane_pb2.XSpace()
+        space.ParseFromString(pb.read_bytes())
+        for plane in space.planes:
+            ev_meta = {eid: em.name for eid, em in plane.event_metadata.items()}
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, "?")
+                    out[name] += ev.duration_ps / 1e12
+    return dict(out)
 
 
 class DeviceTiming(NamedTuple):

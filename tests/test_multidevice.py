@@ -226,3 +226,58 @@ def test_grouped_batched_matches_single_device(stacked):
         for j in range(len(idxs), len(np.asarray(out.n_frames))):
             assert int(out.n_frames[j]) == 0
     assert seen == set(range(len(raws)))
+
+
+def test_sharded_session_estimation_matches_async_and_vmap():
+    """Whole-dataset session estimation sharded over a (4, 2) data x model
+    mesh == the async per-session dispatch == the unsharded vmap, selection
+    sequences and kept paths exactly (two real sessions + zero-pad lanes)."""
+    import jax
+
+    from slam_process_tpu.config import DictionaryConfig, OmpConfig
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.models.batch_estimation import (
+        _batched_nn_omp_fn,
+        nn_omp_sessions_device,
+        nn_omp_sessions_sharded,
+        pack_scenes,
+    )
+    from slam_process_tpu.models.dictionary import make_dictionary
+    from slam_process_tpu.models.registry import build_scene
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.parallel.mesh import make_mesh
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import BEAM_ANGLE
+
+    cfg = OmpConfig(max_paths=20, min_power_ratio=0.0003)
+    dict_cfg = DictionaryConfig(grid_res=0.4, beam_width=1.4,
+                                grid_kind="linspace")
+    mats, dicts = [], []
+    for p in (SMALL_LOG, SMALL_LOG_2026_02_06):
+        s = Session(p.stem)
+        s.frames = decode_frames_np(read_hex_log(p)).frames
+        matrix, ue_ang, bs_ang = build_scene(s, BEAM_ANGLE, True)
+        mats.append(matrix)
+        dicts.append(make_dictionary(ue_ang, bs_ang, dict_cfg))
+    packed = pack_scenes(mats, dicts)
+    mesh = make_mesh((4, 2), ("data", "model"))
+
+    sharded = jax.device_get(
+        nn_omp_sessions_sharded(packed, cfg, mesh))
+    vmapped = jax.device_get(_batched_nn_omp_fn(cfg, "ratio", True)(
+        packed.matrices, packed.phi_rx, packed.phi_tx,
+        packed.aoa_grid, packed.aod_grid))
+    asyncd = jax.device_get(nn_omp_sessions_device(packed, cfg))
+
+    for i in range(len(mats)):
+        vm_i = jax.tree.map(lambda x: x[i], vmapped)
+        for o in (vm_i, asyncd[i]):
+            ni = int(o.n_iters)
+            assert int(sharded.n_iters[i]) == ni
+            np.testing.assert_array_equal(sharded.aoa_idx[i][:ni],
+                                          o.aoa_idx[:ni])
+            np.testing.assert_array_equal(sharded.aod_idx[i][:ni],
+                                          o.aod_idx[:ni])
+            np.testing.assert_array_equal(sharded.valid[i], o.valid)
+            np.testing.assert_allclose(sharded.power[i][:ni],
+                                       o.power[:ni], rtol=1e-5, atol=1e-7)

@@ -238,3 +238,61 @@ def test_device_streaming_emit_ring_overflow_raises(small_log_bytes):
     # The aggregate results are unaffected by the ring cap.
     assert s.n_frames > 64
     assert np.isfinite(s.intensity().mean).any()
+
+
+def test_emit_ring_auto_grows_for_long_streams(small_log_bytes):
+    """Default emit mode (no emit_capacity given) must export ANY stream
+    without manual tuning: the ring auto-grows on a host-side conservative
+    bound (no device reads in the feed loop).  Forced here with a tiny
+    initial capacity via a long concatenated stream; parity oracle is the
+    host decode+correct of the same concatenation."""
+    from slam_process_tpu.ops.correct import correct_frames_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.parallel.streaming_device import (
+        DeviceStreamingSession,
+    )
+
+    stream = np.concatenate([small_log_bytes] * 3)
+    s = DeviceStreamingSession(chunk_bytes=1 << 15, collect_filtered=True)
+    s._ecap = 1 << 10                      # shrink the initial ring so the
+    s._state = s._state._replace(          # growth path actually runs
+        emit_buf=np.zeros((s._emit_alloc(), 4), np.int32))
+    s._build_programs()
+    for off in range(0, len(stream), 1 << 15):
+        s.feed(stream[off:off + (1 << 15)])
+    s.finalize()
+    got = s.filtered
+
+    frames = decode_frames_np(stream).frames
+    res = correct_frames_np(frames)
+    assert len(got) == len(res.filtered)
+    np.testing.assert_array_equal(got, res.filtered)
+    assert s._ecap > 1 << 10, "growth must have happened"
+
+
+@pytest.mark.slow
+def test_emit_dataset_scale_single_stream():
+    """One stream larger than the old fixed default (262,144 rows kept):
+    every log concatenated, default auto-capacity, exact export parity."""
+    import glob
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.ops.correct import correct_frames_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.parallel.streaming_device import (
+        DeviceStreamingSession,
+    )
+    from tests.conftest import DEBUGDOC
+
+    logs = sorted(glob.glob(str(DEBUGDOC / "*.txt")))
+    stream = np.concatenate([read_hex_log(p) for p in logs])
+    s = DeviceStreamingSession(chunk_bytes=1 << 20, collect_filtered=True)
+    for off in range(0, len(stream), 1 << 20):
+        s.feed(stream[off:off + (1 << 20)])
+    s.finalize()
+    got = s.filtered
+    assert len(got) > (1 << 18), "stream must exceed the old fixed default"
+
+    frames = decode_frames_np(stream).frames
+    res = correct_frames_np(frames)
+    np.testing.assert_array_equal(got, res.filtered)

@@ -109,6 +109,62 @@ def main() -> None:
         "winner_device_plane": ("async" if async_dev < vmap_dev else "vmap"),
     }))
 
+    # ---- per-sweep DATASET dispatch: async-per-session (bucketed padded
+    # shapes) vs one outer-vmapped program at the dataset-max shape.
+    # sweep_paths_dataset's "~5x faster" claim was wall-based; this is the
+    # device-plane adjudication for that choice.
+    from slam_process_tpu.pipeline.session import (
+        _sweep_bucket,
+        _sweep_estimator_dataset_fn,
+        _sweep_estimator_fn,
+        sweep_paths_dataset,
+    )
+
+    sessions = []
+    for p in logs:
+        s = Session(Path(p).stem)
+        s.frames = decode_frames_np(read_hex_log(p)).frames
+        s.correct()
+        sessions.append(s)
+    sweep_paths_dataset(sessions, mapping)   # warm + memoize prep
+    dt_ds_async = measure_device_time(
+        lambda i: sweep_paths_dataset(sessions, mapping) and None, n=2)
+    ds_async_dev = sum(sum(v) for v in dt_ds_async.all_modules.values()) / 2
+
+    # Outer-vmapped one-program: every session padded to the DATASET max
+    # sweep bucket so the stacked [N, Smax, U, B] tensor is rectangular.
+    preps = [s._sweep_host_prep(mapping) for s in sessions]
+    u_max = max(len(p_[2]) for p_ in preps)
+    b_max = max(len(p_[3]) for p_ in preps)
+    ga_max = max(len(p_[4].aoa_grid) for p_ in preps)
+    gd_max = max(len(p_[4].aod_grid) for p_ in preps)
+    s_max = max(_sweep_bucket(p_[1]) for p_ in preps)
+    est_key = preps[0][5]
+    import jax.numpy as jnp
+
+    stacked = []
+    for s in sessions:
+        sub, d, _k, _n = s._sweep_estimation_inputs(
+            mapping, pad_to=(s_max, u_max, b_max, ga_max, gd_max))
+        stacked.append((sub, d.phi_rx, d.phi_tx, d.aoa_grid, d.aod_grid))
+    batch = tuple(jnp.stack([t[i] for t in stacked]) for i in range(5))
+    ds_fn = _sweep_estimator_dataset_fn(est_key)
+    warm = ds_fn(*batch)
+    jax.block_until_ready(warm[1])
+    dt_ds_vmap = measure_device_time(lambda i: ds_fn(*batch)[1], n=2)
+    ds_vmap_dev = sum(sum(v) for v in dt_ds_vmap.all_modules.values()) / 2
+
+    n_sweeps = sum(p_[1] for p_ in preps)
+    print(json.dumps({
+        "per_sweep_n_sweeps": n_sweeps,
+        "per_sweep_async_device_s": round(ds_async_dev, 4),
+        "per_sweep_outer_vmap_device_s": round(ds_vmap_dev, 4),
+        "per_sweep_async_sweeps_per_s": round(n_sweeps / ds_async_dev, 1),
+        "per_sweep_outer_vmap_sweeps_per_s": round(n_sweeps / ds_vmap_dev, 1),
+        "per_sweep_winner_device_plane": (
+            "async_bucketed" if ds_async_dev < ds_vmap_dev else "outer_vmap"),
+    }))
+
 
 if __name__ == "__main__":
     main()
