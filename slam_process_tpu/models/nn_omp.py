@@ -293,22 +293,34 @@ def nn_omp_gram_batch_jax(
         # Residual correlation = corr_y minus the selected atoms' rank-K
         # Gram outer products (zero for inactive slots via zero coeffs).
         active_c = coeffs * (slots[None, :] < nsel[:, None])   # [S, K]
-        gr_sel = grx[:, sel_r]                                 # [Ga, S, K]
-        gt_sel = gtx[:, sel_t]                                 # [Gd, S, K]
-        corr = corr_y - jnp.einsum("gsk,sk,dsk->sgd", gr_sel, active_c,
-                                   gt_sel)
-        # Axis-wise argmax instead of flatten+argmax: the [S, Ga, Gd]
-        # surface is tile-padded (Ga/Gd rarely multiples of 128), so
-        # reshape(S, Ga*Gd) is a full re-tiling COPY of the loop's biggest
-        # tensor (measured ~3 ms/iteration at [24, 886, 886] — as long as
-        # the max itself).  Row-major first-occurrence tie-breaking is
-        # preserved exactly: smallest g with the global max, then smallest
-        # d within that row — the flat argmax's order.
-        m1 = jnp.max(corr, axis=2)                             # [S, Ga]
+        # Axis-wise argmax with NO materialized residual surface: the
+        # subtract has exactly ONE consumer (the row-max reduce), so XLA
+        # fuses it into the reduction and the iteration's only large
+        # traffic is ONE read of corr_y.  The old flatten+argmax form
+        # paid a re-tiling reshape COPY of the [S, Ga, Gd] surface plus
+        # two reduce reads (measured ~6 ms/iteration at [24, 886, 886]).
+        # Tie-breaking matches the flat argmax exactly: smallest g with
+        # the global max, then smallest d within that row.  The winning
+        # ROW is recomputed from corr_y + the rank-K update at g = i_r
+        # (a [S, Gd] expression) — same arithmetic, so any difference
+        # from the fused reduction's internal values is sub-ulp
+        # reassociation, the same robustness class as f32-vs-f64
+        # selection parity the whole estimator already rests on.
+        grs = grx.T[sel_r]                                     # [S, K, Ga]
+        gts = gtx.T[sel_t]                                     # [S, K, Gd]
+        resid = corr_y
+        for k in range(K):   # static unroll: pure broadcasts, no dot op
+            resid = resid - (active_c[:, k, None, None]
+                             * grs[:, k, :, None] * gts[:, k, None, :])
+        m1 = jnp.max(resid, axis=2)                            # [S, Ga]
         i_r = jnp.argmax(m1, axis=1).astype(jnp.int32)         # [S]
         max_corr = jnp.take_along_axis(m1, i_r[:, None], axis=1)[:, 0]
-        row = jnp.take_along_axis(
-            corr, i_r[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+        g_at = jnp.take_along_axis(grs, i_r[:, None, None],
+                                   axis=2)[:, :, 0]            # [S, K]
+        row = corr_y[jnp.arange(S), i_r]
+        for k in range(K):
+            row = row - (active_c[:, k, None] * g_at[:, k, None]
+                         * gts[:, k, :])
         i_t = jnp.argmax(row, axis=1).astype(jnp.int32)        # [S]
 
         dup = jnp.any((sel_r == i_r[:, None]) & (sel_t == i_t[:, None])

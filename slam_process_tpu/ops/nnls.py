@@ -50,7 +50,35 @@ def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16,
         # Rows/cols outside P are replaced by identity -> exact zeros there.
         Pf = P.astype(G.dtype)
         Gp = G * (Pf[:, None] * Pf[None, :]) + jnp.diag(1.0 - Pf)
-        return jnp.linalg.solve(Gp, b * Pf)
+        bp = b * Pf
+        if k == 3:
+            # Closed-form adjugate solve: jnp.linalg.solve's batched LU is
+            # dozens of tiny ops per while-loop iteration, and this solve
+            # sits inside BOTH nested NNLS loops of the per-sweep hot path
+            # (measured ~17 ms of the 36 ms dataset pass).  A 3x3 Gram
+            # (identity-completed, SPD on the passive set) is far from the
+            # conditioning regime where LU pivoting beats Cramer in f32;
+            # coefficient parity vs the float64 oracle is asserted by the
+            # same selection-sequence/rtol tests as always.
+            (a11, a12, a13), (a21, a22, a23), (a31, a32, a33) = (
+                Gp[0], Gp[1], Gp[2])
+            c11 = a22 * a33 - a23 * a32
+            c12 = a13 * a32 - a12 * a33
+            c13 = a12 * a23 - a13 * a22
+            c21 = a23 * a31 - a21 * a33
+            c22 = a11 * a33 - a13 * a31
+            c23 = a13 * a21 - a11 * a23
+            c31 = a21 * a32 - a22 * a31
+            c32 = a12 * a31 - a11 * a32
+            c33 = a11 * a22 - a12 * a21
+            det = a11 * c11 + a12 * c21 + a13 * c31
+            inv_det = 1.0 / det
+            return jnp.stack([
+                (c11 * bp[0] + c12 * bp[1] + c13 * bp[2]) * inv_det,
+                (c21 * bp[0] + c22 * bp[1] + c23 * bp[2]) * inv_det,
+                (c31 * bp[0] + c32 * bp[1] + c33 * bp[2]) * inv_det,
+            ])
+        return jnp.linalg.solve(Gp, bp)
 
     def outer_cond(state):
         x, P, it, done = state

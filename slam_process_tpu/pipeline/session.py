@@ -688,9 +688,15 @@ def sweep_paths_dataset(
     so all sessions share a single compiled estimator executable and a
     handful of compiled intensity programs (row counts are bucketed).  The
     per-session programs dispatch asynchronously and block once, then ALL
-    results cross device->host as one transfer — the layout that measured
-    ~19x faster than a vmapped [N, ...] mega-program for the session-level
-    estimator (NNLS while_loops run in lockstep under vmap).
+    results cross device->host as one transfer.
+
+    Dispatch adjudication (tools/diag_est_dispatch.py, device plane):
+    unlike the SESSION-level estimator — where the outer-vmapped
+    one-program form won and is production — the per-sweep dataset pass
+    stays async-bucketed: each session is ALREADY a batched [S, Ga, Gd]
+    program, and an outer session vmap multiplies the selection loop's
+    residual surfaces by N (~3.8 GB per scan iteration at the dataset
+    shape), trading HBM pressure for no additional parallelism.
 
     Returns a list of (paths, sweep_valid) per session, equal to each
     session's ``Session.sweep_paths`` output.
@@ -739,11 +745,9 @@ def sweep_paths_dataset(
                                  for a, sp in zip(args, _SWEEP_SPECS))))
         stacked = _stack_results_fn()(outs)
     else:
-        # One async dispatch per session of ONE shared compiled executable.
-        # Measured on the chip: this beats the outer-vmapped single program
-        # ~5x (0.15 s vs 0.76 s for 392 sweeps) — the same XLA batched-GEMM
-        # pessimization that hit the per-sweep vmap reappears when the
-        # session axis becomes a vmap axis carrying per-lane dictionaries.
+        # One async dispatch per session of ONE shared compiled executable
+        # (see the docstring's dispatch-adjudication note for why the
+        # outer session vmap is not used here).
         fn = _sweep_estimator_fn(est_key, None)
         stacked = _stack_results_fn()([fn(*args) for args in per_session])
 

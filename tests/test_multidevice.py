@@ -281,3 +281,33 @@ def test_sharded_session_estimation_matches_async_and_vmap():
             np.testing.assert_array_equal(sharded.valid[i], o.valid)
             np.testing.assert_allclose(sharded.power[i][:ni],
                                        o.power[:ni], rtol=1e-5, atol=1e-7)
+
+
+def test_multi_stream_session_matches_independent_sessions():
+    """8 live streams advanced as ONE vmapped program with the stream
+    axis sharded over 'data' == 8 independent DeviceStreamingSessions,
+    every per-stream counter and accumulator exactly (uneven stream
+    lengths exercise the lockstep no-op windows)."""
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.parallel.mesh import make_mesh
+    from slam_process_tpu.parallel.streaming_device import (
+        MultiStreamingSession,
+        replay_log_device,
+    )
+
+    raws = [read_hex_log(SMALL_LOG), read_hex_log(SMALL_LOG_2026_02_06)] * 4
+    mesh = make_mesh((8, 1), ("data", "model"))
+    ms = MultiStreamingSession(8, chunk_bytes=1 << 18, mesh=mesh)
+    step = 1 << 17
+    for off in range(0, max(len(r) for r in raws), step):
+        ms.feed([r[off:off + step] for r in raws])
+    ms.finalize()
+    nf, nk, ng, sums, counts, ovf = ms.results()
+    assert not ovf.any()
+    for i, r in enumerate(raws):
+        s = replay_log_device(r, chunk_bytes=1 << 18)
+        assert int(s._state.n_frames) == int(nf[i])
+        assert int(s._state.n_kept) == int(nk[i])
+        assert int(s._state.n_groups) == int(ng[i])
+        np.testing.assert_array_equal(np.asarray(s._state.sums), sums[i])
+        np.testing.assert_array_equal(np.asarray(s._state.counts), counts[i])

@@ -142,28 +142,38 @@ def main() -> None:
     est_key = preps[0][5]
     import jax.numpy as jnp
 
-    stacked = []
-    for s in sessions:
-        sub, d, _k, _n = s._sweep_estimation_inputs(
-            mapping, pad_to=(s_max, u_max, b_max, ga_max, gd_max))
-        stacked.append((sub, d.phi_rx, d.phi_tx, d.aoa_grid, d.aod_grid))
-    batch = tuple(jnp.stack([t[i] for t in stacked]) for i in range(5))
-    ds_fn = _sweep_estimator_dataset_fn(est_key)
-    warm = ds_fn(*batch)
-    jax.block_until_ready(warm[1])
-    dt_ds_vmap = measure_device_time(lambda i: ds_fn(*batch)[1], n=2)
-    ds_vmap_dev = sum(sum(v) for v in dt_ds_vmap.all_modules.values()) / 2
-
     n_sweeps = sum(p_[1] for p_ in preps)
-    print(json.dumps({
+    out = {
         "per_sweep_n_sweeps": n_sweeps,
         "per_sweep_async_device_s": round(ds_async_dev, 4),
-        "per_sweep_outer_vmap_device_s": round(ds_vmap_dev, 4),
         "per_sweep_async_sweeps_per_s": round(n_sweeps / ds_async_dev, 1),
-        "per_sweep_outer_vmap_sweeps_per_s": round(n_sweeps / ds_vmap_dev, 1),
-        "per_sweep_winner_device_plane": (
-            "async_bucketed" if ds_async_dev < ds_vmap_dev else "outer_vmap"),
-    }))
+    }
+    # The outer-vmapped one-program alternative multiplies the selection
+    # loop's [S, Ga, Gd] surfaces by N sessions (~3.8 GB per scan
+    # iteration at the dataset shape) — attempt it guarded, because HBM
+    # pressure can make it OOM or pathologically slow.
+    try:
+        stacked = []
+        for s in sessions:
+            sub, d, _k, _n = s._sweep_estimation_inputs(
+                mapping, pad_to=(s_max, u_max, b_max, ga_max, gd_max))
+            stacked.append((sub, d.phi_rx, d.phi_tx, d.aoa_grid,
+                            d.aod_grid))
+        batch = tuple(jnp.stack([t[i] for t in stacked]) for i in range(5))
+        ds_fn = _sweep_estimator_dataset_fn(est_key)
+        warm = ds_fn(*batch)
+        jax.block_until_ready(warm[1])
+        dt_ds_vmap = measure_device_time(lambda i: ds_fn(*batch)[1], n=1)
+        ds_vmap_dev = sum(sum(v) for v in dt_ds_vmap.all_modules.values())
+        out["per_sweep_outer_vmap_device_s"] = round(ds_vmap_dev, 4)
+        out["per_sweep_outer_vmap_sweeps_per_s"] = round(
+            n_sweeps / ds_vmap_dev, 1)
+        out["per_sweep_winner_device_plane"] = (
+            "async_bucketed" if ds_async_dev < ds_vmap_dev else "outer_vmap")
+    except Exception as e:   # noqa: BLE001 — report, don't crash the diag
+        out["per_sweep_outer_vmap_error"] = f"{type(e).__name__}: {e}"[:200]
+        out["per_sweep_winner_device_plane"] = "async_bucketed (vmap infeasible)"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
