@@ -168,3 +168,26 @@ def run_dataset_batched_grouped(
                                       **pipeline_kwargs)
         results.append((idxs, fn(batch, lengths, lut)))
     return results
+
+
+def run_dataset(mesh, raw_list: Sequence[np.ndarray], **pipeline_kwargs):
+    """Convenience consumer for the grouped multi-chip layout: run every
+    session through the per-bucket sharded programs, do ONE device_get of
+    the padded bucket outputs, and return per-session
+    ``SessionSummaryOut`` namedtuples in input order.
+
+    This is the production entry point for "process this whole dataset on
+    the mesh" — ``run_dataset_batched_grouped`` stays the low-level form
+    for callers that want to keep results on device (e.g. bench's
+    device-plane windows); the splitting here happens host-side after the
+    single transfer, so no per-leaf gathers dispatch.
+    """
+    import jax
+
+    grouped = run_dataset_batched_grouped(mesh, raw_list, **pipeline_kwargs)
+    host = jax.device_get([out for _idxs, out in grouped])
+    results: list = [None] * len(raw_list)
+    for (idxs, _), out in zip(grouped, host):
+        for row, orig in enumerate(idxs):
+            results[orig] = jax.tree.map(lambda x: x[row], out)
+    return results

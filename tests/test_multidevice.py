@@ -311,3 +311,28 @@ def test_multi_stream_session_matches_independent_sessions():
         assert int(s._state.n_groups) == int(ng[i])
         np.testing.assert_array_equal(np.asarray(s._state.sums), sums[i])
         np.testing.assert_array_equal(np.asarray(s._state.counts), counts[i])
+
+
+def test_run_dataset_convenience_matches_per_session(two_logs):
+    """run_dataset (the grouped layout's convenience consumer) returns
+    per-session summaries in input order, equal to per-session runs."""
+    from slam_process_tpu.parallel.batch import run_dataset
+    from slam_process_tpu.parallel.mesh import make_mesh
+    from slam_process_tpu.pipeline.device import run_session_on_device
+
+    raws = [two_logs[i % 2] for i in range(5)]   # odd count: exercises
+    mesh = make_mesh((4, 2), ("data", "model"))  # empty-session padding
+    outs = run_dataset(mesh, raws, max_groups=MAX_GROUPS,
+                       max_baselines_per_group=MAX_BASELINES)
+    assert len(outs) == len(raws)
+    for r, o in zip(raws, outs):
+        ref = run_session_on_device(r, max_groups=MAX_GROUPS,
+                                    max_baselines_per_group=MAX_BASELINES)
+        assert int(o.n_frames) == int(ref.n_frames)
+        assert int(o.n_kept) == int(ref.n_kept)
+        np.testing.assert_array_equal(np.asarray(o.counts),
+                                      np.asarray(ref.counts))
+        a, b = np.asarray(o.mean_grid), np.asarray(ref.mean_grid)
+        np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+        np.testing.assert_allclose(a[np.isfinite(a)], b[np.isfinite(b)],
+                                   rtol=1e-6, atol=1e-6)
