@@ -240,3 +240,71 @@ def test_pallas_correct_planes_on_chip():
     np.testing.assert_array_equal(has, ref_has)
     np.testing.assert_array_equal(kb, ref_k)
     np.testing.assert_array_equal(bb, ref_bs)
+
+
+def test_device_tokenize_on_chip(small_log_bytes):
+    """Round-4 sentinel: the on-chip stride-3 tokenizer (MXU deinterleave
+    matmul path, bf16 x bf16 -> f32) must be byte-exact vs the reference
+    tokenizer, and the fused text pipeline must equal the byte pipeline.
+    The bf16 deinterleave relies on small-integer exactness — precisely
+    the class of property only the real chip can certify."""
+    import jax
+
+    from slam_process_tpu.io.hexlog import tokenize_hex
+    from slam_process_tpu.ops.tokenize import tokenize_device
+    from slam_process_tpu.pipeline.device import (
+        run_session_from_text,
+        run_session_on_device,
+    )
+    from tests.conftest import SMALL_LOG
+
+    data = SMALL_LOG.read_bytes()
+    got, used_device = tokenize_device(data)
+    assert used_device
+    np.testing.assert_array_equal(got, tokenize_hex(data))
+
+    res = run_session_from_text(data)
+    assert bool(res.tokenize_regular)
+    ref = run_session_on_device(tokenize_hex(data))
+    a, b = jax.device_get((res.out, ref))
+    assert int(a.n_frames) == int(b.n_frames)
+    assert int(a.n_kept) == int(b.n_kept)
+    np.testing.assert_array_equal(np.asarray(a.counts),
+                                  np.asarray(b.counts))
+
+
+def test_streaming_online_paths_on_chip(small_log_bytes):
+    """Round-4 sentinel: ONLINE in-stream estimation + tracking on the
+    real chip == the offline flagship on the same beam set (selection
+    indices exact; the estimator argmax is the known bf16-flip hazard)."""
+    from slam_process_tpu.parallel.streaming_device import (
+        DeviceStreamingSession,
+        make_paths_spec,
+    )
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import BEAM_ANGLE
+
+    spec = make_paths_spec(BEAM_ANGLE)
+    s = DeviceStreamingSession(chunk_bytes=1 << 18, collect_paths=spec)
+    for off in range(0, len(small_log_bytes), 1 << 18):
+        s.feed(small_log_bytes[off:off + (1 << 18)])
+    s.finalize()
+    paths, valid = s.sweep_paths()
+    tracks, times, vel = s.path_tracks()
+
+    sess = Session("oracle")
+    sess.frames = decode_frames_np(small_log_bytes).frames
+    op, ov = sess.sweep_paths(BEAM_ANGLE,
+                              beam_ids=(spec[0].ue_ids, spec[0].bs_ids))
+    otr, ott, ovel = sess.path_tracks(
+        BEAM_ANGLE, beam_ids=(spec[0].ue_ids, spec[0].bs_ids))
+    np.testing.assert_array_equal(valid, ov)
+    np.testing.assert_array_equal(np.asarray(paths.aoa_idx),
+                                  np.asarray(op.aoa_idx))
+    np.testing.assert_array_equal(np.asarray(paths.aod_idx),
+                                  np.asarray(op.aod_idx))
+    np.testing.assert_array_equal(np.asarray(paths.valid),
+                                  np.asarray(op.valid))
+    np.testing.assert_array_equal(tracks.observed, otr.observed)
+    np.testing.assert_array_equal(times, ott)
