@@ -204,16 +204,19 @@ def intensity_per_sweep_sums_jax(
 
     # Scan over sweeps: per sweep the cell stats are the session einsum with
     # a sweep-membership weight folded into the UE one-hot.  Peak memory
-    # stays at [F, n_beams] instead of [F, S * n_beams].
+    # stays at [F, n_beams] instead of [F, S * n_beams].  Sums and counts
+    # come from ONE einsum (the value operand stacks [val, 1]): the scan
+    # body is bandwidth-bound on the [F, n_beams] one-hots, and two
+    # separate contractions read them twice.
+    vx = jnp.stack([val, jnp.ones_like(val)], axis=1)   # [F, 2]
+
     def one_sweep(_, s):
         w = (gid == s).astype(jnp.float32) * kf
         ohu = oh_u * w[:, None]
-        sums = jnp.einsum("fu,f,fb->ub", ohu, val, oh_b,
-                          preferred_element_type=jnp.float32,
-                          precision="highest")
-        counts = jnp.einsum("fu,fb->ub", ohu, oh_b,
-                            preferred_element_type=jnp.float32)
-        return None, (sums, counts)
+        sc = jnp.einsum("fu,fx,fb->xub", ohu, vx, oh_b,
+                        preferred_element_type=jnp.float32,
+                        precision="highest")
+        return None, (sc[0], sc[1])
 
     _, (sums, counts) = jax.lax.scan(one_sweep, None,
                                      jnp.arange(max_sweeps, dtype=gid.dtype))

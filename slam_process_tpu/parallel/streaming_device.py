@@ -64,6 +64,13 @@ class StreamPathsSpec(NamedTuple):
     the two).  ``s_step`` bounds sweeps closing per step and ``capacity``
     bounds total closed sweeps; exceeding either flags ``paths_overflow``
     and result reads raise rather than return truncated data.
+
+    Sizing ``s_step``: every step pays the estimation block at the FULL
+    static [s_step+1] lane count (per-sweep sums scan + estimator +
+    tracker), so size it to the sweeps you expect to close per chunk —
+    the default 64 suits ~1 MiB chunks of this dataset (up to 58 sweeps
+    per chunk); a live feed with small chunks (64 KiB ~ a handful of
+    sweeps) runs several times faster with ``s_step=8``.
     """
 
     estimator: str          # "nn_omp" | "sm_sic"
