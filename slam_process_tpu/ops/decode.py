@@ -168,6 +168,21 @@ def decode_frames_greedy_np(
 # masked-row layout [R, 5] + valid[R]; decode_frames_jax densifies it with
 # one [capacity]-row compaction gather for callers that need the packed
 # table.
+#
+# The per-row reduction itself is NOT done with a [N] -> [R, 11] reshape:
+# 11 does not divide the 128-lane register tile, so that reshape is a full
+# cross-lane retiling copy — per-op profiling measured the five reshape-sums
+# at ~656 us isolated on the biggest log vs a 4.4 us HBM bound
+# (tools/diag_hot_ops.py, the round-3 stage roofline's worst entry).  Instead
+# the masked field values are packed into FOUR <=18-bit integer channels,
+# the position axis is padded to a multiple of 1408 = 11 * 128 (so the
+# [M, 1408] reshape keeps lane tiles intact — the same layout trick as the
+# tokenizer's [*, 384] deinterleave), and the per-row sums become ONE
+# constant [1408, 128] block-diagonal matmul on the MXU.  Exactness: every
+# channel value is an integer <= 2^18 (f32-exact), the weights are {0, 1},
+# and each 11-block holds at most one valid start (the spacing theorem), so
+# each output element is a sum of ONE exact product — HIGHEST precision
+# keeps the MXU from rounding through bf16 (the ops/correct.py argument).
 
 
 def decode_rows_jax(
@@ -188,6 +203,7 @@ def decode_rows_jax(
     ``b[:n_valid]`` (start positions with ``p + frame_len > n_valid`` are
     rejected), for callers whose padding bytes are not inert.
     """
+    import jax
     import jax.numpy as jnp
 
     b = b.astype(jnp.uint8)
@@ -218,24 +234,48 @@ def decode_rows_jax(
     rss_v = (sh[8] & 0x3F) | ((sh[9] & 0x3F) << 6) | ((sh[10] & 0x3F) << 12)
 
     # Row reduction: <= 1 valid start per 11-position row, so a masked sum
-    # per row IS the frame (zeros when the row has no start).
+    # per row IS the frame (zeros when the row has no start).  Done as one
+    # block-diagonal MXU matmul in a lane-aligned [M, 1408] layout — see the
+    # module comment above for the layout/exactness argument.
     r = -(-n // 11)
-    pad_pos = r * 11 - n
-
-    def rowred(v):
-        vm = v * ok.astype(jnp.int32)
-        vm = jnp.concatenate([vm, jnp.zeros((pad_pos,), jnp.int32)]) if pad_pos else vm
-        return vm.reshape(r, 11).sum(axis=1)
-
+    oki = ok.astype(jnp.int32)
+    packed_v = (oki << 14) | (flag_v << 12) | (ue_v << 6) | bs_v   # <= 2^15
+    chans = jnp.stack(
+        [
+            packed_v * oki,
+            rss_v * oki,                    # <= 2^18
+            (clk_v & 0x7FFF) * oki,         # clk low limb,  <= 2^15
+            (clk_v >> 15) * oki,            # clk high limb, <= 2^15
+        ]
+    )
+    m_blocks = -(-n // 1408)
+    np_pos = m_blocks * 1408
+    if np_pos != n:
+        chans = jnp.pad(chans, ((0, 0), (0, np_pos - n)))
+    x = chans.reshape(4, m_blocks, 1408).astype(jnp.float32)
+    jj = np.arange(1408)
+    bd = np.zeros((1408, 128), np.float32)
+    bd[jj, jj // 11] = 1.0
+    out = jnp.einsum(
+        "cmj,jk->cmk",
+        x,
+        jnp.asarray(bd),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = out.reshape(4, m_blocks * 128)[:, :r].astype(jnp.int32)
+    packed, rss_r, clk_lo, clk_hi = out[0], out[1], out[2], out[3]
     rows = jnp.stack(
-        [rowred(flag_v), rowred(ue_v), rowred(bs_v), rowred(rss_v), rowred(clk_v)],
+        [
+            (packed >> 12) & 1,
+            (packed >> 6) & 0x3F,
+            packed & 0x3F,
+            rss_r,
+            clk_lo | (clk_hi << 15),
+        ],
         axis=1,
     )
-    okp = (
-        jnp.concatenate([ok, jnp.zeros((pad_pos,), bool)]) if pad_pos else ok
-    )
-    valid = okp.reshape(r, 11).any(axis=1)
-    count = jnp.sum(ok.astype(jnp.int32))
+    valid = (packed >> 14) == 1
+    count = jnp.sum(oki)
     return rows, valid, count
 
 
