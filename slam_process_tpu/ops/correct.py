@@ -190,16 +190,21 @@ def correct_rows_jax(
     valid = valid.astype(bool)
 
     # Previous-valid-row fields via one associative scan over packed words:
-    # p1 = flag(1b) | ue(6b) | rss(18b), p2 = clk(30b).
-    p1 = (flag << 24) | (ue << 18) | rss
+    # p1 = flag(1b) | ue(6b) | rss(18b), p2 = clk(30b).  Invalid rows carry
+    # the sentinel p1 = -1, so "row holds a value" is p1 >= 0 and the scan
+    # needs only TWO carries (each carry stream costs a full slice/pad
+    # ladder in XLA's log-depth lowering — measured ~14 us per [F] slice
+    # pass in tools/diag_correct_ops.py).
+    p1 = jnp.where(valid, (flag << 24) | (ue << 18) | rss, -1)
     p2 = clk
 
     def keep_last(a, b):
-        a1, a2, av = a
-        b1, b2, bv = b
-        return (jnp.where(bv, b1, a1), jnp.where(bv, b2, a2), av | bv)
+        a1, a2 = a
+        b1, b2 = b
+        take = b1 >= 0
+        return (jnp.where(take, b1, a1), jnp.where(take, b2, a2))
 
-    s1, s2, _ = jax.lax.associative_scan(keep_last, (p1, p2, valid))
+    s1, s2 = jax.lax.associative_scan(keep_last, (p1, p2))
     prev_p1 = jnp.concatenate([s1[:1] * 0, s1[:-1]])
     prev_clk = jnp.concatenate([s2[:1] * 0, s2[:-1]])
     vcount = jnp.cumsum(valid.astype(jnp.int32))
@@ -231,19 +236,22 @@ def correct_rows_jax(
     # gather (TPU gathers serialize at ~10 ns/element; the gather
     # formulation dominated the whole-dataset program's device time —
     # tools/diag_device_time.py).  Exactness: a one-hot row selects a
-    # single table entry, and every selected value is split into 15-bit
-    # limbs so it is an exact f32; HIGHEST precision keeps the MXU from
-    # downcasting the inputs to bf16.
-    hp = jax.lax.Precision.HIGHEST
-    onehot_g = (gid[:, None] == jnp.arange(max_groups)[None, :]
-                ).astype(jnp.float32)
+    # single table entry, so each output is ONE product of exactly
+    # representable values — bf16-exact for the 8-bit-limb residue plane
+    # below (single MXU pass), f32/HIGHEST for the < 2^24 counts einsum.
+    assert cfg.cycle <= (1 << 16), "2-limb residue plane needs cycle <= 2^16"
+    assert max_baselines_per_group <= 256, "bf16-exact count needs bmax <= 256"
+    onehot_g16 = (gid[:, None] == jnp.arange(max_groups)[None, :]
+                  ).astype(jnp.bfloat16)
 
     # Group baseline counts as a one-hot contraction (a segment_sum scatter
     # measured ~150 ns/element on this chip; the [F, G] @ [F] product runs
-    # at MXU rate and is exact for counts < 2^24).
+    # at MXU rate).  bf16 inputs are {0, 1} (exact); the f32 accumulation
+    # makes counts < 2^24 exact in a single MXU pass.
     csum = jnp.cumsum(is_bl.astype(jnp.int32))
     group_counts = jnp.einsum(
-        "fg,f->g", onehot_g, is_bl.astype(jnp.float32), precision=hp
+        "fg,f->g", onehot_g16, is_bl.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
     group_offs = jnp.cumsum(group_counts) - group_counts
 
@@ -252,39 +260,51 @@ def correct_rows_jax(
     # order equals (group, rank) order because gid is non-decreasing), then
     # fill the [G, Bmax] cells with a dump-sized gather
     # cell(g, r) <- compacted[offs[g] + r], masked at r >= count[g].
+    # Residue-form baseline payload (the key size trick — see
+    # baseline_plane_verdicts for the algebra): a baseline's full 30-bit
+    # anchor CLK is never needed downstream, only its residue
+    # r_b = clk_b mod cycle (< cycle <= 2^16) and the 6-bit
+    # e_b = (bs_b - clk_b // cycle) mod mod_base.  Both fit 8-bit limbs,
+    # so the whole plane is bf16-exact and the selection matmul runs as a
+    # SINGLE bf16 MXU pass (f32 accumulate) instead of HIGHEST's 6-pass
+    # decomposition — at 3*bmax+1 columns instead of 3*bmax+2.
     bmax = max_baselines_per_group
     dump = max_groups * bmax
     f_n = valid.shape[0]
+    q_b = jnp.floor_divide(prev_clk, cfg.cycle)
+    bl_r = prev_clk - q_b * cfg.cycle
+    bl_e = jnp.mod(bs - q_b, cfg.mod_base)
     ordinal = jnp.where(is_bl, csum - 1, jnp.int32(1 << 30))
-    _, comp_clk, comp_bs = jax.lax.sort(
-        (ordinal, prev_clk, bs), num_keys=1)
+    _, comp_r, comp_e = jax.lax.sort(
+        (ordinal, bl_r, bl_e), num_keys=1)
     m = min(dump, f_n)
-    comp_clk = comp_clk[:m]
-    comp_bs = comp_bs[:m]
+    comp_r = comp_r[:m]
+    comp_e = comp_e[:m]
     cols = jnp.arange(bmax, dtype=jnp.int32)
     j_cell = jnp.clip(group_offs[:, None] + cols[None, :], 0, m - 1)
-    tbl_clk = comp_clk[j_cell]
-    tbl_bs = comp_bs[j_cell]
-    # Cells at c >= count[g] hold clipped junk (real clk/bs values from
+    tbl_r = comp_r[j_cell]
+    tbl_e = comp_e[j_cell]
+    # Cells at c >= count[g] hold clipped junk (real residue/e values from
     # other groups, so no overflow hazard); they are masked by the per-row
     # count comparison below, never by a stored valid plane.
 
-    # Row-local baseline planes [F, Bmax]: clk as two 15-bit limbs (30-bit
-    # counter), bs directly (6-bit, exact f32), plus the group's baseline
-    # count as two limbs — 2 matmul columns replacing a Bmax-wide valid
-    # plane (the validity test is c < count, computable per row).
+    # Row-local baseline planes [F, Bmax]: residue as two 8-bit limbs,
+    # e_b directly (6-bit), plus the group's baseline count (<= bmax <
+    # 2^8 scale still bf16-exact for any bmax <= 256) — 1 matmul column
+    # replacing a Bmax-wide valid plane (the validity test is c < count,
+    # computable per row).
     n_cap = jnp.minimum(group_counts, bmax)
     packed = jnp.concatenate(
         [
-            (tbl_clk >> 15).astype(jnp.float32),
-            (tbl_clk & 0x7FFF).astype(jnp.float32),
-            tbl_bs.astype(jnp.float32),
-            (n_cap >> 15)[:, None].astype(jnp.float32),
-            (n_cap & 0x7FFF)[:, None].astype(jnp.float32),
+            (tbl_r >> 8).astype(jnp.bfloat16),
+            (tbl_r & 0xFF).astype(jnp.bfloat16),
+            tbl_e.astype(jnp.bfloat16),
+            n_cap[:, None].astype(jnp.bfloat16),
         ],
         axis=1,
     )
-    sel = jnp.dot(onehot_g, packed, precision=hp)
+    sel = jnp.dot(onehot_g16, packed,
+                  preferred_element_type=jnp.float32)
     has, k_best, bs_best = baseline_plane_verdicts(
         sel, clk, bmax=bmax, cycle=cfg.cycle, tol=cfg.tol)
     cand = jnp.mod(bs_best + k_best, cfg.mod_base)
@@ -301,10 +321,27 @@ def correct_rows_jax(
 def baseline_plane_verdicts(sel, clk, *, bmax: int, cycle: int, tol: int):
     """Per-row best-baseline verdicts from the one-hot-selected planes.
 
-    ``sel`` [F, >=3*bmax+2] f32 is the exact one-hot selection of the
-    packed baseline table (cols [0:B) clk_hi15, [B:2B) clk_lo15, [2B:3B)
-    bs, col 3B n_hi15, col 3B+1 n_lo15); returns (has [F] bool,
-    k_best [F] i32, bs_best [F] i32).
+    ``sel`` [F, >=3*bmax+1] f32 is the exact one-hot selection of the
+    RESIDUE-form baseline table (cols [0:B) r_hi8, [B:2B) r_lo8, [2B:3B)
+    e, col 3B n, where r_b = clk_b mod cycle and
+    e_b = (bs_b - clk_b // cycle) mod mod_base); returns (has [F] bool,
+    k_best [F] i32, bs_best [F] i32) with the invariant that the caller's
+    ``(bs_best + k_best) mod mod_base`` equals the reference's corrected
+    beam.
+
+    The residue algebra (why the 30-bit anchor CLK never needs to reach
+    this function): write clk = Q_f*cycle + r_f and clk_b = Q_b*cycle +
+    r_b.  The reference's k = floor((d + cycle//2)/cycle) with
+    d = clk - clk_b splits as k = (Q_f - Q_b) + k_frac where
+    k_frac = floor((r_f - r_b + cycle//2)/cycle) in {-1, 0, +1} (since
+    |r_f - r_b| < cycle), and the residual d - k*cycle equals
+    (r_f - r_b) - k_frac*cycle exactly (floor-div distributes over adding
+    multiples of cycle).  The corrected beam
+    (bs_b + k) mod M = (e_b + Q_f + k_frac) mod M with
+    e_b = (bs_b - Q_b) mod M.  So this function returns
+    k_best = Q_f + k_frac_best and bs_best = e_best; acceptance and the
+    score tiebreak are computed from residues alone, bit-identical to the
+    full-CLK formulation (asserted against the host oracle in tests).
 
     SHARED by correct_rows_jax (the production XLA chain) and the fused
     Pallas kernel (ops/pallas_correct.py) so the two formulations can
@@ -316,24 +353,29 @@ def baseline_plane_verdicts(sel, clk, *, bmax: int, cycle: int, tol: int):
     import jax
     import jax.numpy as jnp
 
-    row_clk = ((sel[:, :bmax].astype(jnp.int32) << 15)
-               | sel[:, bmax:2 * bmax].astype(jnp.int32))
-    row_bs = sel[:, 2 * bmax:3 * bmax].astype(jnp.int32)
-    row_n = ((sel[:, 3 * bmax].astype(jnp.int32) << 15)
-             | sel[:, 3 * bmax + 1].astype(jnp.int32))
+    row_r = ((sel[:, :bmax].astype(jnp.int32) << 8)
+             | sel[:, bmax:2 * bmax].astype(jnp.int32))
+    row_e = sel[:, 2 * bmax:3 * bmax].astype(jnp.int32)
+    row_n = sel[:, 3 * bmax].astype(jnp.int32)
     # broadcasted_iota rather than arange: Mosaic requires >=2-D iota.
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, bmax), 1)
 
-    d = clk[:, None] - row_clk                                # [F, Bmax]
-    k = jnp.floor_divide(d + cycle // 2, cycle)
-    resid = jnp.abs(d - k * cycle)
+    q_f = jnp.floor_divide(clk, cycle)
+    r_f = clk - q_f * cycle
+    diff = r_f[:, None] - row_r                               # [F, Bmax]
+    # k_frac = floor((diff + cycle//2)/cycle) over diff in (-cycle, cycle)
+    # reduces to two compares (threshold ceil(cycle/2) upward, and
+    # -(cycle//2) strictly downward) — no plane-wide division.
+    k_frac = ((diff >= cycle - cycle // 2).astype(jnp.int32)
+              - (diff < -(cycle // 2)).astype(jnp.int32))
+    resid = jnp.abs(diff - k_frac * cycle)
     accept = (resid <= tol) & (cols < row_n[:, None])
     score = jnp.where(accept, resid * (bmax + 1) + cols, 2**30 + cols)
     best_score = jnp.min(score, axis=1)
     has = best_score < 2**30
     pick = score == best_score[:, None]
-    k_best = jnp.sum(jnp.where(pick, k, 0), axis=1)
-    bs_best = jnp.sum(jnp.where(pick, row_bs, 0), axis=1)
+    k_best = q_f + jnp.sum(jnp.where(pick, k_frac, 0), axis=1)
+    bs_best = jnp.sum(jnp.where(pick, row_e, 0), axis=1)
     return has, k_best, bs_best
 
 

@@ -11,23 +11,17 @@ acceptance / score planes live in registers/VMEM only, and just the
 per-row verdicts (has, k_best, bs_best) are written back — one byte-read
 of the inputs, no plane round trips.
 
-Numerics are IDENTICAL to the XLA formulation (same 15-bit-limb exact-f32
-selection at HIGHEST precision, same unique-score tiebreak); equality is
-asserted by tests in interpret mode and on the real chip (`-m tpu` lane).
+Numerics are IDENTICAL to the XLA formulation (same 8-bit-limb
+residue-form selection — one exact bf16 product per output, f32
+accumulate — same unique-score tiebreak); equality is asserted by tests
+in interpret mode and on the real chip (`-m tpu` lane).
 
-MEASURED (TPU v5e, F=98304, Bmax=96, xplane device plane, 2026-08-17):
-XLA chain 0.455 ms vs this kernel 1.03 ms (block_f 1024 and 2048 equal;
-4096 exceeds the 16 MB scoped-VMEM limit).  XLA's own fusion of the same
-chain wins ~2.2x — the in-kernel HIGHEST dot costs its 6 bf16 passes
-without XLA's cross-op scheduling — so, like the raster and DMA-decode
-kernels, this ships as a validated fused-VMEM pattern with honest
-numbers, NOT as the production default (the architecture rule:
-hand-schedule only what the compiler demonstrably does not).
-
-Packed-table layout (built by correct_rows_jax, padded to the kernel's
-lane width): cols [0:B) clk_hi15, [B:2B) clk_lo15, [2B:3B) bs,
-col 3B n_hi15, col 3B+1 n_lo15, rest zero.  Group axis padded to 128 so
-the one-hot contraction is a full-tile MXU op.
+Packed-table layout (residue form, built by correct_rows_jax, padded to
+the kernel's lane width): cols [0:B) r_hi8, [B:2B) r_lo8, [2B:3B) e,
+col 3B n, rest zero, where r_b = clk_b mod cycle and
+e_b = (bs_b - clk_b // cycle) mod 64 (see
+ops/correct.baseline_plane_verdicts for the algebra).  Group axis padded
+to 128 so the one-hot contraction is a full-tile MXU op.
 
 Reference semantics: bs_beam_correction.py:64-76 (min |d - k*61000| over
 the group's baselines, <=500 tolerance, first-baseline tiebreak).
@@ -56,9 +50,12 @@ def _kernel(gid_ref, clk_ref, tbl_ref, has_ref, kbest_ref, bsbest_ref, *,
 
     # broadcasted_iota: Mosaic requires >=2-D iota on TPU.
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, G_PAD), 1)
-    onehot = (gid[:, None] == g_iota).astype(jnp.float32)  # [B_F, G_PAD]
-    sel = jax.lax.dot(onehot, tbl,
-                      precision=jax.lax.Precision.HIGHEST)  # [B_F, W]
+    onehot = (gid[:, None] == g_iota).astype(jnp.bfloat16)  # [B_F, G_PAD]
+    # Residue-form table values all fit 8 bits, so a SINGLE bf16 MXU pass
+    # with f32 accumulation is exact (one product per output element) —
+    # no HIGHEST 6-pass decomposition (the round-3 kernel's loss cause).
+    sel = jax.lax.dot(onehot, tbl.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)   # [B_F, W]
 
     # The SAME traced ops as the production XLA chain (shared helper in
     # ops/correct.py): the two formulations cannot drift.
@@ -89,7 +86,7 @@ def correct_planes_pallas(gid, clk, packed, *, bmax: int, cycle: int,
     """Per-row best-baseline verdicts, fused in VMEM.
 
     gid/clk: [F] i32 (F padded to a ``block_f`` multiple by the caller);
-    packed: [G_PAD, W] f32 table (W a 128-multiple >= 3*bmax+2).
+    packed: [G_PAD, W] f32 table (W a 128-multiple >= 3*bmax+1).
     Returns (has [F] bool, k_best [F] i32, bs_best [F] i32).
     (``block_f`` is exposed for tests: interpret mode traces the kernel
     body at full unroll, which is slow at the production block size.)

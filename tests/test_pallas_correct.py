@@ -17,17 +17,24 @@ BLOCK = 256   # interpret mode traces the kernel at full unroll — keep small
 
 
 def _pack(tbl_clk, tbl_bs, n_cap):
-    w = ((3 * BMAX + 2 + 127) // 128) * 128
+    """Residue-form table (ops/pallas_correct.py layout): r = clk mod
+    CYCLE as two 8-bit limbs, e = (bs - clk//CYCLE) mod 64, count."""
+    r = tbl_clk % CYCLE
+    e = (tbl_bs - tbl_clk // CYCLE) % 64
+    w = ((3 * BMAX + 1 + 127) // 128) * 128
     packed = np.zeros((G_PAD, w), np.float32)
-    packed[:, :BMAX] = tbl_clk >> 15
-    packed[:, BMAX:2 * BMAX] = tbl_clk & 0x7FFF
-    packed[:, 2 * BMAX:3 * BMAX] = tbl_bs
-    packed[:, 3 * BMAX] = n_cap >> 15
-    packed[:, 3 * BMAX + 1] = n_cap & 0x7FFF
+    packed[:, :BMAX] = r >> 8
+    packed[:, BMAX:2 * BMAX] = r & 0xFF
+    packed[:, 2 * BMAX:3 * BMAX] = e
+    packed[:, 3 * BMAX] = n_cap
     return packed
 
 
 def _oracle(gid, clk, tbl_clk, tbl_bs, n_cap):
+    """Full-CLK reference semantics; returns the kernel's residue-form
+    invariants (has, q_f + k_frac, e) so that
+    (bs_best + k_best) mod 64 == reference (bs_b + k) mod 64 —
+    the identity tested end-to-end in test_correct.py."""
     rc = tbl_clk[gid].astype(np.int64)
     rbs = tbl_bs[gid]
     rn = n_cap[gid]
@@ -39,8 +46,12 @@ def _oracle(gid, clk, tbl_clk, tbl_bs, n_cap):
     score = np.where(accept, resid * (BMAX + 1) + cols, 2**30 + cols)
     best = score.min(axis=1)
     pick = score == best[:, None]
-    return (best < 2**30, np.where(pick, k, 0).sum(axis=1),
-            np.where(pick, rbs, 0).sum(axis=1))
+    q_b = tbl_clk[gid].astype(np.int64) // CYCLE
+    k_frac = k - (clk.astype(np.int64)[:, None] // CYCLE) + q_b
+    e = (rbs - q_b) % 64
+    return (best < 2**30,
+            clk.astype(np.int64) // CYCLE + np.where(pick, k_frac, 0).sum(axis=1),
+            np.where(pick, e, 0).sum(axis=1))
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
