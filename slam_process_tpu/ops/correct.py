@@ -253,13 +253,17 @@ def correct_rows_jax(
         "fg,f->g", onehot_g16, is_bl.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
-    group_offs = jnp.cumsum(group_counts) - group_counts
 
-    # Baseline table WITHOUT the [F]-update scatter (~36 ns/element):
-    # compact the baseline rows by one [F] sort on their ordinal (stream
-    # order equals (group, rank) order because gid is non-decreasing), then
-    # fill the [G, Bmax] cells with a dump-sized gather
-    # cell(g, r) <- compacted[offs[g] + r], masked at r >= count[g].
+    # Baseline table WITHOUT sort or scatter: each baseline row knows its
+    # destination cell (gid, rank) directly — rank from one keep-last
+    # associative scan (csum at the group's boundary row counts the
+    # baselines BEFORE the group, since a boundary row is never itself a
+    # baseline), so the [G, Bmax] table is a two-one-hot MXU contraction
+    # tbl[g, r] = sum_f 1[gid=g] 1[rank=r] payload[f].  Each cell receives
+    # exactly one nonzero product of exact 8-bit values -> bf16-exact with
+    # f32 accumulation.  (The previous formulation compacted via a 3-array
+    # [F] lax.sort + a dump-sized gather — the sort alone was the largest
+    # single op in the whole-dataset profile at ~0.8 ms.)
     # Residue-form baseline payload (the key size trick — see
     # baseline_plane_verdicts for the algebra): a baseline's full 30-bit
     # anchor CLK is never needed downstream, only its residue
@@ -269,23 +273,26 @@ def correct_rows_jax(
     # SINGLE bf16 MXU pass (f32 accumulate) instead of HIGHEST's 6-pass
     # decomposition — at 3*bmax+1 columns instead of 3*bmax+2.
     bmax = max_baselines_per_group
-    dump = max_groups * bmax
-    f_n = valid.shape[0]
     q_b = jnp.floor_divide(prev_clk, cfg.cycle)
     bl_r = prev_clk - q_b * cfg.cycle
     bl_e = jnp.mod(bs - q_b, cfg.mod_base)
-    ordinal = jnp.where(is_bl, csum - 1, jnp.int32(1 << 30))
-    _, comp_r, comp_e = jax.lax.sort(
-        (ordinal, bl_r, bl_e), num_keys=1)
-    m = min(dump, f_n)
-    comp_r = comp_r[:m]
-    comp_e = comp_e[:m]
-    cols = jnp.arange(bmax, dtype=jnp.int32)
-    j_cell = jnp.clip(group_offs[:, None] + cols[None, :], 0, m - 1)
-    tbl_r = comp_r[j_cell]
-    tbl_e = comp_e[j_cell]
-    # Cells at c >= count[g] hold clipped junk (real residue/e values from
-    # other groups, so no overflow hazard); they are masked by the per-row
+    anchor = jnp.where(boundary, csum, -1)
+    last_anchor = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a), anchor)
+    rank = jnp.where(is_bl, csum - 1 - last_anchor, -1)
+    onehot_r16 = (rank[:, None] == jnp.arange(bmax)[None, :]
+                  ).astype(jnp.bfloat16)
+    payload = jnp.concatenate(
+        [
+            onehot_r16 * (bl_r >> 8).astype(jnp.bfloat16)[:, None],
+            onehot_r16 * (bl_r & 0xFF).astype(jnp.bfloat16)[:, None],
+            onehot_r16 * bl_e.astype(jnp.bfloat16)[:, None],
+        ],
+        axis=1,
+    )                                                       # [F, 3*Bmax]
+    tbl = jnp.dot(onehot_g16.T, payload,
+                  preferred_element_type=jnp.float32)       # [G, 3*Bmax]
+    # Cells at c >= count[g] hold zeros; they are masked by the per-row
     # count comparison below, never by a stored valid plane.
 
     # Row-local baseline planes [F, Bmax]: residue as two 8-bit limbs,
@@ -295,12 +302,7 @@ def correct_rows_jax(
     # computable per row).
     n_cap = jnp.minimum(group_counts, bmax)
     packed = jnp.concatenate(
-        [
-            (tbl_r >> 8).astype(jnp.bfloat16),
-            (tbl_r & 0xFF).astype(jnp.bfloat16),
-            tbl_e.astype(jnp.bfloat16),
-            n_cap[:, None].astype(jnp.bfloat16),
-        ],
+        [tbl.astype(jnp.bfloat16), n_cap[:, None].astype(jnp.bfloat16)],
         axis=1,
     )
     sel = jnp.dot(onehot_g16, packed,
@@ -347,11 +349,18 @@ def baseline_plane_verdicts(sel, clk, *, bmax: int, cycle: int, tol: int):
     Pallas kernel (ops/pallas_correct.py) so the two formulations can
     never drift: identical jnp ops trace in both contexts.  The score's
     column-index tiebreak makes the min unique (matching the host
-    oracle's first-min selection), so every "best" field selects with a
-    compare+sum — no gather.
+    oracle's first-min selection), and the winner's payload rides along
+    in the low 10 bits of ONE packed-i32 min-reduce — no second pick
+    pass or masked sums over the plane.  (Rows with ``has == False``
+    return unspecified k_best/bs_best; every caller gates on ``has``.)
     """
     import jax
     import jax.numpy as jnp
+
+    # Packed-verdict range proof: score <= tol*(bmax+1)+bmax-1, payload
+    # < 1024 (k_frac+1 in {0,1,2} in bits 8..9, e_b 8 bits), sentinel
+    # 2^30 strictly above every accepted packed value.
+    assert (tol * (bmax + 1) + bmax) * 1024 + 1023 < (1 << 30), (tol, bmax)
 
     row_r = ((sel[:, :bmax].astype(jnp.int32) << 8)
              | sel[:, bmax:2 * bmax].astype(jnp.int32))
@@ -370,12 +379,15 @@ def baseline_plane_verdicts(sel, clk, *, bmax: int, cycle: int, tol: int):
               - (diff < -(cycle // 2)).astype(jnp.int32))
     resid = jnp.abs(diff - k_frac * cycle)
     accept = (resid <= tol) & (cols < row_n[:, None])
-    score = jnp.where(accept, resid * (bmax + 1) + cols, 2**30 + cols)
-    best_score = jnp.min(score, axis=1)
-    has = best_score < 2**30
-    pick = score == best_score[:, None]
-    k_best = q_f + jnp.sum(jnp.where(pick, k_frac, 0), axis=1)
-    bs_best = jnp.sum(jnp.where(pick, row_e, 0), axis=1)
+    packed = jnp.where(
+        accept,
+        ((resid * (bmax + 1) + cols) << 10) | ((k_frac + 1) << 8) | row_e,
+        jnp.int32(1 << 30),
+    )
+    best = jnp.min(packed, axis=1)
+    has = best < (1 << 30)
+    k_best = q_f + ((best >> 8) & 3) - 1
+    bs_best = best & 0xFF
     return has, k_best, bs_best
 
 

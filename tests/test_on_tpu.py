@@ -238,8 +238,8 @@ def test_pallas_correct_planes_on_chip():
         bmax=BMAX, cycle=CYCLE, tol=TOL, interpret=False))
     ref_has, ref_k, ref_bs = _oracle(gid, clk, tbl_clk, tbl_bs, n_cap)
     np.testing.assert_array_equal(has, ref_has)
-    np.testing.assert_array_equal(kb, ref_k)
-    np.testing.assert_array_equal(bb, ref_bs)
+    np.testing.assert_array_equal(np.where(ref_has, kb, 0), ref_k)
+    np.testing.assert_array_equal(np.where(ref_has, bb, 0), ref_bs)
 
 
 def test_device_tokenize_on_chip(small_log_bytes):

@@ -49,9 +49,13 @@ def _oracle(gid, clk, tbl_clk, tbl_bs, n_cap):
     q_b = tbl_clk[gid].astype(np.int64) // CYCLE
     k_frac = k - (clk.astype(np.int64)[:, None] // CYCLE) + q_b
     e = (rbs - q_b) % 64
-    return (best < 2**30,
-            clk.astype(np.int64) // CYCLE + np.where(pick, k_frac, 0).sum(axis=1),
-            np.where(pick, e, 0).sum(axis=1))
+    has = best < 2**30
+    # k_best/bs_best are unspecified where has == False (every consumer
+    # gates on has) — mask them so comparisons cover only the contract.
+    return (has,
+            np.where(has, clk.astype(np.int64) // CYCLE
+                     + np.where(pick, k_frac, 0).sum(axis=1), 0),
+            np.where(has, np.where(pick, e, 0).sum(axis=1), 0))
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -79,7 +83,7 @@ def test_interpret_matches_oracle(seed):
         bmax=BMAX, cycle=CYCLE, tol=TOL, interpret=True, block_f=BLOCK)
     ref_has, ref_k, ref_bs = _oracle(gid, clk, tbl_clk, tbl_bs, n_cap)
     np.testing.assert_array_equal(np.asarray(has), ref_has)
-    np.testing.assert_array_equal(np.asarray(kb), ref_k)
-    np.testing.assert_array_equal(np.asarray(bb), ref_bs)
+    np.testing.assert_array_equal(np.where(ref_has, np.asarray(kb), 0), ref_k)
+    np.testing.assert_array_equal(np.where(ref_has, np.asarray(bb), 0), ref_bs)
     assert ref_has.any() and not ref_has.all()
     assert ref_has[3], "the planted exact-TOL baseline must be accepted"
