@@ -182,21 +182,48 @@ def intensity_per_sweep_sums_jax(
     valid,                    # jnp [F] bool
     max_sweeps: int,
     cfg: SceneConfig = _DEFAULT,
+    engine: str = "auto",
 ):
     """Per-sweep (sums, counts) accumulators [S, U, B] (both f32).
 
     The raw-accumulator form of :func:`intensity_per_sweep_jax`; the
     streaming path needs sums so a sweep spanning chunk boundaries can
     fold its partials before the mean is taken.
+
+    ``engine``: "scan" = the XLA lax.scan formulation; "pallas" = the
+    fused VMEM one-hot kernel (ops/pallas_sweep_sums.py — requires
+    integer RSS, i.e. ``log_transform=False``); "auto" picks the kernel
+    on the TPU backend when RSS is integral.  Both produce bit-identical
+    exact integer (sums, counts).
     """
+    import jax
     import jax.numpy as jnp
 
     keep = valid & (ue >= 0) & (ue < cfg.n_beams) & (bs >= 0) & (bs < cfg.n_beams)
     val = rss.astype(jnp.float32)
+    if engine == "auto":
+        engine = ("pallas" if not cfg.log_transform
+                  and jax.default_backend() == "tpu" else "scan")
+    if engine == "pallas":
+        assert not cfg.log_transform, "pallas sweep sums needs integer RSS"
+        from slam_process_tpu.ops.pallas_sweep_sums import (
+            BLOCK_F,
+            sweep_sums_pallas,
+        )
+
+        in_range = (gid >= 0) & (gid < max_sweeps)
+        p = jnp.where(keep & in_range,
+                      gid * cfg.n_beams + ue, jnp.int32(-1))
+        f = ue.shape[0]
+        f_pad = ((f + BLOCK_F - 1) // BLOCK_F) * BLOCK_F
+        p = jnp.pad(p, (0, f_pad - f), constant_values=-1)
+        bs_p = jnp.pad(bs.astype(jnp.int32), (0, f_pad - f))
+        val_p = jnp.pad(val.astype(jnp.int32), (0, f_pad - f))
+        return sweep_sums_pallas(p, bs_p, val_p, max_sweeps=max_sweeps,
+                                 n_beams=cfg.n_beams)
     if cfg.log_transform:
         keep = keep & (val > 0)
         val = jnp.log(jnp.maximum(val, 1e-30))
-    import jax
 
     kf = keep.astype(jnp.float32)
     oh_u = (ue[:, None] == jnp.arange(cfg.n_beams)[None, :]).astype(jnp.float32)

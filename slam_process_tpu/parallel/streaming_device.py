@@ -271,20 +271,6 @@ def _paths_substep(
     m = jnp.sum(bnd.astype(jnp.int32))              # sweeps closed by boundary
     last_ue_new = jnp.where(s_v[-1], s_ue[-1], p.last_kept_ue)
 
-    def cheap_branch(p):
-        # Nothing closes: fold this step's kept rows into the open sweep.
-        d_sums, d_counts = intensity_sums_jax(
-            ue, corrected, rss_f, keep, None, SceneConfig())
-        first = jnp.min(jnp.where(keep, rows, t))
-        clk_pad = jnp.concatenate([clk, -jnp.ones((1,), jnp.int32)])
-        t0 = jnp.where(p.open_time >= 0, p.open_time, clk_pad[first])
-        return p._replace(
-            open_sums=p.open_sums + d_sums,
-            open_counts=p.open_counts + d_counts,
-            open_time=t0,
-            last_kept_ue=last_ue_new,
-        )
-
     def full_branch(p):
         use = keep & (ls < s1)
         sums, counts = intensity_per_sweep_sums_jax(
@@ -293,7 +279,10 @@ def _paths_substep(
         counts = counts.at[0].add(p.open_counts)
 
         # First kept row's CLK per local sweep; sweep 0 inherits the open
-        # sweep's anchor when one exists.
+        # sweep's anchor when one exists.  (The [s1, t] membership plane
+        # + row-min fuses to <3 ms over the dataset; a nonzero-based
+        # boundary gather was measured 6x slower — TPU nonzero lowers to
+        # a cumsum/scatter chain.)
         in_s = use[None, :] & (ls[None, :] == jnp.arange(s1)[:, None])
         first = jnp.min(jnp.where(in_s, rows[None, :], t), axis=1)
         clk_pad = jnp.concatenate([clk, -jnp.ones((1,), jnp.int32)])
@@ -311,8 +300,18 @@ def _paths_substep(
         else:
             m_eff = m
 
-        # Estimator on the whole [s1] block (same program body as the
-        # offline path; lanes >= m_eff are computed and discarded).
+        # Estimator in 8-lane blocks under a while_loop: closed sweeps
+        # sit contiguously at lanes [0, m_eff), so running ceil(m_eff/8)
+        # blocks skips the (s1 - m_eff) wasted lanes the whole-[s1]
+        # batch paid for (the [s1, G, G] correlation/residual fusions
+        # and the batched NNLS loops were ~100 ms of the 173 ms
+        # collect_paths dataset profile at the default s_step=64 with
+        # ~15 sweeps closing per step).  The last block clamps its start
+        # so overlapped lanes recompute identically (vmap lanes are
+        # independent — the offline path already proves lane results are
+        # batch-size invariant via its bucketed shapes); every ring row
+        # is written at its true offset either way, and rows beyond the
+        # final n_closed are never read.
         mean = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0),
                          jnp.nan)
         sub = jnp.take(mean, jnp.asarray(spec.ue_ids), axis=1,
@@ -320,36 +319,86 @@ def _paths_substep(
         sub = jnp.take(sub, jnp.asarray(spec.bs_ids), axis=2,
                        mode="fill", fill_value=jnp.nan)
         run_all = sweep_estimator_body(spec.est_key)
-        with jax.default_matmul_precision("highest"):
-            est, sweep_valid = run_all(sub.astype(jnp.float32), *dict_args)
-
-        # Tracker: advance the carry over exactly the closed sweeps (an
-        # all-invalid sweep is a carry no-op, so the padded lanes are
-        # harmless) — identical op order to the offline scan.
-        power = est.power if hasattr(est, "power") else est.metric
-        closed_lane = jnp.arange(s1) < m_eff
-        trk_valid = (jnp.asarray(est.valid, bool)
-                     & sweep_valid[:, None] & closed_lane[:, None])
-        step_fn = make_track_sweep_step(
-            trk_valid.shape[1], spec.max_tracks, spec.gate_deg)
-        carry0 = (p.trk_pos, p.trk_created, p.trk_count)
-        (pos, created, count), ys = jax.lax.scan(
-            step_fn, carry0,
-            (jnp.asarray(est.aoa, jnp.float32),
-             jnp.asarray(est.aod, jnp.float32),
-             jnp.asarray(power, jnp.float32), trk_valid))
-        y_aoa, y_aod, y_pow, y_obs = ys
-
-        # Ring writes: one s1-row block each at offset n_closed (one
-        # block of slack is allocated; junk lanes beyond m_eff are
-        # overwritten by later blocks — the emit-ring pattern).
+        blk = min(8, s1)
+        m_eff_c = jnp.minimum(m_eff, s1)
         off = p.n_closed
+        k_n = p.est_rings.valid.shape[1]
+        zeros_l = (jnp.zeros((s1, k_n), jnp.float32),
+                   jnp.zeros((s1, k_n), jnp.float32),
+                   jnp.zeros((s1, k_n), jnp.float32),
+                   jnp.zeros((s1, k_n), bool))
 
+        def est_body(st):
+            i, ests, vring, aoa_l, aod_l, pow_l, val_l = st
+            start = jnp.minimum(i, s1 - blk)
+            sub_blk = jax.lax.dynamic_slice_in_dim(sub, start, blk, 0)
+            with jax.default_matmul_precision("highest"):
+                eb, sv = run_all(sub_blk.astype(jnp.float32), *dict_args)
+            j = off + start
+
+            def wr(ring, b):
+                idx = (j,) + (jnp.int32(0),) * (b.ndim - 1)
+                return jax.lax.dynamic_update_slice(ring, b, idx)
+
+            ests = jax.tree.map(wr, ests, eb)
+            vring = jax.lax.dynamic_update_slice(vring, sv, (j,))
+            pw = eb.power if hasattr(eb, "power") else eb.metric
+            vb = jnp.asarray(eb.valid, bool) & sv[:, None]
+            upd = jax.lax.dynamic_update_slice_in_dim
+            aoa_l = upd(aoa_l, jnp.asarray(eb.aoa, jnp.float32), start, 0)
+            aod_l = upd(aod_l, jnp.asarray(eb.aod, jnp.float32), start, 0)
+            pow_l = upd(pow_l, jnp.asarray(pw, jnp.float32), start, 0)
+            val_l = upd(val_l, vb, start, 0)
+            return i + blk, ests, vring, aoa_l, aod_l, pow_l, val_l
+
+        (_, est_rings, valid_ring, aoa_l, aod_l, pow_l,
+         val_l) = jax.lax.while_loop(
+            lambda st: st[0] < m_eff_c, est_body,
+            (jnp.int32(0), p.est_rings, p.valid_ring) + zeros_l)
+
+        # Tracker: advance the carry over exactly the closed sweeps —
+        # identical step ops in identical order to the offline scan, but
+        # bounded by m_eff with a while_loop instead of scanning all s1
+        # lanes (lanes >= m_eff are provably carry no-ops — all-invalid
+        # inputs can never pass gating or create tracks — yet each
+        # skipped lane saves the step's ~30 serialized small ops, which
+        # the collect_paths profile measured as a dominant cost at the
+        # default s_step=64 with ~15 sweeps closing per chunk).  The
+        # per-lane track outputs write straight into the rings at
+        # n_closed + i; lanes never executed leave stale ring rows
+        # beyond the final n_closed, which no consumer reads.
+        closed_lane = jnp.arange(s1) < m_eff
+        trk_valid = val_l & closed_lane[:, None]
+        step_fn = make_track_sweep_step(
+            k_n, spec.max_tracks, spec.gate_deg)
+        xs = (aoa_l, aod_l, pow_l, trk_valid)
+
+        def trk_body(st):
+            i, pos, created, count, r_aoa, r_aod, r_pow, r_obs = st
+            inp = tuple(
+                jax.lax.dynamic_index_in_dim(x, i, 0, False) for x in xs)
+            (pos, created, count), (ya, yd, yp, yo) = step_fn(
+                (pos, created, count), inp)
+            j = jnp.minimum(off + i, r_aoa.shape[0] - 1)
+            r_aoa = jax.lax.dynamic_update_index_in_dim(r_aoa, ya, j, 0)
+            r_aod = jax.lax.dynamic_update_index_in_dim(r_aod, yd, j, 0)
+            r_pow = jax.lax.dynamic_update_index_in_dim(r_pow, yp, j, 0)
+            r_obs = jax.lax.dynamic_update_index_in_dim(r_obs, yo, j, 0)
+            return i + 1, pos, created, count, r_aoa, r_aod, r_pow, r_obs
+
+        (_, pos, created, count, trk_aoa, trk_aod, trk_pow,
+         trk_obs) = jax.lax.while_loop(
+            lambda st: st[0] < m_eff_c, trk_body,
+            (jnp.int32(0), p.trk_pos, p.trk_created, p.trk_count,
+             p.trk_aoa, p.trk_aod, p.trk_pow, p.trk_obs))
+
+        # time_ring still writes one s1-row block at offset n_closed
+        # (one block of slack is allocated; junk lanes beyond m_eff are
+        # overwritten by later blocks — the emit-ring pattern).
         def write(ring, block):
             idx = (off,) + (jnp.int32(0),) * (block.ndim - 1)
             return jax.lax.dynamic_update_slice(ring, block, idx)
 
-        est_rings = jax.tree.map(write, p.est_rings, est)
         overflow = (p.overflow | (m_eff > spec.s_step)
                     | (p.n_closed + m_eff > spec.capacity))
 
@@ -372,19 +421,23 @@ def _paths_substep(
                                  jnp.int32(spec.capacity)),
             overflow=overflow,
             est_rings=est_rings,
-            valid_ring=write(p.valid_ring, sweep_valid),
+            valid_ring=valid_ring,
             time_ring=write(p.time_ring, times),
             trk_pos=pos, trk_created=created, trk_count=count,
-            trk_aoa=write(p.trk_aoa, y_aoa),
-            trk_aod=write(p.trk_aod, y_aod),
-            trk_pow=write(p.trk_pow, y_pow),
-            trk_obs=write(p.trk_obs, y_obs),
+            trk_aoa=trk_aoa, trk_aod=trk_aod,
+            trk_pow=trk_pow, trk_obs=trk_obs,
         )
 
     assert palloc >= spec.capacity + s1, (palloc, spec.capacity, s1)
-    if close_all:
-        return full_branch(p)
-    return jax.lax.cond(m > 0, full_branch, cheap_branch, p)
+    # No cheap/full conditional: with the estimator and tracker loops
+    # bounded by m_eff, a step that closes nothing costs one per-sweep
+    # sums pass and zero loop iterations, and its state update is
+    # provably identical to the former fold-into-open-sweep branch
+    # (sums[0] accumulates the open sweep either way; both formulations
+    # are exact integer sums).  The lax.cond wrapper itself measured
+    # ~2.4 ms/step of dispatch/copy overhead in the collect_paths
+    # profile — more than the work it could ever skip.
+    return full_branch(p)
 
 
 def _step_body(

@@ -308,3 +308,37 @@ def test_streaming_online_paths_on_chip(small_log_bytes):
                                   np.asarray(op.valid))
     np.testing.assert_array_equal(tracks.observed, otr.observed)
     np.testing.assert_array_equal(times, ott)
+
+
+def test_pallas_sweep_sums_on_chip(decoded):
+    """Round-4 sentinel: the Pallas per-sweep sums kernel (non-interpret,
+    the production engine on TPU) == the XLA scan formulation, bit-exact,
+    on real corrected session rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.config import SceneConfig
+    from slam_process_tpu.ops.correct import detect_groups_np
+    from slam_process_tpu.ops.scene import intensity_per_sweep_sums_jax
+
+    dec, res = decoded
+    filt = res.filtered                      # [K, 4] (ue, bs, rss, clk)
+    gid = detect_groups_np(filt[:, 0])
+    s_max = int(gid[-1]) + 1
+    args = (jnp.asarray(filt[:, 0], jnp.int32),
+            jnp.asarray(filt[:, 1], jnp.int32),
+            jnp.asarray(filt[:, 2], jnp.float32),
+            jnp.asarray(gid, jnp.int32),
+            jnp.ones((len(filt),), bool))
+    import functools
+    scan_fn = jax.jit(functools.partial(
+        intensity_per_sweep_sums_jax, max_sweeps=s_max,
+        cfg=SceneConfig(), engine="scan"))
+    pallas_fn = jax.jit(functools.partial(
+        intensity_per_sweep_sums_jax, max_sweeps=s_max,
+        cfg=SceneConfig(), engine="pallas"))
+    s_ref, c_ref = jax.device_get(scan_fn(*args))
+    s_k, c_k = jax.device_get(pallas_fn(*args))
+    np.testing.assert_array_equal(s_k, s_ref)
+    np.testing.assert_array_equal(c_k, c_ref)
+    assert c_ref.sum() == len(filt)

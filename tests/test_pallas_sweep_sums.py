@@ -1,0 +1,76 @@
+"""Pallas per-sweep sums kernel == the XLA scan formulation, exactly.
+
+ops/pallas_sweep_sums.py must reproduce intensity_per_sweep_sums_jax's
+scan formulation bit-for-bit: RSS is an integer < 2^18 so both compute
+the exact integer (sums, counts) — any difference is a kernel bug.
+Interpret mode runs here (CPU lane); the real-chip run lives in
+tests/test_on_tpu.py.
+"""
+
+import numpy as np
+import pytest
+
+from slam_process_tpu.config import SceneConfig
+from slam_process_tpu.ops.pallas_sweep_sums import sweep_sums_pallas
+
+
+def _scan_ref(ue, bs, rss, gid, valid, max_sweeps):
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.scene import intensity_per_sweep_sums_jax
+
+    return intensity_per_sweep_sums_jax(
+        jnp.asarray(ue), jnp.asarray(bs), jnp.asarray(rss, jnp.float32),
+        jnp.asarray(gid), jnp.asarray(valid), max_sweeps=max_sweeps,
+        cfg=SceneConfig(), engine="scan")
+
+
+@pytest.mark.parametrize("seed,max_sweeps", [(0, 8), (1, 24), (2, 65)])
+def test_interpret_matches_scan(seed, max_sweeps):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    f = 1024
+    ue = rng.integers(-1, 66, f).astype(np.int32)       # incl. out-of-range
+    bs = rng.integers(0, 64, f).astype(np.int32)
+    rss = rng.integers(0, 1 << 18, f).astype(np.int32)
+    gid = np.sort(rng.integers(-1, max_sweeps + 2, f)).astype(np.int32)
+    valid = rng.random(f) < 0.8
+
+    sums_ref, counts_ref = _scan_ref(ue, bs, rss, gid, valid, max_sweeps)
+
+    keep = (valid & (ue >= 0) & (ue < 64) & (bs >= 0) & (bs < 64)
+            & (gid >= 0) & (gid < max_sweeps))
+    p = np.where(keep, gid * 64 + ue, -1).astype(np.int32)
+    sums, counts = sweep_sums_pallas(
+        jnp.asarray(p), jnp.asarray(bs), jnp.asarray(rss),
+        max_sweeps=max_sweeps, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sums), np.asarray(sums_ref))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts_ref))
+    assert float(np.asarray(counts).sum()) == float(keep.sum())
+
+
+def test_engine_dispatch_interpret_equivalence():
+    """engine='pallas' through intensity_per_sweep_sums_jax (interpret off
+    is TPU-only, so drive the kernel path via the public wrapper on tiny
+    shapes in interpret mode by calling the kernel directly above; here
+    check the engine='scan' wrapper matches the host literal loop)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    f, s = 512, 6
+    ue = rng.integers(0, 64, f).astype(np.int32)
+    bs = rng.integers(0, 64, f).astype(np.int32)
+    rss = rng.integers(0, 1 << 18, f).astype(np.int32)
+    gid = np.sort(rng.integers(0, s, f)).astype(np.int32)
+    valid = rng.random(f) < 0.9
+
+    sums, counts = _scan_ref(ue, bs, rss, gid, valid, s)
+    ref_s = np.zeros((s, 64, 64))
+    ref_c = np.zeros((s, 64, 64))
+    for i in range(f):
+        if valid[i]:
+            ref_s[gid[i], ue[i], bs[i]] += rss[i]
+            ref_c[gid[i], ue[i], bs[i]] += 1
+    np.testing.assert_array_equal(np.asarray(sums), ref_s)
+    np.testing.assert_array_equal(np.asarray(counts), ref_c)
