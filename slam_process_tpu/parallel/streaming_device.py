@@ -454,6 +454,7 @@ def _step_body(
     decoder: str,
     emit_capacity: int,
     paths_spec: Optional[StreamPathsSpec] = None,
+    compact_engine: str = "auto",
 ):
     import jax
     import jax.numpy as jnp
@@ -528,13 +529,37 @@ def _step_body(
     )
 
     # New carry: the open group's valid rows in [closed, t), compacted into
-    # the dense [gcap] buffer — the ONE gather left in the step, bounded by
-    # gcap rows (not the chunk's frame capacity).
+    # the dense [gcap] buffer.
     open_mask = valid & (rows >= closed)
     n_carry = jnp.sum(open_mask.astype(jnp.int32))
-    src = jnp.nonzero(open_mask, size=gcap, fill_value=t)[0]
-    combined_pad = jnp.concatenate([combined, jnp.zeros((1, 5), jnp.int32)])
-    new_carry = combined_pad[src]
+    # "auto" currently resolves to the XLA formulation everywhere: the
+    # Pallas kernel is interpret-validated (bit-exact) but has not yet
+    # compiled on a real chip (the relay was down when it landed) — flip
+    # auto->pallas-on-tpu once tests/test_on_tpu.py::test_pallas_compact
+    # _on_chip is green and the win is measured.
+    use_pallas_compact = compact_engine == "pallas"
+    if use_pallas_compact:
+        # Pallas one-pass compaction (triangular-rank + block-local
+        # one-hot MXU writes): the nonzero+row-gather formulation below
+        # measured ~0.7 ms per 1 MiB step (~18 ms/dataset in every
+        # streaming mode) — TPU nonzero lowers to a cumsum/scatter
+        # chain.  Bit-exact (integer one-hot limbs).
+        from slam_process_tpu.ops.pallas_compact import (
+            BLOCK_F as _CBLK,
+            compact_rows_pallas,
+        )
+
+        t_pad = ((t + _CBLK - 1) // _CBLK) * _CBLK
+        new_carry = compact_rows_pallas(
+            jnp.pad(combined, ((0, t_pad - t), (0, 0))),
+            jnp.pad(open_mask, (0, t_pad - t)), capacity=gcap)
+    else:
+        # XLA fallback (CPU tests, vmapped multi-stream): nonzero + one
+        # gather bounded by gcap rows.
+        src = jnp.nonzero(open_mask, size=gcap, fill_value=t)[0]
+        combined_pad = jnp.concatenate(
+            [combined, jnp.zeros((1, 5), jnp.int32)])
+        new_carry = combined_pad[src]
 
     if emit_capacity:
         emit_buf, emit_count, ring_overflow = _emit_kept_rows(
@@ -1077,6 +1102,9 @@ def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder):
         _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
         max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
         emit_capacity=0, paths_spec=None,
+        # XLA compaction under vmap: the Pallas carry kernel relies on a
+        # sequential grid + SMEM running count, which vmap would batch.
+        compact_engine="xla",
     )
     return jax.jit(jax.vmap(lambda st, ch, nb: body(st, ch, nb)),
                    donate_argnums=0)

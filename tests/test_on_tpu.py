@@ -342,3 +342,25 @@ def test_pallas_sweep_sums_on_chip(decoded):
     np.testing.assert_array_equal(s_k, s_ref)
     np.testing.assert_array_equal(c_k, c_ref)
     assert c_ref.sum() == len(filt)
+
+
+def test_pallas_compact_on_chip():
+    """Round-4 sentinel: the Pallas carry-compaction kernel
+    (non-interpret, the streaming step's production compaction on TPU)
+    == rows[mask][:capacity], bit-exact, at a production-like shape."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.pallas_compact import compact_rows_pallas
+
+    rng = np.random.default_rng(11)
+    f, cap = 100352, 4096
+    rows = rng.integers(0, 1 << 30, (f, 5)).astype(np.int32)
+    mask = np.zeros(f, bool)
+    mask[-6000:] = rng.random(6000) < 0.6       # open-sweep-like tail
+    out = np.asarray(compact_rows_pallas(
+        jnp.asarray(rows), jnp.asarray(mask), capacity=cap,
+        interpret=False))
+    ref = rows[mask][:cap]
+    ref_pad = np.zeros((cap, 5), np.int32)
+    ref_pad[:len(ref)] = ref
+    np.testing.assert_array_equal(out, ref_pad)
