@@ -129,9 +129,6 @@ def track_paths_jax(
     import jax
     import jax.numpy as jnp
 
-    import jax
-    import jax.numpy as jnp
-
     aoa = jnp.asarray(aoa, jnp.float32)
     aod = jnp.asarray(aod, jnp.float32)
     power = jnp.asarray(power, jnp.float32)

@@ -72,7 +72,13 @@ def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16,
             c32 = a12 * a31 - a11 * a32
             c33 = a11 * a22 - a12 * a21
             det = a11 * c11 + a12 * c21 + a13 * c31
-            inv_det = 1.0 / det
+            # Degenerate-Gram guard: near-collinear selected atoms can
+            # underflow det to 0 in f32, and 1/0 would launder inf/NaN
+            # through max_coeff and the keep rules.  Returning zeros
+            # instead makes the inner loop drop the offending atoms (the
+            # same outcome a pivoted solve's huge coefficients feed into
+            # the anti-cycling step, minus the NaNs).
+            inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
             return jnp.stack([
                 (c11 * bp[0] + c12 * bp[1] + c13 * bp[2]) * inv_det,
                 (c21 * bp[0] + c22 * bp[1] + c23 * bp[2]) * inv_det,

@@ -78,12 +78,19 @@ def _kernel(m_ref, f0_ref, f1_ref, f2_ref, f3_ref, f4_ref, out_ref,
          for f in fields for k in range(N_LIMBS)]
         + [jnp.zeros((r, 4), jnp.float32)], axis=1).astype(jnp.bfloat16)
 
-    base = base_ref[0]
+    # Clamp the store window so it stays inside the [capacity + R] output
+    # even when earlier blocks already produced >= capacity rows: a
+    # clamped block writes into [cap, cap + R), which the caller slices
+    # off (those rows' global ranks are >= capacity, so dropping them is
+    # the nonzero-formulation semantics; relying on Mosaic's
+    # out-of-bounds dynamic-store behavior instead would be undefined).
+    # The SMEM running count stays exact.
+    base = jnp.minimum(base_ref[0], out_ref.shape[0] - r)
     blk = jax.lax.dot_general(
         oh, limbs, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)       # [R, 24]
     out_ref[pl.ds(base, r), :] += blk
-    base_ref[0] = base + jnp.sum(m)
+    base_ref[0] = base_ref[0] + jnp.sum(m)
 
 
 @functools.lru_cache(maxsize=8)

@@ -38,6 +38,12 @@ from slam_process_tpu.config import SceneConfig
 
 _DEFAULT = SceneConfig()
 
+# Widest flattened (sweep x UE) one-hot the Pallas sweep-sums kernel can
+# hold in VMEM: [1024, W] bf16 + [W, 256] f32 ≈ 3 KB x W, proven on chip
+# at W = 4224 (max_sweeps = 66, ~13 MB).  Past this, "auto" falls back to
+# the lax.scan engine whose peak memory is independent of S.
+PALLAS_SWEEP_SUMS_MAX_WIDTH = 4224
+
 
 class IntensityGrid(NamedTuple):
     """Dense [n_beams, n_beams] intensity statistics, UE-major.
@@ -192,20 +198,34 @@ def intensity_per_sweep_sums_jax(
 
     ``engine``: "scan" = the XLA lax.scan formulation; "pallas" = the
     fused VMEM one-hot kernel (ops/pallas_sweep_sums.py — requires
-    integer RSS, i.e. ``log_transform=False``); "auto" picks the kernel
-    on the TPU backend when RSS is integral.  Both produce bit-identical
-    exact integer (sums, counts).
+    integer-dtype RSS, i.e. ``log_transform=False``); "auto" picks the
+    kernel on the TPU backend when RSS is an integer dtype AND the
+    flattened one-hot width fits the kernel's VMEM budget
+    (``PALLAS_SWEEP_SUMS_MAX_WIDTH`` — beyond it the in-VMEM
+    [block, S*64] one-hot exceeds ~16 MB and Mosaic refuses to
+    compile, so auto falls back to the scan).  Both engines produce
+    bit-identical exact integer (sums, counts).
     """
     import jax
     import jax.numpy as jnp
 
     keep = valid & (ue >= 0) & (ue < cfg.n_beams) & (bs >= 0) & (bs < cfg.n_beams)
     val = rss.astype(jnp.float32)
+    width = ((max_sweeps * cfg.n_beams + 127) // 128) * 128
     if engine == "auto":
         engine = ("pallas" if not cfg.log_transform
+                  and jnp.issubdtype(rss.dtype, jnp.integer)
+                  and width <= PALLAS_SWEEP_SUMS_MAX_WIDTH
                   and jax.default_backend() == "tpu" else "scan")
     if engine == "pallas":
         assert not cfg.log_transform, "pallas sweep sums needs integer RSS"
+        assert jnp.issubdtype(rss.dtype, jnp.integer), (
+            f"pallas sweep sums needs an integer-dtype RSS operand (got "
+            f"{rss.dtype}): float values would be silently truncated")
+        assert width <= PALLAS_SWEEP_SUMS_MAX_WIDTH, (
+            f"flattened one-hot width {width} (max_sweeps={max_sweeps}) "
+            f"exceeds the kernel's VMEM budget "
+            f"({PALLAS_SWEEP_SUMS_MAX_WIDTH}); use engine='scan'")
         from slam_process_tpu.ops.pallas_sweep_sums import (
             BLOCK_F,
             sweep_sums_pallas,
@@ -218,7 +238,7 @@ def intensity_per_sweep_sums_jax(
         f_pad = ((f + BLOCK_F - 1) // BLOCK_F) * BLOCK_F
         p = jnp.pad(p, (0, f_pad - f), constant_values=-1)
         bs_p = jnp.pad(bs.astype(jnp.int32), (0, f_pad - f))
-        val_p = jnp.pad(val.astype(jnp.int32), (0, f_pad - f))
+        val_p = jnp.pad(rss.astype(jnp.int32), (0, f_pad - f))
         return sweep_sums_pallas(p, bs_p, val_p, max_sweeps=max_sweeps,
                                  n_beams=cfg.n_beams)
     if cfg.log_transform:

@@ -249,7 +249,8 @@ def _paths_substep(
 
     ue = combined[:, 1]
     clk = combined[:, 4]
-    rss_f = combined[:, 3].astype(jnp.float32)
+    rss_i = combined[:, 3]     # integer dtype: lets "auto" pick the
+                               # Pallas sweep-sums kernel on TPU
     t = ue.shape[0]
     rows = jnp.arange(t, dtype=jnp.int32)
     s1 = spec.s_step + 1
@@ -274,7 +275,7 @@ def _paths_substep(
     def full_branch(p):
         use = keep & (ls < s1)
         sums, counts = intensity_per_sweep_sums_jax(
-            ue, corrected, rss_f, ls, use, max_sweeps=s1, cfg=SceneConfig())
+            ue, corrected, rss_i, ls, use, max_sweeps=s1, cfg=SceneConfig())
         sums = sums.at[0].add(p.open_sums)
         counts = counts.at[0].add(p.open_counts)
 
@@ -1236,12 +1237,30 @@ class MultiStreamingSession:
 
     def results(self):
         """One transfer: per-stream (n_frames, n_kept, n_groups, sums,
-        counts, overflow) numpy arrays with leading S axis."""
+        counts, overflow) numpy arrays with leading S axis.
+
+        Same overflow policy as the single-stream session's result
+        reads: when any stream exceeded a static bound (its aggregates
+        have silently merged sweeps / dropped baselines), warn loudly
+        instead of letting a caller that skips the ``overflow`` element
+        consume corrupt results.
+        """
         import jax
 
         s = self._state
-        return jax.device_get((s.n_frames, s.n_kept, s.n_groups,
-                               s.sums, s.counts, s.overflow))
+        out = jax.device_get((s.n_frames, s.n_kept, s.n_groups,
+                              s.sums, s.counts, s.overflow))
+        if bool(np.any(out[5])):
+            import warnings
+
+            bad = np.nonzero(np.asarray(out[5]))[0].tolist()
+            msg = (f"MultiStreamingSession capacity exceeded on streams "
+                   f"{bad} (group_capacity/max_groups/"
+                   "max_baselines_per_group): those streams' results are "
+                   "incomplete; rebuild with larger bounds")
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+            _LOGGER.warning(msg)
+        return out
 
 
 def replay_log_device(

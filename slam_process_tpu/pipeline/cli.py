@@ -358,6 +358,12 @@ def _run_replay(args):
 
     lut = load_angle_lut(args.mapping)
     args.outdir.mkdir(parents=True, exist_ok=True)
+    if args.paths and args.engine != "device":
+        # Same warn-loudly policy as _coerce_sweep_estimator: never
+        # silently drop a requested output.
+        print("warning: --paths (online estimation + tracking) requires "
+              "--engine device; no stream-tracks output will be written",
+              file=sys.stderr)
     stats = []
     for log in args.logs:
         name = extract_timestamp(str(log)) or log.stem

@@ -311,7 +311,10 @@ class Session:
         mean, counts = _sweep_intensity_fn(s)(
             jnp.asarray(self.filtered[:, 0], jnp.int32),
             jnp.asarray(self.filtered[:, 1], jnp.int32),
-            jnp.asarray(self.filtered[:, 2], jnp.float32),
+            # Integer dtype: the filtered table's RSS is an 18-bit wire
+            # integer, and an i32 operand lets engine="auto" pick the
+            # Pallas sweep-sums kernel on TPU.
+            jnp.asarray(self.filtered[:, 2], jnp.int32),
             jnp.asarray(gid, jnp.int32),
             jnp.ones(len(self.filtered), dtype=bool),
         )
@@ -474,7 +477,7 @@ class Session:
         mean_d, _ = _sweep_intensity_fn(s_alloc)(
             jnp.asarray(ue_col, jnp.int32),
             jnp.asarray(bs_col, jnp.int32),
-            jnp.asarray(rss_col, jnp.float32),
+            jnp.asarray(rss_col, jnp.int32),   # integer RSS -> Pallas-able
             jnp.asarray(gid, jnp.int32),
             jnp.asarray(keep),
         )

@@ -364,3 +364,12 @@ def test_pallas_compact_on_chip():
     ref_pad = np.zeros((cap, 5), np.int32)
     ref_pad[:len(ref)] = ref
     np.testing.assert_array_equal(out, ref_pad)
+
+    # Overflow path on real Mosaic: masked count >> capacity, so later
+    # blocks' running base exceeds capacity and the store-window clamp
+    # (not undefined OOB-store behavior) must protect in-capacity rows.
+    mask2 = rng.random(f) < 0.5
+    out2 = np.asarray(compact_rows_pallas(
+        jnp.asarray(rows), jnp.asarray(mask2), capacity=cap,
+        interpret=False))
+    np.testing.assert_array_equal(out2, rows[mask2][:cap])

@@ -17,6 +17,8 @@ from slam_process_tpu.ops.pallas_compact import compact_rows_pallas
     (1, 4096, 4096, 0.6),
     (2, 1024, 256, 0.9),      # overflow: masked count > capacity
     (3, 1024, 1024, 0.0),     # nothing masked
+    (4, 8192, 512, 0.9),      # multi-block overflow: later blocks start
+                              # past capacity (store-window clamp path)
 ])
 def test_interpret_matches_gather(seed, f, cap, dens):
     import jax.numpy as jnp

@@ -74,3 +74,42 @@ def test_engine_dispatch_interpret_equivalence():
             ref_c[gid[i], ue[i], bs[i]] += 1
     np.testing.assert_array_equal(np.asarray(sums), ref_s)
     np.testing.assert_array_equal(np.asarray(counts), ref_c)
+
+
+def test_engine_pallas_guards():
+    """Explicit engine='pallas' refuses float RSS (silent truncation) and
+    widths past the kernel's VMEM budget; 'auto' falls back to scan in
+    both cases instead of failing."""
+    import jax.numpy as jnp
+    import pytest
+
+    from slam_process_tpu.config import SceneConfig
+    from slam_process_tpu.ops.scene import (
+        PALLAS_SWEEP_SUMS_MAX_WIDTH,
+        intensity_per_sweep_sums_jax,
+    )
+
+    f = 1024
+    ue = jnp.zeros(f, jnp.int32)
+    bs = jnp.zeros(f, jnp.int32)
+    gid = jnp.zeros(f, jnp.int32)
+    valid = jnp.ones(f, bool)
+    cfg = SceneConfig(log_transform=False)
+
+    with pytest.raises(AssertionError, match="integer-dtype"):
+        intensity_per_sweep_sums_jax(
+            ue, bs, jnp.ones(f, jnp.float32), gid, valid, 4, cfg,
+            engine="pallas")
+    big_s = PALLAS_SWEEP_SUMS_MAX_WIDTH // 64 + 2
+    with pytest.raises(AssertionError, match="VMEM budget"):
+        intensity_per_sweep_sums_jax(
+            ue, bs, jnp.ones(f, jnp.int32), gid, valid, big_s, cfg,
+            engine="pallas")
+
+    # auto on this (CPU) backend and on oversize shapes = scan, and it
+    # runs fine with both dtypes.
+    for rss in (jnp.full(f, 7, jnp.int32), jnp.full(f, 7.0, jnp.float32)):
+        sums, counts = intensity_per_sweep_sums_jax(
+            ue, bs, rss, gid, valid, big_s, cfg, engine="auto")
+        assert float(sums[0, 0, 0]) == 7.0 * f
+        assert float(counts[0, 0, 0]) == f
