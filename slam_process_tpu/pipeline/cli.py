@@ -186,6 +186,19 @@ def _add_estimate(sub):
                         "writes a track table + trajectory figure)")
     p.add_argument("--gate-deg", type=float, default=10.0,
                    help="track association gate (Euclidean angle distance)")
+    p.add_argument("--changes", action="store_true",
+                   help="with --tracks: also detect scene change events "
+                        "(path births/deaths, angular jumps, LoS "
+                        "handovers) and write a CLK-stamped event table")
+    p.add_argument("--min-persist", type=int, default=3,
+                   help="observations before a track counts as a path "
+                        "birth (scene change detection)")
+    p.add_argument("--min-gone", type=int, default=3,
+                   help="consecutive missed sweeps before a confirmed "
+                        "track counts as a path death")
+    p.add_argument("--jump-deg", type=float, default=5.0,
+                   help="angular displacement between consecutive "
+                        "observations that counts as a jump event")
     p.set_defaults(fn=_run_estimate)
 
 
@@ -209,6 +222,9 @@ def _run_estimate(args):
     if args.tracks:
         _run_estimate_tracks(args, s, overrides)
         return
+    if args.changes:
+        print("warning: --changes requires --tracks; no change events "
+              "will be written", file=sys.stderr)
     if args.per_sweep:
         _run_estimate_per_sweep(args, s, overrides)
         return
@@ -262,6 +278,24 @@ def _run_estimate_tracks(args, s, overrides):
     n_fit = int(np.sum(vel[2][: int(tracks.n_tracks)]))
     print(f"tracks={int(tracks.n_tracks)} fitted={n_fit} "
           f"rows={len(rows)} 输出={out} 图={fig_path}")
+    if args.changes:
+        from slam_process_tpu.models.change_detection import (
+            EVENT_KINDS,
+            detect_scene_changes_np,
+            scene_change_events,
+        )
+
+        changes = detect_scene_changes_np(
+            tracks, min_persist=args.min_persist, min_gone=args.min_gone,
+            jump_deg=args.jump_deg)
+        events = scene_change_events(changes, tracks, times)
+        ev_path = Path(out).with_name(Path(out).stem + "_changes.xlsx")
+        write_xlsx_table(
+            ev_path, ["Sweep", "CLK", "Kind", "Track", "AoA", "AoD",
+                      "Power"], events)
+        counts = {EVENT_KINDS[k]: int(np.sum(events[:, 2] == k))
+                  for k in range(len(EVENT_KINDS))}
+        print(f"changes={len(events)} {counts} 输出={ev_path}")
 
 
 def _run_estimate_per_sweep(args, s, overrides):

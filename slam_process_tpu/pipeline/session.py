@@ -605,6 +605,33 @@ class Session:
         vel = track_velocities(tracks, times)
         return tracks, times, vel
 
+    def scene_changes(
+        self,
+        angle_file: Union[str, Path],
+        min_persist: int = 3,
+        min_gone: int = 3,
+        jump_deg: float = 5.0,
+        **track_kwargs,
+    ):
+        """Scene change events from the CLK-anchored tracks
+        (``models/change_detection.py``): path births/deaths, angular
+        jumps, LoS handovers, each stamped with its sweep's CLK time.
+
+        Returns (events [N, 7] float64 — see ``scene_change_events`` —
+        tracks, times).  Beyond-reference: the reference never uses its
+        CLK column (heatmap_gemini_v2.py:35-38).
+        """
+        from slam_process_tpu.models.change_detection import (
+            detect_scene_changes_np,
+            scene_change_events,
+        )
+
+        tracks, times, _vel = self.path_tracks(angle_file, **track_kwargs)
+        changes = detect_scene_changes_np(
+            tracks, min_persist=min_persist, min_gone=min_gone,
+            jump_deg=jump_deg)
+        return scene_change_events(changes, tracks, times), tracks, times
+
     def render_heatmap(
         self,
         angle_file: Union[str, Path],
