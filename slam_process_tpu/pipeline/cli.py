@@ -375,6 +375,13 @@ def _add_replay(sub):
                    help="online per-sweep estimation + CLK tracks inside "
                         "the streaming step (--engine device only); writes "
                         "<name>_stream_tracks.xlsx per log")
+    p.add_argument("--changes", action="store_true",
+                   help="with --paths: scene change events (births/deaths/"
+                        "jumps/LoS handovers) from the streamed tracks; "
+                        "writes <name>_stream_changes.xlsx per log")
+    p.add_argument("--min-persist", type=int, default=3)
+    p.add_argument("--min-gone", type=int, default=3)
+    p.add_argument("--jump-deg", type=float, default=5.0)
     p.set_defaults(fn=_run_replay)
 
 
@@ -398,6 +405,9 @@ def _run_replay(args):
         print("warning: --paths (online estimation + tracking) requires "
               "--engine device; no stream-tracks output will be written",
               file=sys.stderr)
+    if args.changes and not (args.paths and args.engine == "device"):
+        print("warning: --changes requires --paths with --engine device; "
+              "no change events will be written", file=sys.stderr)
     stats = []
     for log in args.logs:
         name = extract_timestamp(str(log)) or log.stem
@@ -453,6 +463,25 @@ def _run_replay(args):
                 ["Track", "Sweep", "CLK", "AoA", "AoD", "Power",
                  "Vel_AoA_deg_per_tick", "Vel_AoD_deg_per_tick"],
                 np.asarray(rows, dtype=np.float64).reshape(-1, 8))
+            if args.changes:
+                # Scene change events from the streamed tracks (exactly
+                # equal to the offline tracks by the collect_paths
+                # parity theorem, so the same detector applies).
+                from slam_process_tpu.models.change_detection import (
+                    detect_scene_changes_np,
+                    scene_change_events,
+                )
+
+                ch = detect_scene_changes_np(
+                    tracks, min_persist=args.min_persist,
+                    min_gone=args.min_gone, jump_deg=args.jump_deg)
+                ev = scene_change_events(ch, tracks, times)
+                write_xlsx_table(
+                    args.outdir / f"{name}_stream_changes.xlsx",
+                    ["Sweep", "CLK", "Kind", "Track", "AoA", "AoD",
+                     "Power"], ev)
+                print(f"changes={len(ev)} "
+                      f"输出={args.outdir / f'{name}_stream_changes.xlsx'}")
         stats.append({"session": name, "frames": s.n_frames,
                       "kept": s.n_kept, "sweeps": s.n_groups,
                       "frames_per_sec": round(s.n_frames / dt, 1)})
