@@ -60,6 +60,15 @@ def _oracle_norm_raster(filtered: np.ndarray) -> np.ndarray:
 def main() -> None:
     import jax
 
+    from slam_process_tpu.utils.transport import probe_default_backend
+
+    # A down relay hangs backend registration forever; probe in a
+    # subprocess and fall back to a valid CPU JSON line instead.
+    if not probe_default_backend():
+        print("bench: default backend unavailable (relay down?); "
+              "falling back to CPU", flush=True)
+        jax.config.update("jax_platforms", "cpu")
+
     # Persistent compilation cache: the driver re-runs bench each round;
     # warm compiles dominate otherwise.
     try:

@@ -44,3 +44,26 @@ def warm_transport_async() -> None:
 
     threading.Thread(target=_work, daemon=True,
                      name="slam-transport-warmup").start()
+
+
+def probe_default_backend(timeout_s: float = 240.0) -> bool:
+    """True when the default backend can initialize in a fresh process.
+
+    The axon relay hangs backend REGISTRATION indefinitely when its
+    tunnel is down, and the hang is inside ``get_backend`` — it cannot
+    be guarded in-process (a thread stuck there holds the init lock
+    forever).  Probing in a subprocess with a timeout lets drivers fall
+    back to the CPU backend (``jax.config.update('jax_platforms',
+    'cpu')`` BEFORE any backend init; the env var alone is overridden by
+    this environment's sitecustomize) instead of hanging.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
