@@ -155,6 +155,23 @@ def measure_device_time(
     """
     import jax
 
+    if jax.default_backend() == "cpu":
+        # The CPU backend emits no 'XLA Modules' device plane (only a
+        # host thread line), and unlike the relay transport its
+        # block_until_ready IS execution-truthful — so wall-clock per
+        # call is the honest measurement there.  Lets bench.py's
+        # relay-down CPU fallback produce real numbers.
+        import time as _time
+
+        jax.device_get(call(0))          # sync any pending dispatches
+        runs = []
+        for i in range(n):
+            t0 = _time.perf_counter()
+            jax.device_get(call(i))
+            runs.append(_time.perf_counter() - t0)
+        return DeviceTiming(runs=runs, module="<cpu-wall>",
+                            all_modules={"<cpu-wall>": runs})
+
     own_dir = trace_dir is None
     d = Path(tempfile.mkdtemp(prefix="slam_devtime_")) if own_dir else Path(trace_dir)
     try:

@@ -1,0 +1,80 @@
+"""Multi-host (DCN-axis) scaling: 2 REAL processes x 4 virtual devices.
+
+The process-spanning batched pipeline (parallel/multihost.py) must
+reproduce the single-process results exactly: 2 worker processes join a
+gloo-collective cluster, each contributes 2 reference logs to one
+(8,)-data-mesh program, and every per-session summary is compared
+against this (single) process's oracle run of the same sessions.
+
+This exercises the code path real TPU pods use for DCN (process-group
+init, host-local -> global array assembly, cross-process collectives) —
+SURVEY §5.8's scaling axis beyond a single host.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+DEBUGDOC = Path("/root/reference/debugDoc")
+
+LOGS = [
+    DEBUGDOC / "256-0x16-Serial Debug 2026-01-26 164520.txt",
+    DEBUGDOC / "Serial Debug 2026-02-06 091211.txt",
+    DEBUGDOC / "Serial Debug 2026-02-06 091351.txt",
+    DEBUGDOC / "Serial Debug 2026-02-06 091535.txt",
+]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_batched_pipeline_matches_single_process():
+    for p in LOGS:
+        assert p.exists(), p
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tests._multihost_worker", str(pid),
+             "2", coordinator,
+             str(LOGS[2 * pid]), str(LOGS[2 * pid + 1])],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+        outs.append(json.loads(line))
+    outs.sort(key=lambda d: d["pid"])
+
+    # Single-process oracle over the same 4 sessions (this process runs
+    # on the 8-virtual-device CPU mesh from conftest).
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.pipeline.device import run_session_on_device
+
+    for i, log in enumerate(LOGS):
+        ref = run_session_on_device(read_hex_log(log))
+        w = outs[i // 2]
+        j = i % 2
+        assert w["n_frames"][j] == int(ref.n_frames), log
+        assert w["n_kept"][j] == int(ref.n_kept), log
+        np.testing.assert_allclose(
+            w["norm_t_sum"][j], float(np.nansum(np.asarray(ref.norm_t))),
+            rtol=0, atol=0)
+        assert w["counts_sum"][j] == int(np.asarray(ref.counts).sum()), log
