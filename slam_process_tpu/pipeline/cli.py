@@ -490,6 +490,116 @@ def _run_replay(args):
     print(json.dumps({"sessions": len(stats), "total_frames": total}))
 
 
+def _add_watch(sub):
+    p = sub.add_parser(
+        "watch",
+        help="live-tail a GROWING serial log: new bytes are tokenized "
+             "incrementally and fed to the streaming session as the "
+             "capture writes them (the production counterpart of replay)")
+    p.add_argument("--log", type=Path, required=True)
+    p.add_argument("--mapping", type=Path, required=True)
+    p.add_argument("--outdir", type=Path, required=True)
+    p.add_argument("--engine", choices=["host", "device"], default="host",
+                   help="device = on-device streaming state machine")
+    p.add_argument("--poll-interval", type=float, default=0.5,
+                   help="seconds between file-growth polls")
+    p.add_argument("--idle-timeout", type=float, default=10.0,
+                   help="stop after this many seconds without growth "
+                        "(0 = watch until interrupted)")
+    p.add_argument("--render-every", type=float, default=0.0,
+                   help="re-render the live heatmap every N seconds "
+                        "(0 = only at exit)")
+    p.set_defaults(fn=_run_watch)
+
+
+def _run_watch(args):
+    import os
+    import time
+
+    import numpy as np
+
+    from slam_process_tpu.io.angles import load_angle_lut
+    from slam_process_tpu.io.hexlog import tokenize_hex
+    from slam_process_tpu.io.schemas import write_filtered_table
+    from slam_process_tpu.render.figures import save_heatmap_figure
+    from slam_process_tpu.utils import extract_timestamp
+
+    lut = load_angle_lut(args.mapping)
+    args.outdir.mkdir(parents=True, exist_ok=True)
+    name = extract_timestamp(str(args.log)) or args.log.stem
+    if args.engine == "device":
+        from slam_process_tpu.parallel.streaming_device import (
+            DeviceStreamingSession,
+        )
+
+        # Unknown final size: the emit ring auto-grows from the
+        # conservative host-side bound as bytes arrive.
+        s = DeviceStreamingSession(collect_filtered=True)
+    else:
+        from slam_process_tpu.parallel.streaming import StreamingSession
+
+        s = StreamingSession()
+
+    def tail_png():
+        rendered = s.render(lut)
+        out = args.outdir / f"{name}_watch.png"
+        save_heatmap_figure(
+            rendered.blurred, rendered.aod_angles, rendered.aoa_angles,
+            out, title=f"live watch ({name})")
+        return out
+
+    pos = 0
+    text_carry = b""
+    last_growth = time.monotonic()
+    last_render = time.monotonic()
+    fed_tokens = 0
+    try:
+        while True:
+            try:
+                size = os.path.getsize(args.log)
+            except OSError:
+                size = pos
+            now = time.monotonic()
+            if size > pos:
+                with open(args.log, "rb") as f:
+                    f.seek(pos)
+                    data = f.read(size - pos)
+                pos = size
+                buf = text_carry + data
+                # Feed only up to the last whitespace: the capture may
+                # have written half a token ("1A 2" of "1A 2B ").
+                cut = max(buf.rfind(b" "), buf.rfind(b"\n"),
+                          buf.rfind(b"\r"), buf.rfind(b"\t"))
+                if cut >= 0:
+                    tokens = tokenize_hex(bytes(buf[: cut + 1]))
+                    text_carry = buf[cut + 1:]
+                    if len(tokens):
+                        s.feed(tokens)
+                        fed_tokens += len(tokens)
+                else:
+                    text_carry = buf
+                last_growth = now
+            elif args.idle_timeout and now - last_growth > args.idle_timeout:
+                break
+            if args.render_every and now - last_render >= args.render_every:
+                tail_png()
+                last_render = now
+            time.sleep(args.poll_interval)
+    except KeyboardInterrupt:
+        pass
+    tokens = tokenize_hex(bytes(text_carry))
+    if len(tokens):
+        s.feed(tokens)
+        fed_tokens += len(tokens)
+    s.finalize()
+    png = tail_png()
+    write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
+    print(json.dumps({"session": name, "bytes_seen": pos,
+                      "tokens": fed_tokens, "frames": int(s.n_frames),
+                      "kept": int(s.n_kept), "sweeps": int(s.n_groups),
+                      "png": str(png)}))
+
+
 def _add_run_config(sub):
     p = sub.add_parser("run-config",
                        help="run one of the five named benchmark configs")
@@ -520,6 +630,7 @@ def main(argv=None) -> int:
     _add_estimate(sub)
     _add_session(sub)
     _add_replay(sub)
+    _add_watch(sub)
     _add_run_config(sub)
     args = parser.parse_args(argv)
     if getattr(args, "engine", "host") == "device":
