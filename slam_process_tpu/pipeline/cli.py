@@ -447,47 +447,55 @@ def _run_replay(args):
         )
         write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
         if args.engine == "device" and args.paths:
-            from slam_process_tpu.io.xlsx import write_xlsx_table
-
-            tracks, times, vel = s.path_tracks()
-            rows = []
-            for t in range(int(tracks.n_tracks)):
-                for sweep in np.nonzero(tracks.observed[t])[0]:
-                    rows.append([t, sweep, times[sweep],
-                                 tracks.pos_aoa[t][sweep],
-                                 tracks.pos_aod[t][sweep],
-                                 tracks.power[t][sweep],
-                                 vel[0][t], vel[1][t]])
-            write_xlsx_table(
-                args.outdir / f"{name}_stream_tracks.xlsx",
-                ["Track", "Sweep", "CLK", "AoA", "AoD", "Power",
-                 "Vel_AoA_deg_per_tick", "Vel_AoD_deg_per_tick"],
-                np.asarray(rows, dtype=np.float64).reshape(-1, 8))
-            if args.changes:
-                # Scene change events from the streamed tracks (exactly
-                # equal to the offline tracks by the collect_paths
-                # parity theorem, so the same detector applies).
-                from slam_process_tpu.models.change_detection import (
-                    detect_scene_changes_np,
-                    scene_change_events,
-                )
-
-                ch = detect_scene_changes_np(
-                    tracks, min_persist=args.min_persist,
-                    min_gone=args.min_gone, jump_deg=args.jump_deg)
-                ev = scene_change_events(ch, tracks, times)
-                write_xlsx_table(
-                    args.outdir / f"{name}_stream_changes.xlsx",
-                    ["Sweep", "CLK", "Kind", "Track", "AoA", "AoD",
-                     "Power"], ev)
-                print(f"changes={len(ev)} "
-                      f"输出={args.outdir / f'{name}_stream_changes.xlsx'}")
+            _export_stream_tracks(s, name, args)
         stats.append({"session": name, "frames": s.n_frames,
                       "kept": s.n_kept, "sweeps": s.n_groups,
                       "frames_per_sec": round(s.n_frames / dt, 1)})
         print(json.dumps(stats[-1]))
     total = sum(x["frames"] for x in stats)
     print(json.dumps({"sessions": len(stats), "total_frames": total}))
+
+
+def _export_stream_tracks(s, name: str, args) -> None:
+    """Track + (optional) scene-change exports for a streaming session
+    with ``collect_paths`` — shared by ``replay`` and ``watch``.
+
+    The streamed tracks equal the offline tracks exactly (collect_paths
+    parity), so the offline detector applies unchanged."""
+    import numpy as np
+
+    from slam_process_tpu.io.xlsx import write_xlsx_table
+
+    tracks, times, vel = s.path_tracks()
+    rows = []
+    for t in range(int(tracks.n_tracks)):
+        for sweep in np.nonzero(tracks.observed[t])[0]:
+            rows.append([t, sweep, times[sweep],
+                         tracks.pos_aoa[t][sweep],
+                         tracks.pos_aod[t][sweep],
+                         tracks.power[t][sweep],
+                         vel[0][t], vel[1][t]])
+    write_xlsx_table(
+        args.outdir / f"{name}_stream_tracks.xlsx",
+        ["Track", "Sweep", "CLK", "AoA", "AoD", "Power",
+         "Vel_AoA_deg_per_tick", "Vel_AoD_deg_per_tick"],
+        np.asarray(rows, dtype=np.float64).reshape(-1, 8))
+    if args.changes:
+        from slam_process_tpu.models.change_detection import (
+            detect_scene_changes_np,
+            scene_change_events,
+        )
+
+        ch = detect_scene_changes_np(
+            tracks, min_persist=args.min_persist,
+            min_gone=args.min_gone, jump_deg=args.jump_deg)
+        ev = scene_change_events(ch, tracks, times)
+        write_xlsx_table(
+            args.outdir / f"{name}_stream_changes.xlsx",
+            ["Sweep", "CLK", "Kind", "Track", "AoA", "AoD",
+             "Power"], ev)
+        print(f"changes={len(ev)} "
+              f"输出={args.outdir / f'{name}_stream_changes.xlsx'}")
 
 
 def _add_watch(sub):
@@ -509,6 +517,15 @@ def _add_watch(sub):
     p.add_argument("--render-every", type=float, default=0.0,
                    help="re-render the live heatmap every N seconds "
                         "(0 = only at exit)")
+    p.add_argument("--paths", action="store_true",
+                   help="online per-sweep estimation + CLK tracks inside "
+                        "the streaming step (--engine device only)")
+    p.add_argument("--changes", action="store_true",
+                   help="with --paths: scene change events from the live "
+                        "tracks")
+    p.add_argument("--min-persist", type=int, default=3)
+    p.add_argument("--min-gone", type=int, default=3)
+    p.add_argument("--jump-deg", type=float, default=5.0)
     p.set_defaults(fn=_run_watch)
 
 
@@ -527,14 +544,22 @@ def _run_watch(args):
     lut = load_angle_lut(args.mapping)
     args.outdir.mkdir(parents=True, exist_ok=True)
     name = extract_timestamp(str(args.log)) or args.log.stem
+    if args.paths and args.engine != "device":
+        print("warning: --paths requires --engine device; no stream-"
+              "tracks output will be written", file=sys.stderr)
+    if args.changes and not (args.paths and args.engine == "device"):
+        print("warning: --changes requires --paths with --engine device; "
+              "no change events will be written", file=sys.stderr)
     if args.engine == "device":
         from slam_process_tpu.parallel.streaming_device import (
             DeviceStreamingSession,
+            make_paths_spec,
         )
 
         # Unknown final size: the emit ring auto-grows from the
         # conservative host-side bound as bytes arrive.
-        s = DeviceStreamingSession(collect_filtered=True)
+        cp = make_paths_spec(args.mapping) if args.paths else None
+        s = DeviceStreamingSession(collect_filtered=True, collect_paths=cp)
     else:
         from slam_process_tpu.parallel.streaming import StreamingSession
 
@@ -594,6 +619,8 @@ def _run_watch(args):
     s.finalize()
     png = tail_png()
     write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
+    if args.engine == "device" and args.paths:
+        _export_stream_tracks(s, name, args)
     print(json.dumps({"session": name, "bytes_seen": pos,
                       "tokens": fed_tokens, "frames": int(s.n_frames),
                       "kept": int(s.n_kept), "sweeps": int(s.n_groups),
