@@ -55,16 +55,50 @@ class PackedScenes(NamedTuple):
     n_gd: np.ndarray       # [N]
 
 
+def flavor_config(flavor: str, **overrides):
+    """(dict_cfg, omp_cfg, log_transform, keep_rule, stop_nonpositive)
+    for a reference estimator flavor — shared by the single-host and
+    multi-host dataset runners."""
+    if flavor == "v1-7":
+        dict_cfg = DictionaryConfig(
+            grid_res=overrides.get("grid_res", 0.1),
+            beam_width=overrides.get("beam_width", 1.4),
+            grid_kind="linspace")
+        cfg = OmpConfig(max_paths=overrides.get("max_paths", 20),
+                        min_power_ratio=overrides.get("min_power_ratio",
+                                                      0.0003))
+        return dict_cfg, cfg, True, "ratio", True
+    if flavor == "v1":
+        dict_cfg = DictionaryConfig(
+            grid_res=overrides.get("grid_res", 0.1),
+            beam_width=overrides.get("beam_width", 1.4),
+            grid_kind="arange")
+        cfg = OmpConfig(max_paths=overrides.get("max_paths", 3))
+        return dict_cfg, cfg, False, "positive", False
+    raise ValueError(f"unknown flavor {flavor!r}")
+
+
 def pack_scenes(
     matrices: Sequence[np.ndarray],
     dictionaries: Sequence[BeamDictionary],
+    pad_to=None,
 ) -> PackedScenes:
-    """Pad per-session scenes + dictionaries to the dataset max shape."""
+    """Pad per-session scenes + dictionaries to the dataset max shape.
+
+    ``pad_to=(U, B, Ga, Gd)`` overrides the local maxima — the
+    multi-host runner uses it so every process packs to the globally
+    agreed shape."""
     n = len(matrices)
     U = max(m.shape[0] for m in matrices)
     B = max(m.shape[1] for m in matrices)
     Ga = max(len(d.aoa_grid) for d in dictionaries)
     Gd = max(len(d.aod_grid) for d in dictionaries)
+    if pad_to is not None:
+        pU, pB, pGa, pGd = (int(x) for x in pad_to)
+        assert all(p >= v for p, v in zip((pU, pB, pGa, pGd),
+                                          (U, B, Ga, Gd))), (
+            pad_to, (U, B, Ga, Gd))
+        U, B, Ga, Gd = pU, pB, pGa, pGd
 
     mats = np.zeros((n, U, B), np.float32)
     prx = np.zeros((n, U, Ga), np.float32)
@@ -252,23 +286,8 @@ def estimate_sessions(
 
     from slam_process_tpu.models.registry import build_scene
 
-    if flavor == "v1-7":
-        dict_cfg = DictionaryConfig(
-            grid_res=overrides.get("grid_res", 0.1),
-            beam_width=overrides.get("beam_width", 1.4),
-            grid_kind="linspace")
-        cfg = OmpConfig(max_paths=overrides.get("max_paths", 20),
-                        min_power_ratio=overrides.get("min_power_ratio", 0.0003))
-        log_transform, keep_rule, stop_np = True, "ratio", True
-    elif flavor == "v1":
-        dict_cfg = DictionaryConfig(
-            grid_res=overrides.get("grid_res", 0.1),
-            beam_width=overrides.get("beam_width", 1.4),
-            grid_kind="arange")
-        cfg = OmpConfig(max_paths=overrides.get("max_paths", 3))
-        log_transform, keep_rule, stop_np = False, "positive", False
-    else:
-        raise ValueError(f"unknown flavor {flavor!r}")
+    dict_cfg, cfg, log_transform, keep_rule, stop_np = flavor_config(
+        flavor, **overrides)
 
     mats, dicts = [], []
     for s in sessions:

@@ -144,6 +144,79 @@ def run_batched_multihost(
     return fn(batch_g, len_g, lut_g)
 
 
+def estimate_sessions_multihost(
+    sessions,
+    angle_file,
+    mesh,
+    flavor: str = "v1-7",
+    **overrides,
+):
+    """Flagship NN-OMP estimation over a process-spanning mesh.
+
+    The multi-host form of ``models.batch_estimation.estimate_sessions
+    (..., mesh=...)``: every process preps only ITS sessions (scene pivot
+    + dictionary on host), the pad shape is agreed globally, and the SAME
+    sharded one-program estimator (sessions over 'data', AoA grid over
+    'model') runs once across all hosts.  Call collectively with the same
+    number of sessions per process; global N must divide the 'data' axis.
+
+    Returns the global OmpPaths (read this process's rows with
+    :func:`local_shard`).
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from slam_process_tpu.models.batch_estimation import (
+        _batched_nn_omp_sharded_fn,
+        flavor_config,
+        pack_scenes,
+    )
+    from slam_process_tpu.models.dictionary import make_dictionary
+    from slam_process_tpu.models.registry import build_scene
+
+    dict_cfg, cfg, log_transform, keep_rule, stop_np = flavor_config(
+        flavor, **overrides)
+    mats, dicts = [], []
+    for s in sessions:
+        matrix, ue_ang, bs_ang = build_scene(s, angle_file, log_transform)
+        mats.append(matrix)
+        dicts.append(make_dictionary(ue_ang, bs_ang, dict_cfg))
+
+    local_dims = np.asarray(
+        [max(m.shape[0] for m in mats), max(m.shape[1] for m in mats),
+         max(len(d.aoa_grid) for d in dicts),
+         max(len(d.aod_grid) for d in dicts)], np.int32)
+    dims = np.max(multihost_utils.process_allgather(local_dims), axis=0)
+    packed = pack_scenes(mats, dicts, pad_to=tuple(dims))
+
+    # Same inert-padding layout as nn_omp_sessions_sharded, applied
+    # process-locally so the global arrays agree: the 'model'-sharded Ga
+    # axis pads to a multiple of tp with zero-phi columns + edge grid
+    # angles (zero-correlation atoms never win a selection).
+    tp = mesh.shape.get("model", 1)
+    gpad = (-packed.phi_rx.shape[2]) % tp
+    phi_rx = np.pad(packed.phi_rx, ((0, 0), (0, 0), (0, gpad)))
+    aoa_grid = np.pad(packed.aoa_grid, ((0, 0), (0, gpad)), mode="edge")
+
+    import jax
+
+    n_total = len(sessions) * jax.process_count()
+    dp = mesh.shape["data"]
+    assert n_total % dp == 0, (
+        f"global session count {n_total} must divide the data axis {dp}; "
+        "pad every process with a dummy session")
+    specs = (P("data", None, None), P("data", None, "model"),
+             P("data", None, None), P("data", "model"), P("data", None))
+    leaves = (packed.matrices, phi_rx, packed.phi_tx, aoa_grid,
+              packed.aod_grid)
+    args = tuple(
+        multihost_utils.host_local_array_to_global_array(x, mesh, sp)
+        for x, sp in zip(leaves, specs))
+    fn = _batched_nn_omp_sharded_fn(cfg, keep_rule, stop_np, mesh)
+    with mesh:
+        return fn(*args)
+
+
 def local_shard(x) -> np.ndarray:
     """This process's rows of a 'data'-sharded global output, stacked in
     row order (matches the local session order fed in).

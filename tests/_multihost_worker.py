@@ -39,6 +39,24 @@ def main() -> None:
 
     import numpy as np
 
+    # Sharded flagship estimation across the SAME process-spanning mesh
+    # (sessions over 'data', AoA grid over 'model'), coarse grid so the
+    # CPU run stays fast.
+    from slam_process_tpu.parallel.multihost import (
+        estimate_sessions_multihost,
+    )
+    from slam_process_tpu.pipeline.session import Session
+
+    sessions = [Session.from_log(p) for p in logs]
+    for s in sessions:
+        s.correct()
+    paths = estimate_sessions_multihost(
+        sessions, "/root/reference/beam_angle.xlsx", mesh,
+        flavor="v1-7", grid_res=0.5)
+    aoa = local_shard(paths.aoa)
+    valid = local_shard(paths.valid)
+    power = local_shard(paths.power)
+
     print(json.dumps({
         "pid": pid,
         "n_frames": local_shard(out.n_frames).tolist(),
@@ -47,6 +65,11 @@ def main() -> None:
                                 axis=(1, 2)).astype(float).tolist(),
         "counts_sum": local_shard(out.counts).sum(
             axis=(1, 2)).astype(int).tolist(),
+        "est_n_valid": valid.sum(axis=1).astype(int).tolist(),
+        "est_aoa0": [float(a[v][0]) if v.any() else None
+                     for a, v in zip(aoa, valid)],
+        "est_power_sum": [float(p[v].sum())
+                          for p, v in zip(power, valid)],
     }), flush=True)
 
 

@@ -66,7 +66,9 @@ def test_two_process_batched_pipeline_matches_single_process():
     # Single-process oracle over the same 4 sessions (this process runs
     # on the 8-virtual-device CPU mesh from conftest).
     from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.models.batch_estimation import estimate_sessions
     from slam_process_tpu.pipeline.device import run_session_on_device
+    from slam_process_tpu.pipeline.session import Session
 
     for i, log in enumerate(LOGS):
         ref = run_session_on_device(read_hex_log(log))
@@ -78,3 +80,22 @@ def test_two_process_batched_pipeline_matches_single_process():
             w["norm_t_sum"][j], float(np.nansum(np.asarray(ref.norm_t))),
             rtol=0, atol=0)
         assert w["counts_sum"][j] == int(np.asarray(ref.counts).sum()), log
+
+    # Sharded estimation across processes == the single-process vmapped
+    # estimator (same flavor + coarse grid the workers used).
+    sessions = []
+    for log in LOGS:
+        s = Session.from_log(log)
+        s.correct()
+        sessions.append(s)
+    est = estimate_sessions(sessions, "/root/reference/beam_angle.xlsx",
+                            flavor="v1-7", grid_res=0.5)
+    for i in range(len(LOGS)):
+        w, j = outs[i // 2], i % 2
+        v = np.asarray(est[i].valid, bool)
+        assert w["est_n_valid"][j] == int(v.sum()), LOGS[i]
+        if v.any():
+            assert w["est_aoa0"][j] == float(np.asarray(est[i].aoa)[v][0])
+        np.testing.assert_allclose(
+            w["est_power_sum"][j],
+            float(np.asarray(est[i].power)[v].sum()), rtol=1e-6)
