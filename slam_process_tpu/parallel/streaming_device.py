@@ -223,6 +223,7 @@ def _paths_substep(
     spec: StreamPathsSpec,
     dict_args,                 # (phi_rx, phi_tx, aoa_grid, aod_grid) jnp f32
     close_all: bool,
+    sums_engine: str = "auto",
 ):
     """Advance the online-estimation state by one step's kept rows.
 
@@ -275,7 +276,8 @@ def _paths_substep(
     def full_branch(p):
         use = keep & (ls < s1)
         sums, counts = intensity_per_sweep_sums_jax(
-            ue, corrected, rss_i, ls, use, max_sweeps=s1, cfg=SceneConfig())
+            ue, corrected, rss_i, ls, use, max_sweeps=s1, cfg=SceneConfig(),
+            engine=sums_engine)
         sums = sums.at[0].add(p.open_sums)
         counts = counts.at[0].add(p.open_counts)
 
@@ -456,6 +458,7 @@ def _step_body(
     emit_capacity: int,
     paths_spec: Optional[StreamPathsSpec] = None,
     compact_engine: str = "auto",
+    sums_engine: str = "auto",
 ):
     import jax
     import jax.numpy as jnp
@@ -571,7 +574,8 @@ def _step_body(
 
     if paths_spec is not None:
         new_paths = _paths_substep(state.paths, combined, corrected, keep,
-                                   paths_spec, dict_args, close_all=False)
+                                   paths_spec, dict_args, close_all=False,
+                                   sums_engine=sums_engine)
     else:
         new_paths = state.paths
 
@@ -600,6 +604,7 @@ def _flush_body(
     cfg: PipelineConfig,
     emit_capacity: int,
     paths_spec: Optional[StreamPathsSpec] = None,
+    sums_engine: str = "auto",
 ):
     """Close the final open group at end of stream."""
     import jax.numpy as jnp
@@ -624,7 +629,7 @@ def _flush_body(
     if paths_spec is not None:
         new_paths = _paths_substep(state.paths, state.carry_frames, corrected,
                                    keep, paths_spec, dict_args,
-                                   close_all=True)
+                                   close_all=True, sums_engine=sums_engine)
     else:
         new_paths = state.paths
     return DeviceStreamState(
@@ -1088,7 +1093,8 @@ class DeviceStreamingSession:
 
 
 @functools.lru_cache(maxsize=8)
-def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder):
+def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder,
+                      paths_spec=None):
     """Vmapped streaming step: S independent streams advance in ONE
     program.  Sharding comes from the inputs (states/chunks laid out over
     the mesh 'data' axis) — XLA propagates it through the vmapped body, so
@@ -1102,24 +1108,28 @@ def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder):
     body = functools.partial(
         _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
         max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
-        emit_capacity=0, paths_spec=None,
-        # XLA compaction under vmap: the Pallas carry kernel relies on a
-        # sequential grid + SMEM running count, which vmap would batch.
-        compact_engine="xla",
+        emit_capacity=0, paths_spec=paths_spec,
+        # XLA formulations under vmap: the Pallas carry-compaction and
+        # sweep-sums kernels rely on a sequential grid + running
+        # accumulators, which a batching axis would break.
+        compact_engine="xla", sums_engine="scan",
     )
-    return jax.jit(jax.vmap(lambda st, ch, nb: body(st, ch, nb)),
-                   donate_argnums=0)
+    return jax.jit(
+        jax.vmap(lambda st, ch, nb, da: body(st, ch, nb, da),
+                 in_axes=(0, 0, 0, None)),
+        donate_argnums=0)
 
 
 @functools.lru_cache(maxsize=8)
-def _build_multi_flush(max_groups, max_bpg, cfg):
+def _build_multi_flush(max_groups, max_bpg, cfg, paths_spec=None):
     import jax
 
     body = functools.partial(
         _flush_body, max_groups=max_groups, max_baselines_per_group=max_bpg,
-        cfg=cfg, emit_capacity=0, paths_spec=None,
+        cfg=cfg, emit_capacity=0, paths_spec=paths_spec, sums_engine="scan",
     )
-    return jax.jit(jax.vmap(lambda st: body(st)), donate_argnums=0)
+    return jax.jit(jax.vmap(lambda st, da: body(st, da),
+                            in_axes=(0, None)), donate_argnums=0)
 
 
 class MultiStreamingSession:
@@ -1149,6 +1159,7 @@ class MultiStreamingSession:
         decoder: str = "xla",
         n_beams: int = 64,
         mesh=None,
+        collect_paths=None,   # (spec, dict_args) from make_paths_spec
     ):
         import jax
 
@@ -1160,13 +1171,27 @@ class MultiStreamingSession:
         self._gcap = int(group_capacity)
         self.mesh = mesh
         cap = frame_capacity(self.chunk_bytes, self.config.decode)
+        if collect_paths is not None:
+            import jax.numpy as jnp
+
+            spec, dict_args = collect_paths
+            self._paths_spec: Optional[StreamPathsSpec] = spec
+            self._dict_args = tuple(jnp.asarray(a, jnp.float32)
+                                    for a in dict_args)
+            ga, gd = len(dict_args[2]), len(dict_args[3])
+        else:
+            self._paths_spec = None
+            self._dict_args = ()
+            ga = gd = 0
         self._step = _build_multi_step(
             cap, self._gcap, max_groups, max_baselines_per_group,
-            self.config, decoder)
+            self.config, decoder, self._paths_spec)
         self._flush = _build_multi_flush(
-            max_groups, max_baselines_per_group, self.config)
+            max_groups, max_baselines_per_group, self.config,
+            self._paths_spec)
 
-        init1 = _build_init(self._gcap, n_beams, 0)
+        init1 = _build_init(self._gcap, n_beams, 0, self._paths_spec,
+                            ga, gd)
         state = jax.vmap(lambda _: init1())(np.arange(self.n_streams))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1220,7 +1245,8 @@ class MultiStreamingSession:
                     p_dev, NamedSharding(self.mesh, P("data", None)))
                 l_dev = jax.device_put(
                     l_dev, NamedSharding(self.mesh, P("data")))
-            self._state = self._step(self._state, p_dev, l_dev)
+            self._state = self._step(self._state, p_dev, l_dev,
+                                     self._dict_args)
         for i in range(self.n_streams):
             self._byte_carry[i] = bufs[i][offs[i]:].copy()
 
@@ -1230,10 +1256,61 @@ class MultiStreamingSession:
         # Byte carries are <= 10 bytes here (feed drains every full
         # window) — too short for an 11-byte frame, same as the
         # single-stream finalize.
-        self._state = self._flush(self._state)
+        self._state = self._flush(self._state, self._dict_args)
         self._byte_carry = [np.zeros(0, np.uint8)
                             for _ in range(self.n_streams)]
         self._finalized = True
+
+    def _paths_read_all(self):
+        """ONE transfer of the whole [S, ...] online-paths state."""
+        import jax
+
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        p = self._state.paths
+        host = jax.device_get((p.n_closed, p.overflow, p.est_rings,
+                               p.valid_ring, p.time_ring, p.trk_aoa,
+                               p.trk_aod, p.trk_pow, p.trk_obs,
+                               p.trk_created, p.trk_count))
+        if bool(np.any(np.asarray(host[1]))):
+            bad = np.nonzero(np.asarray(host[1]))[0].tolist()
+            raise RuntimeError(
+                f"online estimation overflow on streams {bad}: more than "
+                f"{self._paths_spec.s_step} sweeps closed in one step or "
+                f"more than {self._paths_spec.capacity} sweeps total; "
+                "rebuild with larger s_step/capacity")
+        return host
+
+    def stream_paths(self, i: int):
+        """Stream ``i``'s online per-sweep estimates: (paths [n, K],
+        sweep_valid [n]) — the single-stream ``sweep_paths`` contract."""
+        host = self._paths_read_all()
+        n = int(np.asarray(host[0])[i])
+        est = host[2]
+        paths = type(est)(*(np.asarray(x)[i][:n] for x in est))
+        return paths, np.asarray(host[3])[i][:n]
+
+    def stream_tracks(self, i: int):
+        """Stream ``i``'s online tracks: (tracks, times, velocities) —
+        the single-stream ``path_tracks`` contract."""
+        from slam_process_tpu.models.tracking import (
+            Tracks,
+            track_velocities,
+        )
+        from slam_process_tpu.utils.timestamps import unwrap_clk_anchors
+
+        host = self._paths_read_all()
+        n = int(np.asarray(host[0])[i])
+        times_ring, taoa, taod, tpow, tobs, created, count = (
+            np.asarray(host[4])[i], np.asarray(host[5])[i],
+            np.asarray(host[6])[i], np.asarray(host[7])[i],
+            np.asarray(host[8])[i], np.asarray(host[9])[i],
+            int(np.asarray(host[10])[i]))
+        tracks = Tracks(taoa[:n].T.copy(), taod[:n].T.copy(),
+                        tpow[:n].T.copy(), tobs[:n].T.copy(),
+                        created, count)
+        t = unwrap_clk_anchors(times_ring[:n].astype(np.int64), _LOGGER)
+        return tracks, t, track_velocities(tracks, t)
 
     def results(self):
         """One transfer: per-stream (n_frames, n_kept, n_groups, sums,

@@ -144,3 +144,47 @@ def test_online_paths_match_offline_all_logs(path):
     for chunk in (1 << 18, 1 << 20):
         s = _replay(raw, spec, chunk)
         _assert_stream_equals_offline(s, _offline(raw, spec[0]))
+
+
+def test_multi_stream_online_paths_match_single_stream():
+    """MultiStreamingSession(collect_paths=...): S live streams with
+    ONLINE estimation+tracking in ONE vmapped program == S independent
+    single-stream sessions, exactly (paths, valid, times, tracks,
+    velocities), at mismatched per-stream lengths."""
+    from slam_process_tpu.parallel.streaming_device import (
+        MultiStreamingSession,
+    )
+
+    logs = [SMALL_LOG,
+            DEBUGDOC / "Serial Debug 2026-02-06 091351.txt"]
+    raws = [read_hex_log(p) for p in logs]
+    spec_args = make_paths_spec(BEAM_ANGLE, s_step=8)
+    chunk = 1 << 16
+
+    singles = [_replay(r, spec_args, chunk) for r in raws]
+
+    ms = MultiStreamingSession(n_streams=2, chunk_bytes=chunk,
+                               collect_paths=spec_args)
+    n_rounds = max(-(-len(r) // chunk) for r in raws)
+    for k in range(n_rounds):
+        ms.feed([r[k * chunk:(k + 1) * chunk] for r in raws])
+    ms.finalize()
+
+    for i, single in enumerate(singles):
+        sp, sv = single.sweep_paths()
+        mp, mv = ms.stream_paths(i)
+        np.testing.assert_array_equal(mv, sv)
+        for name in sp._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mp, name)),
+                np.asarray(getattr(sp, name)), err_msg=f"{i}:{name}")
+        st, stt, svel = single.path_tracks()
+        mt, mtt, mvel = ms.stream_tracks(i)
+        np.testing.assert_array_equal(mtt, stt)
+        for name in ("pos_aoa", "pos_aod", "power", "observed", "created"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mt, name)),
+                np.asarray(getattr(st, name)), err_msg=f"{i}:{name}")
+        assert int(mt.n_tracks) == int(st.n_tracks)
+        for a, b in zip(mvel, svel):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
