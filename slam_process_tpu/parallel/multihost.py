@@ -22,6 +22,9 @@ ride DCN on a real TPU pod:
     [S_total, N] array is assembled shard-wise (no session's bytes ever
     leave its host), and each process reads back only its local shard of
     the per-session summaries.
+  * :func:`estimate_sessions_multihost` — the sharded flagship NN-OMP
+    estimator (sessions over 'data', dictionary grid over 'model') over
+    the same process-spanning mesh.
 
 Tested end-to-end in ``tests/test_multihost.py``: two real OS processes
 with 4 virtual devices each run the sharded dataset pipeline over an
@@ -39,6 +42,7 @@ __all__ = [
     "initialize_multihost",
     "global_data_mesh",
     "run_batched_multihost",
+    "estimate_sessions_multihost",
     "local_shard",
 ]
 

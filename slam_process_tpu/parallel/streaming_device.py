@@ -1205,11 +1205,14 @@ class MultiStreamingSession:
         self._byte_carry = [np.zeros(0, np.uint8)
                             for _ in range(self.n_streams)]
         self._finalized = False
+        self._paths_host = None   # host memo of the online-paths state
 
     def feed(self, chunks) -> None:
         """Advance every stream by one chunk (``chunks``: S byte buffers;
         use b"" for streams with no new data this round)."""
         import jax
+
+        self._paths_host = None
         import jax.numpy as jnp
 
         if len(chunks) != self.n_streams:
@@ -1260,18 +1263,25 @@ class MultiStreamingSession:
         self._byte_carry = [np.zeros(0, np.uint8)
                             for _ in range(self.n_streams)]
         self._finalized = True
+        self._paths_host = None
 
     def _paths_read_all(self):
-        """ONE transfer of the whole [S, ...] online-paths state."""
+        """ONE transfer of the whole [S, ...] online-paths state (memoized
+        on the host until the next feed/finalize — per-stream readers
+        would otherwise re-pay the full D2H for every stream on the relay
+        transport)."""
         import jax
 
         if self._paths_spec is None:
             raise ValueError("built without collect_paths")
+        if self._paths_host is not None:
+            return self._paths_host
         p = self._state.paths
         host = jax.device_get((p.n_closed, p.overflow, p.est_rings,
                                p.valid_ring, p.time_ring, p.trk_aoa,
                                p.trk_aod, p.trk_pow, p.trk_obs,
-                               p.trk_created, p.trk_count))
+                               p.trk_created, p.trk_count,
+                               self._state.overflow))
         if bool(np.any(np.asarray(host[1]))):
             bad = np.nonzero(np.asarray(host[1]))[0].tolist()
             raise RuntimeError(
@@ -1279,7 +1289,20 @@ class MultiStreamingSession:
                 f"{self._paths_spec.s_step} sweeps closed in one step or "
                 f"more than {self._paths_spec.capacity} sweeps total; "
                 "rebuild with larger s_step/capacity")
-        return host
+        if bool(np.any(np.asarray(host[11]))):
+            # Same main-state policy as results(): a group/baseline
+            # overflow silently mis-corrects the rows feeding the
+            # estimator, so the online paths are suspect too.
+            import warnings
+
+            bad = np.nonzero(np.asarray(host[11]))[0].tolist()
+            msg = (f"MultiStreamingSession capacity exceeded on streams "
+                   f"{bad}; online paths/tracks for those streams are "
+                   "computed from incomplete corrections")
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+            _LOGGER.warning(msg)
+        self._paths_host = host[:11]
+        return self._paths_host
 
     def stream_paths(self, i: int):
         """Stream ``i``'s online per-sweep estimates: (paths [n, K],

@@ -186,19 +186,7 @@ def _add_estimate(sub):
                         "writes a track table + trajectory figure)")
     p.add_argument("--gate-deg", type=float, default=10.0,
                    help="track association gate (Euclidean angle distance)")
-    p.add_argument("--changes", action="store_true",
-                   help="with --tracks: also detect scene change events "
-                        "(path births/deaths, angular jumps, LoS "
-                        "handovers) and write a CLK-stamped event table")
-    p.add_argument("--min-persist", type=int, default=3,
-                   help="observations before a track counts as a path "
-                        "birth (scene change detection)")
-    p.add_argument("--min-gone", type=int, default=3,
-                   help="consecutive missed sweeps before a confirmed "
-                        "track counts as a path death")
-    p.add_argument("--jump-deg", type=float, default=5.0,
-                   help="angular displacement between consecutive "
-                        "observations that counts as a jump event")
+    _add_change_args(p, gate="--tracks")
     p.set_defaults(fn=_run_estimate)
 
 
@@ -232,6 +220,24 @@ def _run_estimate(args):
     paths = run_estimator(args.model, s, args.mapping, out, **overrides)
     print(paths.to_string(index=False) if hasattr(paths, "to_string") else paths)
     print(f"输出PNG: {out}")
+
+
+def _add_change_args(p, gate: str) -> None:
+    """Scene-change-detection flags, shared by estimate/replay/watch
+    (one definition so defaults and help stay in sync)."""
+    p.add_argument("--changes", action="store_true",
+                   help=f"with {gate}: detect scene change events (path "
+                        "births/deaths, angular jumps, LoS handovers) and "
+                        "write a CLK-stamped event table")
+    p.add_argument("--min-persist", type=int, default=3,
+                   help="observations before a track counts as a path "
+                        "birth")
+    p.add_argument("--min-gone", type=int, default=3,
+                   help="consecutive missed sweeps before a confirmed "
+                        "track counts as a path death")
+    p.add_argument("--jump-deg", type=float, default=5.0,
+                   help="angular displacement between consecutive "
+                        "observations that counts as a jump event")
 
 
 def _coerce_sweep_estimator(args, overrides, what: str) -> str:
@@ -375,13 +381,7 @@ def _add_replay(sub):
                    help="online per-sweep estimation + CLK tracks inside "
                         "the streaming step (--engine device only); writes "
                         "<name>_stream_tracks.xlsx per log")
-    p.add_argument("--changes", action="store_true",
-                   help="with --paths: scene change events (births/deaths/"
-                        "jumps/LoS handovers) from the streamed tracks; "
-                        "writes <name>_stream_changes.xlsx per log")
-    p.add_argument("--min-persist", type=int, default=3)
-    p.add_argument("--min-gone", type=int, default=3)
-    p.add_argument("--jump-deg", type=float, default=5.0)
+    _add_change_args(p, gate="--paths")
     p.set_defaults(fn=_run_replay)
 
 
@@ -520,12 +520,7 @@ def _add_watch(sub):
     p.add_argument("--paths", action="store_true",
                    help="online per-sweep estimation + CLK tracks inside "
                         "the streaming step (--engine device only)")
-    p.add_argument("--changes", action="store_true",
-                   help="with --paths: scene change events from the live "
-                        "tracks")
-    p.add_argument("--min-persist", type=int, default=3)
-    p.add_argument("--min-gone", type=int, default=3)
-    p.add_argument("--jump-deg", type=float, default=5.0)
+    _add_change_args(p, gate="--paths")
     p.set_defaults(fn=_run_watch)
 
 
@@ -550,6 +545,13 @@ def _run_watch(args):
     if args.changes and not (args.paths and args.engine == "device"):
         print("warning: --changes requires --paths with --engine device; "
               "no change events will be written", file=sys.stderr)
+    if args.render_every and args.engine == "device":
+        # Periodic renders read device state mid-stream; on relay-style
+        # PJRT transports the FIRST D2H read flips a persistent degraded
+        # dispatch mode (docs/STATUS.md), slowing every later feed step.
+        print("note: --render-every with --engine device performs "
+              "mid-stream device reads; on relay transports this degrades "
+              "feed throughput for the rest of the watch", file=sys.stderr)
     if args.engine == "device":
         from slam_process_tpu.parallel.streaming_device import (
             DeviceStreamingSession,
@@ -586,9 +588,16 @@ def _run_watch(args):
                 size = pos
             now = time.monotonic()
             if size > pos:
-                with open(args.log, "rb") as f:
-                    f.seek(pos)
-                    data = f.read(size - pos)
+                try:
+                    with open(args.log, "rb") as f:
+                        f.seek(pos)
+                        data = f.read(size - pos)
+                except OSError:
+                    # Log rotated/deleted between the size poll and the
+                    # read: treat as no growth; the accumulated state
+                    # still finalizes and exports on idle timeout.
+                    time.sleep(args.poll_interval)
+                    continue
                 pos = size
                 buf = text_carry + data
                 # Feed only up to the last whitespace: the capture may

@@ -163,7 +163,13 @@ def measure_device_time(
         # relay-down CPU fallback produce real numbers.
         import time as _time
 
-        jax.device_get(call(0))          # sync any pending dispatches
+        import jax.numpy as jnp
+
+        # Queue barrier WITHOUT invoking call() (a donated-buffer callable
+        # must be dispatched exactly once per index): programs execute in
+        # dispatch order per device, so reading a freshly dispatched
+        # trivial program drains everything queued before it.
+        jax.device_get(jax.jit(lambda: jnp.zeros((), jnp.int32))())
         runs = []
         for i in range(n):
             t0 = _time.perf_counter()

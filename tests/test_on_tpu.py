@@ -327,7 +327,9 @@ def test_pallas_sweep_sums_on_chip(decoded):
     s_max = int(gid[-1]) + 1
     args = (jnp.asarray(filt[:, 0], jnp.int32),
             jnp.asarray(filt[:, 1], jnp.int32),
-            jnp.asarray(filt[:, 2], jnp.float32),
+            # Integer dtype: the explicit-pallas engine asserts it (float
+            # RSS would be silently truncated by the limb split).
+            jnp.asarray(filt[:, 2], jnp.int32),
             jnp.asarray(gid, jnp.int32),
             jnp.ones((len(filt),), bool))
     import functools
