@@ -1094,7 +1094,7 @@ class DeviceStreamingSession:
 
 @functools.lru_cache(maxsize=8)
 def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder,
-                      paths_spec=None):
+                      paths_spec=None, emit_capacity=0):
     """Vmapped streaming step: S independent streams advance in ONE
     program.  Sharding comes from the inputs (states/chunks laid out over
     the mesh 'data' axis) — XLA propagates it through the vmapped body, so
@@ -1108,7 +1108,7 @@ def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder,
     body = functools.partial(
         _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
         max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
-        emit_capacity=0, paths_spec=paths_spec,
+        emit_capacity=emit_capacity, paths_spec=paths_spec,
         # XLA formulations under vmap: the Pallas carry-compaction and
         # sweep-sums kernels rely on a sequential grid + running
         # accumulators, which a batching axis would break.
@@ -1121,12 +1121,14 @@ def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder,
 
 
 @functools.lru_cache(maxsize=8)
-def _build_multi_flush(max_groups, max_bpg, cfg, paths_spec=None):
+def _build_multi_flush(max_groups, max_bpg, cfg, paths_spec=None,
+                       emit_capacity=0):
     import jax
 
     body = functools.partial(
         _flush_body, max_groups=max_groups, max_baselines_per_group=max_bpg,
-        cfg=cfg, emit_capacity=0, paths_spec=paths_spec, sums_engine="scan",
+        cfg=cfg, emit_capacity=emit_capacity, paths_spec=paths_spec,
+        sums_engine="scan",
     )
     return jax.jit(jax.vmap(lambda st, da: body(st, da),
                             in_axes=(0, None)), donate_argnums=0)
@@ -1160,6 +1162,7 @@ class MultiStreamingSession:
         n_beams: int = 64,
         mesh=None,
         collect_paths=None,   # (spec, dict_args) from make_paths_spec
+        emit_capacity: int = 0,
     ):
         import jax
 
@@ -1183,15 +1186,22 @@ class MultiStreamingSession:
             self._paths_spec = None
             self._dict_args = ()
             ga = gd = 0
+        # Fixed per-stream emit ring (no auto-growth: growth would
+        # recompile the shared vmapped program per doubling; size it from
+        # the expected per-stream volume — one frame per 11 bytes bounds
+        # kept rows).  Overflow flags per stream; stream_filtered raises.
+        self._ecap = int(emit_capacity)
+        emit_alloc = (self._ecap + self._gcap + (-(-self.chunk_bytes // 11))
+                      if self._ecap else 0)
         self._step = _build_multi_step(
             cap, self._gcap, max_groups, max_baselines_per_group,
-            self.config, decoder, self._paths_spec)
+            self.config, decoder, self._paths_spec, self._ecap)
         self._flush = _build_multi_flush(
             max_groups, max_baselines_per_group, self.config,
-            self._paths_spec)
+            self._paths_spec, self._ecap)
 
-        init1 = _build_init(self._gcap, n_beams, 0, self._paths_spec,
-                            ga, gd)
+        init1 = _build_init(self._gcap, n_beams, emit_alloc,
+                            self._paths_spec, ga, gd)
         state = jax.vmap(lambda _: init1())(np.arange(self.n_streams))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1206,6 +1216,7 @@ class MultiStreamingSession:
                             for _ in range(self.n_streams)]
         self._finalized = False
         self._paths_host = None   # host memo of the online-paths state
+        self._emit_host = None    # host memo of the emit rings
 
     def feed(self, chunks) -> None:
         """Advance every stream by one chunk (``chunks``: S byte buffers;
@@ -1213,6 +1224,7 @@ class MultiStreamingSession:
         import jax
 
         self._paths_host = None
+        self._emit_host = None
         import jax.numpy as jnp
 
         if len(chunks) != self.n_streams:
@@ -1264,6 +1276,7 @@ class MultiStreamingSession:
                             for _ in range(self.n_streams)]
         self._finalized = True
         self._paths_host = None
+        self._emit_host = None
 
     def _paths_read_all(self):
         """ONE transfer of the whole [S, ...] online-paths state (memoized
@@ -1303,6 +1316,27 @@ class MultiStreamingSession:
             _LOGGER.warning(msg)
         self._paths_host = host[:11]
         return self._paths_host
+
+    def stream_filtered(self, i: int) -> np.ndarray:
+        """Stream ``i``'s corrected rows [N, 4] in stream order (the
+        single-stream ``filtered`` contract; requires ``emit_capacity``)."""
+        import jax
+
+        if not self._ecap:
+            raise ValueError("built with emit_capacity=0")
+        if self._emit_host is None:
+            self._emit_host = jax.device_get(
+                (self._state.emit_buf, self._state.emit_count,
+                 self._state.emit_overflow))
+        buf, count, ovf = self._emit_host
+        if bool(np.asarray(ovf)[i]):
+            raise RuntimeError(
+                f"emit ring overflowed on stream {i} (emit_capacity="
+                f"{self._ecap}); the exported table would be silently "
+                "truncated — rebuild with a larger emit_capacity "
+                "(counts/grids remain exact)")
+        return np.asarray(buf)[i][: int(np.asarray(count)[i])].astype(
+            np.int64)
 
     def stream_paths(self, i: int):
         """Stream ``i``'s online per-sweep estimates: (paths [n, K],

@@ -336,3 +336,26 @@ def test_run_dataset_convenience_matches_per_session(two_logs):
         np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
         np.testing.assert_allclose(a[np.isfinite(a)], b[np.isfinite(b)],
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_multi_stream_emit_matches_single_stream_filtered():
+    """Per-stream emit rings: MultiStreamingSession(emit_capacity=...)
+    exports each stream's corrected rows exactly equal to the
+    single-stream collect_filtered session (and to the offline table)."""
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.parallel.streaming_device import (
+        MultiStreamingSession,
+        replay_log_device,
+    )
+
+    raws = [read_hex_log(SMALL_LOG), read_hex_log(SMALL_LOG_2026_02_06)]
+    ecap = max(len(r) // 11 + 1 for r in raws)
+    ms = MultiStreamingSession(2, chunk_bytes=1 << 18, emit_capacity=ecap)
+    step = 1 << 18
+    for off in range(0, max(len(r) for r in raws), step):
+        ms.feed([r[off:off + step] for r in raws])
+    ms.finalize()
+    for i, r in enumerate(raws):
+        s = replay_log_device(r, chunk_bytes=1 << 18,
+                              collect_filtered=True)
+        np.testing.assert_array_equal(ms.stream_filtered(i), s.filtered)
