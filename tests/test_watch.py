@@ -18,7 +18,11 @@ LOG = Path("/root/reference/debugDoc/"
 MAPPING = "/root/reference/beam_angle.xlsx"
 
 
-def test_watch_matches_offline(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_watch_matches_offline(tmp_path, engine):
     from slam_process_tpu.pipeline.cli import main
     from slam_process_tpu.pipeline.session import Session
 
@@ -42,7 +46,7 @@ def test_watch_matches_offline(tmp_path):
     t.start()
     argv, sys.argv = sys.argv, [
         "cli", "watch", "--log", str(grow), "--mapping", MAPPING,
-        "--outdir", str(tmp_path), "--engine", "host",
+        "--outdir", str(tmp_path), "--engine", engine,
         "--poll-interval", "0.05", "--idle-timeout", "2.0"]
     try:
         main()
