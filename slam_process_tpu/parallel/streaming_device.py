@@ -838,6 +838,7 @@ class DeviceStreamingSession:
         self._mg = max_groups
         self._mbpg = max_baselines_per_group
         self._decoder = decoder
+        self._n_beams = int(n_beams)
         # Ring allocation = logical capacity + one block of slack
         # (gcap + chunk rows): the emit block write is a fixed t-row
         # dynamic_update_slice whose tail may exceed the logical capacity
@@ -895,6 +896,11 @@ class DeviceStreamingSession:
         """Consume one chunk of tokenized bytes (any length)."""
         import jax.numpy as jnp
 
+        if self._finalized:
+            raise RuntimeError(
+                "session already finalized: the flush closed the open "
+                "sweep group, so feeding more bytes would mis-segment "
+                "sweeps; start (or restore) a non-finalized session")
         if isinstance(chunk, (bytes, bytearray)):
             chunk = np.frombuffer(chunk, dtype=np.uint8)
         buf = np.concatenate(
@@ -1091,6 +1097,169 @@ class DeviceStreamingSession:
         jax.block_until_ready(self._state.sums)
         return self
 
+    # -- checkpoint / resume ---------------------------------------------
+
+    def save_checkpoint(self, path, extra: Optional[dict] = None) -> None:
+        """Write the full streaming state to ``path`` (one npz file).
+
+        Captures everything: the device state machine (carry frames, open
+        sweep group, intensity accumulators, emit ring, online-estimation
+        rings and tracker carry), the host byte carry, and the session
+        configuration.  ``DeviceStreamingSession.restore(path)`` continues
+        the stream exactly — mid-stream crash recovery for unbounded live
+        captures (SURVEY §5.4; see the module-level checkpoint notes for
+        the D2H/pickle caveats).  ``extra`` rides along for the caller
+        (e.g. ``cli watch`` stores its file offset + tokenizer text carry)
+        and comes back as ``restored.checkpoint_extra``.
+        """
+        meta = {
+            "extra": extra,
+            "version": _CKPT_VERSION,
+            "kind": "device_stream",
+            "config": self.config,
+            "chunk_bytes": self.chunk_bytes,
+            "group_capacity": self._gcap,
+            "max_groups": self._mg,
+            "max_baselines_per_group": self._mbpg,
+            "decoder": self._decoder,
+            "collect_filtered": self.collect_filtered,
+            "n_beams": self._n_beams,
+            "emit_auto": self._emit_auto,
+            "ecap": self._ecap,
+            "emit_bound": self._emit_bound,
+            "finalized": self._finalized,
+            "paths_spec": self._paths_spec,
+            "dict_args": tuple(np.asarray(a) for a in self._dict_args),
+            "byte_carry": np.asarray(self._byte_carry, np.uint8),
+        }
+        _ckpt_write(path, self._state, meta)
+
+    @classmethod
+    def restore(cls, path) -> "DeviceStreamingSession":
+        """Rebuild a session from :meth:`save_checkpoint` output.
+
+        The restored session reuses (or recompiles, once per process) the
+        same cached step programs, verifies the checkpoint's state leaves
+        against the configuration's zero state, and continues the stream
+        where it left off; results after feeding the remainder are
+        EXACTLY equal to an uninterrupted run.
+        """
+        meta, leaves = _ckpt_read(path)
+        if meta.get("kind") != "device_stream":
+            raise ValueError(
+                f"not a DeviceStreamingSession checkpoint: kind="
+                f"{meta.get('kind')!r} (MultiStreamingSession checkpoints "
+                "restore via MultiStreamingSession.restore)")
+        spec = meta["paths_spec"]
+        sess = cls(
+            config=meta["config"],
+            chunk_bytes=meta["chunk_bytes"],
+            group_capacity=meta["group_capacity"],
+            max_groups=meta["max_groups"],
+            max_baselines_per_group=meta["max_baselines_per_group"],
+            decoder=meta["decoder"],
+            collect_filtered=meta["collect_filtered"],
+            n_beams=meta["n_beams"],
+            emit_capacity=(meta["ecap"] if meta["collect_filtered"]
+                           else None),
+            collect_paths=((spec, meta["dict_args"])
+                           if spec is not None else None),
+        )
+        sess._emit_auto = bool(meta["emit_auto"])
+        sess._emit_bound = int(meta["emit_bound"])
+        sess._finalized = bool(meta["finalized"])
+        sess._byte_carry = np.asarray(meta["byte_carry"], np.uint8)
+        sess._state = _ckpt_swap_state(sess._state, leaves)
+        sess.checkpoint_extra = meta.get("extra")
+        return sess
+
+
+# -- checkpoint / resume -----------------------------------------------------
+#
+# SURVEY.md §5.4: the reference's only "checkpointing" is its durable .xlsx
+# stage artifacts (bs_beam_correction.py:136-138 even overwrites its input
+# in-place).  The offline Session mirrors that with npz stage artifacts; the
+# STREAMING axis additionally needs mid-stream state checkpoints — an
+# unbounded live capture cannot be re-fed from the start after a crash, so
+# the device-resident state machine itself must round-trip through disk.
+#
+# A checkpoint is one npz file: every leaf of the DeviceStreamState pytree
+# (read back with a single device_get) plus a pickled meta blob holding the
+# constructor configuration and the host-side carry/bookkeeping.  Restore
+# rebuilds the session from the saved configuration (compiling or reusing
+# the same cached step program), verifies every leaf's shape/dtype against
+# the freshly built zero state, and places the saved leaves on device —
+# feeding the remaining stream then produces results EXACTLY equal to an
+# uninterrupted run (tests/test_streaming_device.py).
+#
+# Note: saving performs a D2H read of the full state, so on the relay
+# transport a checkpoint (like any result read) flips the degraded dispatch
+# mode — checkpoints are stop-the-world by nature.  Loading unpickles the
+# meta blob; open checkpoints you wrote, not untrusted files.
+
+_CKPT_VERSION = 1
+
+
+def _ckpt_write(path, state, meta: dict) -> None:
+    import os
+    import pickle
+
+    import jax
+
+    leaves = jax.device_get(jax.tree.leaves(state))
+    blob = np.frombuffer(pickle.dumps(meta, protocol=4), dtype=np.uint8)
+    arrays = {f"leaf_{i:04d}": np.asarray(x) for i, x in enumerate(leaves)}
+    # Atomic replace: a crash mid-save must not corrupt the last good
+    # checkpoint (the whole point of having one).  Through a file handle:
+    # np.savez(path) appends ".npz" to bare paths, which would make
+    # save/restore disagree about the file name.
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, meta=blob, n_leaves=np.int64(len(leaves)), **arrays)
+    os.replace(tmp, path)
+
+
+def _ckpt_read(path):
+    import pickle
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = pickle.loads(z["meta"].tobytes())
+        n = int(z["n_leaves"])
+        leaves = [z[f"leaf_{i:04d}"] for i in range(n)]
+    if meta.get("version") != _CKPT_VERSION:
+        raise ValueError(
+            f"unsupported checkpoint version {meta.get('version')!r} "
+            f"(this build reads version {_CKPT_VERSION})")
+    return meta, leaves
+
+
+def _ckpt_swap_state(zero_state, leaves, *, place=None):
+    """Replace ``zero_state``'s leaves with the checkpointed ones.
+
+    Shape/dtype of every leaf is verified against the zero state built
+    from the restored configuration — any drift (changed estimator output
+    structure, different capacities) fails loudly instead of producing a
+    silently misaligned state.  ``place`` optionally maps each device
+    array (e.g. mesh sharding for the multi-stream state).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    zero_leaves, treedef = jax.tree.flatten(zero_state)
+    if len(zero_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} state leaves, the restored "
+            f"configuration builds {len(zero_leaves)}")
+    new_leaves = []
+    for i, (z, l) in enumerate(zip(zero_leaves, leaves)):
+        if tuple(z.shape) != tuple(l.shape) or z.dtype != l.dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} is {l.dtype}{list(l.shape)} but the "
+                f"restored configuration expects {z.dtype}{list(z.shape)}")
+        arr = jnp.asarray(l)
+        new_leaves.append(place(arr) if place is not None else arr)
+    return jax.tree.unflatten(treedef, new_leaves)
+
 
 @functools.lru_cache(maxsize=8)
 def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder,
@@ -1172,6 +1341,10 @@ class MultiStreamingSession:
         if self.chunk_bytes <= CARRY_BYTES:
             raise ValueError("chunk_bytes must exceed the 10-byte carry")
         self._gcap = int(group_capacity)
+        self._mg = int(max_groups)
+        self._mbpg = int(max_baselines_per_group)
+        self._decoder = decoder
+        self._n_beams = int(n_beams)
         self.mesh = mesh
         cap = frame_capacity(self.chunk_bytes, self.config.decode)
         if collect_paths is not None:
@@ -1223,6 +1396,11 @@ class MultiStreamingSession:
         use b"" for streams with no new data this round)."""
         import jax
 
+        if self._finalized:
+            raise RuntimeError(
+                "session already finalized: the flush closed every "
+                "stream's open sweep group; start (or restore) a "
+                "non-finalized session")
         self._paths_host = None
         self._emit_host = None
         import jax.numpy as jnp
@@ -1395,6 +1573,77 @@ class MultiStreamingSession:
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
             _LOGGER.warning(msg)
         return out
+
+    # -- checkpoint / resume ---------------------------------------------
+
+    def save_checkpoint(self, path, extra: Optional[dict] = None) -> None:
+        """Write all S streams' state to ``path`` (one npz file).
+
+        The mesh itself is not serialized (device topology is a property
+        of the restoring process); pass ``mesh=`` to :meth:`restore` to
+        re-shard the restored state over the new process's devices.
+        """
+        meta = {
+            "extra": extra,
+            "version": _CKPT_VERSION,
+            "kind": "multi_stream",
+            "config": self.config,
+            "n_streams": self.n_streams,
+            "chunk_bytes": self.chunk_bytes,
+            "group_capacity": self._gcap,
+            "max_groups": self._mg,
+            "max_baselines_per_group": self._mbpg,
+            "decoder": self._decoder,
+            "n_beams": self._n_beams,
+            "ecap": self._ecap,
+            "finalized": self._finalized,
+            "paths_spec": self._paths_spec,
+            "dict_args": tuple(np.asarray(a) for a in self._dict_args),
+            "byte_carry": [np.asarray(b, np.uint8)
+                           for b in self._byte_carry],
+        }
+        _ckpt_write(path, self._state, meta)
+
+    @classmethod
+    def restore(cls, path, mesh=None) -> "MultiStreamingSession":
+        """Rebuild from :meth:`save_checkpoint`; per-stream results after
+        feeding the remainder equal an uninterrupted run exactly."""
+        meta, leaves = _ckpt_read(path)
+        if meta.get("kind") != "multi_stream":
+            raise ValueError(
+                f"not a MultiStreamingSession checkpoint: kind="
+                f"{meta.get('kind')!r}")
+        spec = meta["paths_spec"]
+        sess = cls(
+            meta["n_streams"],
+            config=meta["config"],
+            chunk_bytes=meta["chunk_bytes"],
+            group_capacity=meta["group_capacity"],
+            max_groups=meta["max_groups"],
+            max_baselines_per_group=meta["max_baselines_per_group"],
+            decoder=meta["decoder"],
+            n_beams=meta["n_beams"],
+            mesh=mesh,
+            collect_paths=((spec, meta["dict_args"])
+                           if spec is not None else None),
+            emit_capacity=meta["ecap"],
+        )
+        sess._finalized = bool(meta["finalized"])
+        sess._byte_carry = [np.asarray(b, np.uint8)
+                            for b in meta["byte_carry"]]
+        place = None
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def place(x):
+                return jax.device_put(
+                    x, NamedSharding(
+                        mesh, P("data", *([None] * (x.ndim - 1)))))
+
+        sess._state = _ckpt_swap_state(sess._state, leaves, place=place)
+        sess.checkpoint_extra = meta.get("extra")
+        return sess
 
 
 def replay_log_device(

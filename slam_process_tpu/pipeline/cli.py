@@ -520,6 +520,14 @@ def _add_watch(sub):
     p.add_argument("--paths", action="store_true",
                    help="online per-sweep estimation + CLK tracks inside "
                         "the streaming step (--engine device only)")
+    p.add_argument("--checkpoint", type=Path, default=None,
+                   help="crash-recovery state file (--engine device only): "
+                        "restored at startup when it exists; rewritten "
+                        "atomically every --checkpoint-every seconds and "
+                        "at exit")
+    p.add_argument("--checkpoint-every", type=float, default=0.0,
+                   help="seconds between periodic checkpoints (0 = only "
+                        "at exit; requires --checkpoint)")
     _add_change_args(p, gate="--paths")
     p.set_defaults(fn=_run_watch)
 
@@ -552,20 +560,58 @@ def _run_watch(args):
         print("note: --render-every with --engine device performs "
               "mid-stream device reads; on relay transports this degrades "
               "feed throughput for the rest of the watch", file=sys.stderr)
+    pos = 0
+    text_carry = b""
+    if args.checkpoint and args.engine != "device":
+        print("warning: --checkpoint requires --engine device; no "
+              "recovery state will be written", file=sys.stderr)
     if args.engine == "device":
         from slam_process_tpu.parallel.streaming_device import (
             DeviceStreamingSession,
             make_paths_spec,
         )
 
-        # Unknown final size: the emit ring auto-grows from the
-        # conservative host-side bound as bytes arrive.
-        cp = make_paths_spec(args.mapping) if args.paths else None
-        s = DeviceStreamingSession(collect_filtered=True, collect_paths=cp)
+        if args.checkpoint and args.checkpoint.exists():
+            # Crash recovery: the checkpoint holds the device state AND
+            # this loop's host cursor (file offset + tokenizer carry), so
+            # the watch resumes exactly where the dead process stopped.
+            s = DeviceStreamingSession.restore(args.checkpoint)
+            if s._finalized:
+                raise SystemExit(
+                    f"{args.checkpoint} is from a COMPLETED watch (the "
+                    "final sweep group was already flushed); delete it to "
+                    "start a fresh session")
+            if args.paths and s._paths_spec is None:
+                print("warning: --paths ignored — the restored checkpoint "
+                      "was created without online estimation",
+                      file=sys.stderr)
+                args.paths = False
+            host = s.checkpoint_extra or {}
+            pos = int(host.get("pos", 0))
+            text_carry = bytes(host.get("text_carry", b""))
+            print(f"resumed from {args.checkpoint} at byte {pos} "
+                  f"({int(s.n_frames)} frames so far)", file=sys.stderr)
+        else:
+            # Unknown final size: the emit ring auto-grows from the
+            # conservative host-side bound as bytes arrive.
+            cp = make_paths_spec(args.mapping) if args.paths else None
+            s = DeviceStreamingSession(collect_filtered=True,
+                                       collect_paths=cp)
+        if args.checkpoint and args.checkpoint_every:
+            # Same transport caveat as --render-every: each periodic save
+            # reads the full device state back to the host.
+            print("note: periodic --checkpoint saves perform mid-stream "
+                  "device reads; on relay transports this degrades feed "
+                  "throughput for the rest of the watch", file=sys.stderr)
     else:
         from slam_process_tpu.parallel.streaming import StreamingSession
 
         s = StreamingSession()
+
+    def save_ckpt():
+        if args.checkpoint and args.engine == "device":
+            s.save_checkpoint(args.checkpoint,
+                              extra={"pos": pos, "text_carry": text_carry})
 
     def tail_png():
         rendered = s.render(lut)
@@ -575,10 +621,9 @@ def _run_watch(args):
             out, title=f"live watch ({name})")
         return out
 
-    pos = 0
-    text_carry = b""
     last_growth = time.monotonic()
     last_render = time.monotonic()
+    last_ckpt = time.monotonic()
     fed_tokens = 0
     try:
         while True:
@@ -618,6 +663,10 @@ def _run_watch(args):
             if args.render_every and now - last_render >= args.render_every:
                 tail_png()
                 last_render = now
+            if (args.checkpoint and args.checkpoint_every
+                    and now - last_ckpt >= args.checkpoint_every):
+                save_ckpt()
+                last_ckpt = now
             time.sleep(args.poll_interval)
     except KeyboardInterrupt:
         pass
@@ -625,7 +674,9 @@ def _run_watch(args):
     if len(tokens):
         s.feed(tokens)
         fed_tokens += len(tokens)
+        text_carry = b""
     s.finalize()
+    save_ckpt()
     png = tail_png()
     write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
     if args.engine == "device" and args.paths:

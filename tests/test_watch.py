@@ -63,3 +63,71 @@ def test_watch_matches_offline(tmp_path, engine):
     rows = np.asarray(read_filtered_table(out), dtype=np.int64)
     np.testing.assert_array_equal(
         rows, np.asarray(off.filtered)[:, :rows.shape[1]])
+
+
+@pytest.mark.slow
+def test_watch_crash_resume_from_checkpoint(tmp_path):
+    """Crash recovery end-to-end: a watch process is SIGKILLed mid-stream,
+    a second watch resumes from its periodic checkpoint (device state +
+    file offset + tokenizer carry), and the final filtered table equals
+    the offline pipeline on the full log exactly."""
+    import os
+    import signal
+    import subprocess
+
+    from slam_process_tpu.io.schemas import read_filtered_table
+    from slam_process_tpu.pipeline.cli import main
+    from slam_process_tpu.pipeline.session import Session
+
+    data = LOG.read_bytes()
+    grow = tmp_path / "live.txt"
+    ckpt = tmp_path / "watch.ckpt"
+    # Stage 1: half the log is already on disk when the first watch starts.
+    grow.write_bytes(data[: len(data) // 2])
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    code = (
+        "import jax, sys; jax.config.update('jax_platforms', 'cpu');\n"
+        "from slam_process_tpu.pipeline.cli import main\n"
+        f"sys.argv = ['cli', 'watch', '--log', {str(grow)!r}, "
+        f"'--mapping', {MAPPING!r}, '--outdir', {str(tmp_path)!r}, "
+        f"'--engine', 'device', '--poll-interval', '0.05', "
+        f"'--idle-timeout', '0', '--checkpoint', {str(ckpt)!r}, "
+        f"'--checkpoint-every', '0.3']\n"
+        "main()\n")
+    child = subprocess.Popen([sys.executable, "-c", code], cwd=repo,
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.monotonic() + 180
+        while not ckpt.exists():
+            assert child.poll() is None, "watch process died before saving"
+            assert time.monotonic() < deadline, "no checkpoint within 180s"
+            time.sleep(0.2)
+        time.sleep(1.0)           # let at least one more periodic save land
+    finally:
+        if child.poll() is None:
+            os.kill(child.pid, signal.SIGKILL)
+        child.wait()
+
+    # Stage 2: the capture keeps growing after the crash; a new watch
+    # resumes from the checkpoint and consumes the rest.
+    with open(grow, "ab") as f:
+        f.write(data[len(data) // 2:])
+    argv, sys.argv = sys.argv, [
+        "cli", "watch", "--log", str(grow), "--mapping", MAPPING,
+        "--outdir", str(tmp_path), "--engine", "device",
+        "--poll-interval", "0.05", "--idle-timeout", "2.0",
+        "--checkpoint", str(ckpt)]
+    try:
+        main()
+    finally:
+        sys.argv = argv
+
+    off = Session.from_log(LOG)
+    off.correct()
+    out = tmp_path / "live_filtered.xlsx"
+    assert out.exists(), list(tmp_path.iterdir())
+    rows = np.asarray(read_filtered_table(out), dtype=np.int64)
+    np.testing.assert_array_equal(
+        rows, np.asarray(off.filtered)[:, :rows.shape[1]])
