@@ -47,11 +47,17 @@ class StreamingSession:
         nb = n_beams
         self._sums = np.zeros((nb, nb))
         self._counts = np.zeros((nb, nb), dtype=np.int64)
+        self._finalized = False
 
     # -- ingest --------------------------------------------------------------
 
     def feed(self, chunk: Union[bytes, np.ndarray]) -> int:
         """Consume one chunk of tokenized bytes; returns frames decoded."""
+        if self._finalized:
+            raise RuntimeError(
+                "session already finalized: the flush closed the open "
+                "sweep group, so feeding more bytes would mis-segment "
+                "sweeps; start (or restore) a non-finalized session")
         if isinstance(chunk, (bytes, bytearray)):
             chunk = np.frombuffer(chunk, dtype=np.uint8)
         buf = np.concatenate([self._carry, np.asarray(chunk, dtype=np.uint8)])
@@ -114,8 +120,78 @@ class StreamingSession:
 
     def finalize(self) -> None:
         """Flush the open sweep group (end of stream)."""
+        if self._finalized:
+            return
         self._correct_and_fold_open()
         self._last_ue = None
+        self._finalized = True
+
+    # -- checkpoint / resume ---------------------------------------------
+
+    def save_checkpoint(self, path, extra: Optional[dict] = None) -> None:
+        """Write the full host streaming state to ``path`` (one npz file).
+
+        The host-engine counterpart of ``DeviceStreamingSession.
+        save_checkpoint`` (same atomic-replace file discipline, same
+        ``extra`` side-channel for the caller's cursor); resume equals an
+        uninterrupted run exactly (tests/test_checkpoint.py).
+        """
+        import os
+        import pickle
+
+        group = (np.concatenate(self._group_rows) if self._group_rows
+                 else np.zeros((0, 5), np.int64))
+        meta = {
+            "version": 1,
+            "kind": "host_stream",
+            "config": self.config,
+            "last_ue": self._last_ue,
+            "n_frames": self.n_frames,
+            "n_kept": self.n_kept,
+            "n_groups": self.n_groups,
+            "finalized": self._finalized,
+            "extra": extra,
+        }
+        blob = np.frombuffer(pickle.dumps(meta, protocol=4), np.uint8)
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, meta=blob, carry=self._carry, sums=self._sums,
+                     counts=self._counts, group=group,
+                     filtered=self.filtered)
+        os.replace(tmp, path)
+
+    @classmethod
+    def restore(cls, path) -> "StreamingSession":
+        """Rebuild a session from :meth:`save_checkpoint` output."""
+        import pickle
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = pickle.loads(z["meta"].tobytes())
+            if meta.get("kind") != "host_stream":
+                raise ValueError(
+                    f"not a StreamingSession checkpoint: kind="
+                    f"{meta.get('kind')!r} (device-engine checkpoints "
+                    "restore via DeviceStreamingSession.restore)")
+            if meta.get("version") != 1:
+                raise ValueError(
+                    f"unsupported checkpoint version {meta.get('version')!r}")
+            carry, sums, counts, group, filtered = (
+                z["carry"], z["sums"], z["counts"], z["group"],
+                z["filtered"])
+        sess = cls(config=meta["config"], n_beams=sums.shape[0])
+        sess._carry = np.asarray(carry, np.uint8)
+        sess._sums = np.asarray(sums, np.float64)
+        sess._counts = np.asarray(counts, np.int64)
+        sess._group_rows = [np.asarray(group, np.int64)] if len(group) else []
+        sess._last_ue = meta["last_ue"]
+        sess.n_frames = int(meta["n_frames"])
+        sess.n_kept = int(meta["n_kept"])
+        sess.n_groups = int(meta["n_groups"])
+        sess.filtered_parts = ([np.asarray(filtered, np.int64)]
+                               if len(filtered) else [])
+        sess._finalized = bool(meta["finalized"])
+        sess.checkpoint_extra = meta.get("extra")
+        return sess
 
     # -- results -------------------------------------------------------------
 

@@ -1224,7 +1224,10 @@ def _ckpt_read(path):
 
     with np.load(path, allow_pickle=False) as z:
         meta = pickle.loads(z["meta"].tobytes())
-        n = int(z["n_leaves"])
+        # Host-engine (StreamingSession) checkpoints share the meta/kind
+        # layout but carry named arrays instead of a pytree leaf table;
+        # let the caller's kind check produce the right error.
+        n = int(z["n_leaves"]) if "n_leaves" in z else 0
         leaves = [z[f"leaf_{i:04d}"] for i in range(n)]
     if meta.get("version") != _CKPT_VERSION:
         raise ValueError(

@@ -521,10 +521,9 @@ def _add_watch(sub):
                    help="online per-sweep estimation + CLK tracks inside "
                         "the streaming step (--engine device only)")
     p.add_argument("--checkpoint", type=Path, default=None,
-                   help="crash-recovery state file (--engine device only): "
-                        "restored at startup when it exists; rewritten "
-                        "atomically every --checkpoint-every seconds and "
-                        "at exit")
+                   help="crash-recovery state file: restored at startup "
+                        "when it exists; rewritten atomically every "
+                        "--checkpoint-every seconds and at exit")
     p.add_argument("--checkpoint-every", type=float, default=0.0,
                    help="seconds between periodic checkpoints (0 = only "
                         "at exit; requires --checkpoint)")
@@ -562,54 +561,58 @@ def _run_watch(args):
               "feed throughput for the rest of the watch", file=sys.stderr)
     pos = 0
     text_carry = b""
-    if args.checkpoint and args.engine != "device":
-        print("warning: --checkpoint requires --engine device; no "
-              "recovery state will be written", file=sys.stderr)
     if args.engine == "device":
         from slam_process_tpu.parallel.streaming_device import (
-            DeviceStreamingSession,
+            DeviceStreamingSession as Sess,
             make_paths_spec,
         )
-
-        if args.checkpoint and args.checkpoint.exists():
-            # Crash recovery: the checkpoint holds the device state AND
-            # this loop's host cursor (file offset + tokenizer carry), so
-            # the watch resumes exactly where the dead process stopped.
-            s = DeviceStreamingSession.restore(args.checkpoint)
-            if s._finalized:
-                raise SystemExit(
-                    f"{args.checkpoint} is from a COMPLETED watch (the "
-                    "final sweep group was already flushed); delete it to "
-                    "start a fresh session")
-            if args.paths and s._paths_spec is None:
-                print("warning: --paths ignored — the restored checkpoint "
-                      "was created without online estimation",
-                      file=sys.stderr)
-                args.paths = False
-            host = s.checkpoint_extra or {}
-            pos = int(host.get("pos", 0))
-            text_carry = bytes(host.get("text_carry", b""))
-            print(f"resumed from {args.checkpoint} at byte {pos} "
-                  f"({int(s.n_frames)} frames so far)", file=sys.stderr)
-        else:
-            # Unknown final size: the emit ring auto-grows from the
-            # conservative host-side bound as bytes arrive.
-            cp = make_paths_spec(args.mapping) if args.paths else None
-            s = DeviceStreamingSession(collect_filtered=True,
-                                       collect_paths=cp)
-        if args.checkpoint and args.checkpoint_every:
-            # Same transport caveat as --render-every: each periodic save
-            # reads the full device state back to the host.
-            print("note: periodic --checkpoint saves perform mid-stream "
-                  "device reads; on relay transports this degrades feed "
-                  "throughput for the rest of the watch", file=sys.stderr)
     else:
-        from slam_process_tpu.parallel.streaming import StreamingSession
-
-        s = StreamingSession()
+        from slam_process_tpu.parallel.streaming import (
+            StreamingSession as Sess,
+        )
+    if args.checkpoint and args.checkpoint.exists():
+        # Crash recovery: the checkpoint holds the session state AND this
+        # loop's cursor (file offset + tokenizer text carry), so the
+        # watch resumes exactly where the dead process stopped.  A
+        # device-engine checkpoint restores only with --engine device and
+        # vice versa (the restore raises a kind-mismatch error).
+        s = Sess.restore(args.checkpoint)
+        if s._finalized:
+            raise SystemExit(
+                f"{args.checkpoint} is from a COMPLETED watch (the "
+                "final sweep group was already flushed); delete it to "
+                "start a fresh session")
+        if args.paths and getattr(s, "_paths_spec", None) is None:
+            print("warning: --paths ignored — the restored checkpoint "
+                  "was created without online estimation",
+                  file=sys.stderr)
+            args.paths = False
+        if args.engine == "device" and not s.collect_filtered:
+            raise SystemExit(
+                f"{args.checkpoint} was created without collect_filtered; "
+                "watch needs the emit ring to export the filtered table")
+        host = s.checkpoint_extra or {}
+        pos = int(host.get("pos", 0))
+        text_carry = bytes(host.get("text_carry", b""))
+        print(f"resumed from {args.checkpoint} at byte {pos} "
+              f"({int(s.n_frames)} frames so far)", file=sys.stderr)
+    elif args.engine == "device":
+        # Unknown final size: the emit ring auto-grows from the
+        # conservative host-side bound as bytes arrive.
+        cp = make_paths_spec(args.mapping) if args.paths else None
+        s = Sess(collect_filtered=True, collect_paths=cp)
+    else:
+        s = Sess()
+    if (args.checkpoint and args.checkpoint_every
+            and args.engine == "device"):
+        # Same transport caveat as --render-every: each periodic save
+        # reads the full device state back to the host.
+        print("note: periodic --checkpoint saves perform mid-stream "
+              "device reads; on relay transports this degrades feed "
+              "throughput for the rest of the watch", file=sys.stderr)
 
     def save_ckpt():
-        if args.checkpoint and args.engine == "device":
+        if args.checkpoint:
             s.save_checkpoint(args.checkpoint,
                               extra={"pos": pos, "text_carry": text_carry})
 

@@ -246,3 +246,52 @@ def test_checkpoint_extra_roundtrip_and_finalized_guard(small_log_bytes,
     m.finalize()
     with pytest.raises(RuntimeError, match="already finalized"):
         m.feed([b"", b""])
+
+
+def test_host_streaming_checkpoint_resume(small_log_bytes, tmp_path):
+    """The host-engine session (no TPU) checkpoints and resumes with the
+    same exact-parity contract as the device engine."""
+    from slam_process_tpu.parallel.streaming import StreamingSession
+
+    chunk = 1 << 15
+    raw = small_log_bytes
+
+    full = StreamingSession()
+    for off in range(0, len(raw), chunk):
+        full.feed(raw[off:off + chunk])
+    full.finalize()
+
+    part = StreamingSession()
+    split = 100_003
+    part.feed(raw[:split])
+    ckpt = tmp_path / "host.ckpt"
+    part.save_checkpoint(ckpt, extra={"pos": split})
+
+    resumed = StreamingSession.restore(ckpt)
+    assert resumed.checkpoint_extra == {"pos": split}
+    for off in range(split, len(raw), chunk):
+        resumed.feed(raw[off:off + chunk])
+    resumed.finalize()
+
+    assert resumed.n_frames == full.n_frames
+    assert resumed.n_kept == full.n_kept
+    assert resumed.n_groups == full.n_groups
+    np.testing.assert_array_equal(resumed.filtered, full.filtered)
+    ga, gb = resumed.intensity(), full.intensity()
+    np.testing.assert_array_equal(ga.mean, gb.mean)
+    np.testing.assert_array_equal(ga.counts, gb.counts)
+
+    resumed2 = StreamingSession.restore(ckpt)
+    resumed2.finalize()
+    with pytest.raises(RuntimeError, match="already finalized"):
+        resumed2.feed(raw[:100])
+
+    # Engine mismatch fails loudly in both directions.
+    with pytest.raises(ValueError, match="not a DeviceStreamingSession"):
+        DeviceStreamingSession.restore(ckpt)
+    dev = DeviceStreamingSession(chunk_bytes=1 << 15)
+    dev.feed(raw[: 1 << 15])
+    dckpt = tmp_path / "dev.ckpt"
+    dev.save_checkpoint(dckpt)
+    with pytest.raises(ValueError, match="not a StreamingSession"):
+        StreamingSession.restore(dckpt)
