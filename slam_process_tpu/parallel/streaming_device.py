@@ -1295,15 +1295,30 @@ def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder,
 @functools.lru_cache(maxsize=8)
 def _build_multi_flush(max_groups, max_bpg, cfg, paths_spec=None,
                        emit_capacity=0):
+    """Masked vmapped flush: close the final open group of the streams
+    selected by ``mask`` and keep every other stream's state untouched
+    (live feeds end independently — see ``finalize_streams``).  The flush
+    body runs for all S lanes (vmap has no ragged execution) and the
+    per-leaf select keeps the donated-buffer update one program."""
     import jax
+    import jax.numpy as jnp
 
     body = functools.partial(
         _flush_body, max_groups=max_groups, max_baselines_per_group=max_bpg,
         cfg=cfg, emit_capacity=emit_capacity, paths_spec=paths_spec,
         sums_engine="scan",
     )
-    return jax.jit(jax.vmap(lambda st, da: body(st, da),
-                            in_axes=(0, None)), donate_argnums=0)
+
+    def run(st, mask, da):
+        new = jax.vmap(lambda s, d: body(s, d), in_axes=(0, None))(st, da)
+
+        def sel(n, o):
+            m = mask.reshape((-1,) + (1,) * (n.ndim - 1))
+            return jnp.where(m, n, o)
+
+        return jax.tree.map(sel, new, st)
+
+    return jax.jit(run, donate_argnums=0)
 
 
 class MultiStreamingSession:
@@ -1391,6 +1406,7 @@ class MultiStreamingSession:
         self._byte_carry = [np.zeros(0, np.uint8)
                             for _ in range(self.n_streams)]
         self._finalized = False
+        self._stream_finalized = np.zeros(self.n_streams, bool)
         self._paths_host = None   # host memo of the online-paths state
         self._emit_host = None    # host memo of the emit rings
 
@@ -1415,8 +1431,13 @@ class MultiStreamingSession:
         for i, chunk in enumerate(chunks):
             if isinstance(chunk, (bytes, bytearray)):
                 chunk = np.frombuffer(chunk, dtype=np.uint8)
-            bufs.append(np.concatenate(
-                [self._byte_carry[i], np.asarray(chunk, np.uint8)]))
+            chunk = np.asarray(chunk, np.uint8)
+            if len(chunk) and self._stream_finalized[i]:
+                raise RuntimeError(
+                    f"stream {i} already finalized: its flush closed the "
+                    "open sweep group, so feeding more bytes would "
+                    "mis-segment sweeps (pass b'' for ended streams)")
+            bufs.append(np.concatenate([self._byte_carry[i], chunk]))
             offs.append(0)
         # Drain every stream's buffer in lockstep window rounds (same
         # 10-byte-overlap windows as the single-stream session); streams
@@ -1446,18 +1467,59 @@ class MultiStreamingSession:
         for i in range(self.n_streams):
             self._byte_carry[i] = bufs[i][offs[i]:].copy()
 
-    def finalize(self) -> None:
-        if self._finalized:
+    def _masked_flush(self, mask: np.ndarray) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        m_dev = jnp.asarray(mask)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            m_dev = jax.device_put(
+                m_dev, NamedSharding(self.mesh, P("data")))
+        self._state = self._flush(self._state, m_dev, self._dict_args)
+        for i in np.nonzero(mask)[0]:
+            self._byte_carry[i] = np.zeros(0, np.uint8)
+        self._paths_host = None
+        self._emit_host = None
+
+    def finalize_streams(self, indices) -> None:
+        """Flush the open sweep group of the given streams only.
+
+        Live feeds end independently — a capture that stops must close
+        its final sweep (and run its last online-estimation step) while
+        the other streams keep advancing.  Finalized streams stay in the
+        vmapped state as provable no-ops (feed them b""); feeding them
+        real bytes raises.
+        """
+        idx = np.atleast_1d(np.asarray(indices, dtype=np.int64))
+        if idx.size == 0:
             return
+        if np.any((idx < 0) | (idx >= self.n_streams)):
+            raise ValueError(f"stream indices {idx} out of range")
+        already = idx[self._stream_finalized[idx]]
+        if already.size:
+            raise RuntimeError(f"streams {already.tolist()} already "
+                               "finalized")
         # Byte carries are <= 10 bytes here (feed drains every full
         # window) — too short for an 11-byte frame, same as the
         # single-stream finalize.
-        self._state = self._flush(self._state, self._dict_args)
-        self._byte_carry = [np.zeros(0, np.uint8)
-                            for _ in range(self.n_streams)]
+        mask = np.zeros(self.n_streams, bool)
+        mask[idx] = True
+        self._masked_flush(mask)
+        self._stream_finalized |= mask
+        if bool(self._stream_finalized.all()):
+            self._finalized = True
+
+    def finalize(self) -> None:
+        """Flush every stream still open (end of all streams)."""
+        if self._finalized:
+            return
+        remaining = ~self._stream_finalized
+        if remaining.any():
+            self._masked_flush(remaining)
+        self._stream_finalized[:] = True
         self._finalized = True
-        self._paths_host = None
-        self._emit_host = None
 
     def _paths_read_all(self):
         """ONE transfer of the whole [S, ...] online-paths state (memoized
@@ -1600,6 +1662,7 @@ class MultiStreamingSession:
             "n_beams": self._n_beams,
             "ecap": self._ecap,
             "finalized": self._finalized,
+            "stream_finalized": np.asarray(self._stream_finalized, bool),
             "paths_spec": self._paths_spec,
             "dict_args": tuple(np.asarray(a) for a in self._dict_args),
             "byte_carry": [np.asarray(b, np.uint8)
@@ -1632,6 +1695,9 @@ class MultiStreamingSession:
             emit_capacity=meta["ecap"],
         )
         sess._finalized = bool(meta["finalized"])
+        sess._stream_finalized = np.asarray(
+            meta.get("stream_finalized",
+                     np.full(meta["n_streams"], meta["finalized"])), bool)
         sess._byte_carry = [np.asarray(b, np.uint8)
                             for b in meta["byte_carry"]]
         place = None

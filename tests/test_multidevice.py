@@ -359,3 +359,71 @@ def test_multi_stream_emit_matches_single_stream_filtered():
         s = replay_log_device(r, chunk_bytes=1 << 18,
                               collect_filtered=True)
         np.testing.assert_array_equal(ms.stream_filtered(i), s.filtered)
+
+
+def test_multi_stream_ragged_finalize_matches_independent_sessions():
+    """Live feeds end independently: stream 0 finalizes (its last sweep
+    closes and its final ONLINE estimation step runs) while stream 1
+    keeps advancing; per-stream results — counters, grids, emit rings,
+    online paths, tracks — equal independent single-stream sessions, and
+    a finalized stream rejects further bytes."""
+    import pytest
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.parallel.streaming_device import (
+        MultiStreamingSession,
+        make_paths_spec,
+        replay_log_device,
+    )
+    from tests.conftest import BEAM_ANGLE
+
+    raw = read_hex_log(SMALL_LOG)
+    chunk = 1 << 16
+    # Stream 0 ends on a chunk boundary so the lockstep rounds feed
+    # stream 1 exactly the same prefix (no overlap with the solo rounds).
+    streams = [raw[: 2 * chunk], raw[:180_000]]
+    spec = make_paths_spec(BEAM_ANGLE, grid_res=1.0, s_step=16)
+    ecap = 1 << 14
+
+    ms = MultiStreamingSession(2, chunk_bytes=chunk, collect_paths=spec,
+                               emit_capacity=ecap)
+    # Rounds until stream 0's data is exhausted, then finalize it alone.
+    for off in range(0, len(streams[0]), chunk):
+        ms.feed([s[off:off + chunk] for s in streams])
+    ms.finalize_streams([0])
+    with pytest.raises(RuntimeError, match="stream 0 already finalized"):
+        ms.feed([b"x", b""])
+    with pytest.raises(RuntimeError, match="already finalized"):
+        ms.finalize_streams([0])
+    # Stream 1 continues alone (b"" for the ended stream is a no-op).
+    for off in range(len(streams[0]), len(streams[1]), chunk):
+        ms.feed([b"", streams[1][off:off + chunk]])
+    ms.finalize()
+
+    nf, nk, ng, sums, counts, ovf = ms.results()
+    assert not ovf.any()
+    for i, r in enumerate(streams):
+        ref = replay_log_device(r, chunk_bytes=chunk,
+                                collect_paths=spec, collect_filtered=True,
+                                emit_capacity=ecap)
+        assert int(ref._state.n_frames) == int(nf[i])
+        assert int(ref._state.n_kept) == int(nk[i])
+        assert int(ref._state.n_groups) == int(ng[i])
+        np.testing.assert_array_equal(np.asarray(ref._state.sums), sums[i])
+        np.testing.assert_array_equal(np.asarray(ref._state.counts),
+                                      counts[i])
+        np.testing.assert_array_equal(ms.stream_filtered(i), ref.filtered)
+        pa, va = ms.stream_paths(i)
+        pb, vb = ref.sweep_paths()
+        np.testing.assert_array_equal(va, vb)
+        for name in pa._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(pa, name)),
+                np.asarray(getattr(pb, name)), err_msg=f"{name}[{i}]")
+        ta, tta, _ = ms.stream_tracks(i)
+        tb, ttb, _ = ref.path_tracks()
+        np.testing.assert_array_equal(tta, ttb)
+        for name in ("pos_aoa", "pos_aod", "power", "observed"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ta, name)),
+                np.asarray(getattr(tb, name)), err_msg=f"{name}[{i}]")
