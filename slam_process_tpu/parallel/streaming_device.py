@@ -1321,6 +1321,30 @@ def _build_multi_flush(max_groups, max_bpg, cfg, paths_spec=None,
     return jax.jit(run, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=8)
+def _build_multi_reset(gcap, n_beams, emit_alloc, paths_spec, ga, gd):
+    """Masked per-stream reset: the selected lanes return to the zero
+    state (NOT all-zeros — PathsState carries -1 sentinels, so the real
+    init is broadcast in), everything else stays bit-identical.  Lets a
+    finalized slot accept a NEW live feed without touching its siblings
+    (``reset_streams``)."""
+    import jax
+    import jax.numpy as jnp
+
+    init1 = _build_init(gcap, n_beams, emit_alloc, paths_spec, ga, gd)
+
+    def run(st, mask):
+        z = init1()
+
+        def sel(o, zz):
+            m = mask.reshape((-1,) + (1,) * (o.ndim - 1))
+            return jnp.where(m, jnp.broadcast_to(zz, o.shape), o)
+
+        return jax.tree.map(sel, st, z)
+
+    return jax.jit(run, donate_argnums=0)
+
+
 class MultiStreamingSession:
     """S live streams, one vmapped device program per step (mesh-shardable).
 
@@ -1391,8 +1415,9 @@ class MultiStreamingSession:
             max_groups, max_baselines_per_group, self.config,
             self._paths_spec, self._ecap)
 
-        init1 = _build_init(self._gcap, n_beams, emit_alloc,
-                            self._paths_spec, ga, gd)
+        self._init_key = (self._gcap, n_beams, emit_alloc,
+                          self._paths_spec, ga, gd)
+        init1 = _build_init(*self._init_key)
         state = jax.vmap(lambda _: init1())(np.arange(self.n_streams))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1520,6 +1545,44 @@ class MultiStreamingSession:
             self._masked_flush(remaining)
         self._stream_finalized[:] = True
         self._finalized = True
+
+    def reset_streams(self, indices) -> None:
+        """Return finalized slots to the zero state so NEW live feeds can
+        attach (the other half of the ragged lifecycle: feeds not only end
+        independently — replacements arrive).  Only finalized streams may
+        reset: resetting a live stream would silently discard its open
+        sweep; finalize it first (its results must be read before the
+        reset — the slot's rings are zeroed).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        idx = np.atleast_1d(np.asarray(indices, dtype=np.int64))
+        if idx.size == 0:
+            return
+        if np.any((idx < 0) | (idx >= self.n_streams)):
+            raise ValueError(f"stream indices {idx} out of range")
+        live = idx[~self._stream_finalized[idx]]
+        if live.size:
+            raise RuntimeError(
+                f"streams {live.tolist()} are still live; finalize_streams"
+                " them (and read their results) before resetting")
+        mask = np.zeros(self.n_streams, bool)
+        mask[idx] = True
+        m_dev = jnp.asarray(mask)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            m_dev = jax.device_put(
+                m_dev, NamedSharding(self.mesh, P("data")))
+        self._state = _build_multi_reset(*self._init_key)(self._state,
+                                                          m_dev)
+        for i in idx:
+            self._byte_carry[i] = np.zeros(0, np.uint8)
+        self._stream_finalized[idx] = False
+        self._finalized = False
+        self._paths_host = None
+        self._emit_host = None
 
     def _paths_read_all(self):
         """ONE transfer of the whole [S, ...] online-paths state (memoized

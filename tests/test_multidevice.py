@@ -427,3 +427,61 @@ def test_multi_stream_ragged_finalize_matches_independent_sessions():
             np.testing.assert_array_equal(
                 np.asarray(getattr(ta, name)),
                 np.asarray(getattr(tb, name)), err_msg=f"{name}[{i}]")
+
+
+def test_multi_stream_reset_attaches_new_feed():
+    """The other half of the ragged lifecycle: after a stream finalizes
+    (and its results are read), reset_streams returns the slot to the
+    zero state and a NEW feed attaches; both the new feed and the
+    untouched sibling equal independent sessions. Resetting a live
+    stream raises."""
+    import pytest
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.parallel.streaming_device import (
+        MultiStreamingSession,
+        replay_log_device,
+    )
+
+    raw = read_hex_log(SMALL_LOG)
+    chunk = 1 << 16
+    first = raw[: 2 * chunk]              # slot 0's first tenant
+    second = raw[100_000:180_000]         # slot 0's new tenant
+    sibling = raw                         # slot 1, never interrupted
+    ecap = 1 << 15
+
+    ms = MultiStreamingSession(2, chunk_bytes=chunk, emit_capacity=ecap)
+    with pytest.raises(RuntimeError, match="still live"):
+        ms.reset_streams([0])
+    for off in range(0, 2 * chunk, chunk):
+        ms.feed([first[off:off + chunk], sibling[off:off + chunk]])
+    ms.finalize_streams([0])
+    got_first = ms.stream_filtered(0).copy()
+    nf_first = int(ms.results()[0][0])
+
+    ms.reset_streams([0])
+    off2 = 2 * chunk
+    for off in range(0, len(second), chunk):
+        ms.feed([second[off:off + chunk],
+                 sibling[off2:off2 + chunk]])
+        off2 += chunk
+    while off2 < len(sibling):
+        ms.feed([b"", sibling[off2:off2 + chunk]])
+        off2 += chunk
+    ms.finalize()
+
+    nf, nk, ng, sums, counts, ovf = ms.results()
+    assert not ovf.any()
+    for i, r in enumerate([second, sibling]):
+        ref = replay_log_device(r, chunk_bytes=chunk,
+                                collect_filtered=True, emit_capacity=ecap)
+        assert int(ref._state.n_frames) == int(nf[i]), i
+        assert int(ref._state.n_kept) == int(nk[i]), i
+        assert int(ref._state.n_groups) == int(ng[i]), i
+        np.testing.assert_array_equal(np.asarray(ref._state.sums), sums[i])
+        np.testing.assert_array_equal(ms.stream_filtered(i), ref.filtered)
+    # The first tenant's results (read before the reset) were exact too.
+    ref0 = replay_log_device(first, chunk_bytes=chunk,
+                             collect_filtered=True, emit_capacity=ecap)
+    assert nf_first == int(ref0._state.n_frames)
+    np.testing.assert_array_equal(got_first, ref0.filtered)
