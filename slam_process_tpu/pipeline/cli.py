@@ -462,11 +462,13 @@ def _export_stream_tracks(s, name: str, args) -> None:
 
     The streamed tracks equal the offline tracks exactly (collect_paths
     parity), so the offline detector applies unchanged."""
+    _export_tracks(*s.path_tracks(), name, args)
+
+
+def _export_tracks(tracks, times, vel, name: str, args) -> None:
     import numpy as np
 
     from slam_process_tpu.io.xlsx import write_xlsx_table
-
-    tracks, times, vel = s.path_tracks()
     rows = []
     for t in range(int(tracks.n_tracks)):
         for sweep in np.nonzero(tracks.observed[t])[0]:
@@ -504,11 +506,21 @@ def _add_watch(sub):
         help="live-tail a GROWING serial log: new bytes are tokenized "
              "incrementally and fed to the streaming session as the "
              "capture writes them (the production counterpart of replay)")
-    p.add_argument("--log", type=Path, required=True)
+    p.add_argument("--log", type=Path, default=None,
+                   help="one growing capture file")
+    p.add_argument("--logs", type=Path, nargs="+", default=None,
+                   help="SEVERAL growing capture files, tailed as ONE "
+                        "vmapped multi-stream device session (each file "
+                        "finalizes independently on its own idle timeout; "
+                        "--engine device only)")
     p.add_argument("--mapping", type=Path, required=True)
     p.add_argument("--outdir", type=Path, required=True)
     p.add_argument("--engine", choices=["host", "device"], default="host",
                    help="device = on-device streaming state machine")
+    p.add_argument("--emit-capacity", type=int, default=None,
+                   help="filtered-row ring capacity per stream (default: "
+                        "auto-grow for --log; 262144 rows for --logs, "
+                        "which cannot auto-grow)")
     p.add_argument("--poll-interval", type=float, default=0.5,
                    help="seconds between file-growth polls")
     p.add_argument("--idle-timeout", type=float, default=10.0,
@@ -536,6 +548,14 @@ def _run_watch(args):
     import time
 
     import numpy as np
+
+    if (args.log is None) == (args.logs is None):
+        raise SystemExit("watch needs exactly one of --log / --logs")
+    if args.logs is not None:
+        if len(args.logs) == 1:
+            args.log = args.logs[0]
+        else:
+            return _run_watch_multi(args)
 
     from slam_process_tpu.io.angles import load_angle_lut
     from slam_process_tpu.io.hexlog import tokenize_hex
@@ -598,9 +618,11 @@ def _run_watch(args):
               f"({int(s.n_frames)} frames so far)", file=sys.stderr)
     elif args.engine == "device":
         # Unknown final size: the emit ring auto-grows from the
-        # conservative host-side bound as bytes arrive.
+        # conservative host-side bound as bytes arrive (unless pinned
+        # with --emit-capacity).
         cp = make_paths_spec(args.mapping) if args.paths else None
-        s = Sess(collect_filtered=True, collect_paths=cp)
+        s = Sess(collect_filtered=True, collect_paths=cp,
+                 emit_capacity=args.emit_capacity)
     else:
         s = Sess()
     if (args.checkpoint and args.checkpoint_every
@@ -688,6 +710,163 @@ def _run_watch(args):
                       "tokens": fed_tokens, "frames": int(s.n_frames),
                       "kept": int(s.n_kept), "sweeps": int(s.n_groups),
                       "png": str(png)}))
+
+
+def _run_watch_multi(args):
+    """Tail S growing capture files as ONE vmapped multi-stream device
+    session.  Each file keeps its own cursor/tokenizer carry and its own
+    idle timeout: a capture that stops writing is finalized ALONE
+    (``finalize_streams`` — its last sweep closes and its final online-
+    estimation step runs) while the other feeds keep advancing.  Exports
+    (png, filtered xlsx, optional tracks/changes) are written per stream
+    at exit; --checkpoint covers the whole multi-stream state plus every
+    cursor."""
+    import os
+    import time
+
+    import numpy as np
+
+    from slam_process_tpu.io.angles import load_angle_lut
+    from slam_process_tpu.io.hexlog import tokenize_hex
+    from slam_process_tpu.io.schemas import write_filtered_table
+    from slam_process_tpu.ops.scene import grid_from_sums_np
+    from slam_process_tpu.parallel.streaming_device import (
+        MultiStreamingSession,
+        make_paths_spec,
+    )
+    from slam_process_tpu.render.figures import save_heatmap_figure
+    from slam_process_tpu.render.heatmap import render_intensity
+    from slam_process_tpu.utils import extract_timestamp
+
+    if args.engine != "device":
+        raise SystemExit("watch with multiple --logs requires "
+                         "--engine device (one vmapped session)")
+    if args.changes and not args.paths:
+        print("warning: --changes requires --paths; no change events "
+              "will be written", file=sys.stderr)
+    logs = list(args.logs)
+    n = len(logs)
+    names = [extract_timestamp(str(p)) or p.stem for p in logs]
+    lut = load_angle_lut(args.mapping)
+    args.outdir.mkdir(parents=True, exist_ok=True)
+    ecap = args.emit_capacity if args.emit_capacity else 1 << 18
+
+    pos = [0] * n
+    carry = [b""] * n
+    if args.checkpoint and args.checkpoint.exists():
+        s = MultiStreamingSession.restore(args.checkpoint)
+        if s.n_streams != n:
+            raise SystemExit(
+                f"{args.checkpoint} holds {s.n_streams} streams, "
+                f"--logs names {n}")
+        if args.paths and s._paths_spec is None:
+            print("warning: --paths ignored — the restored checkpoint "
+                  "was created without online estimation", file=sys.stderr)
+            args.paths = False
+        host = s.checkpoint_extra or {}
+        pos = [int(x) for x in host.get("pos", pos)]
+        carry = [bytes(x) for x in host.get("text_carry", carry)]
+        print(f"resumed from {args.checkpoint}: cursors {pos}, "
+              f"{int(np.sum(s._stream_finalized))} stream(s) already "
+              "finalized", file=sys.stderr)
+    else:
+        cp = make_paths_spec(args.mapping) if args.paths else None
+        s = MultiStreamingSession(n, collect_paths=cp, emit_capacity=ecap)
+
+    def save_ckpt():
+        if args.checkpoint:
+            s.save_checkpoint(args.checkpoint,
+                              extra={"pos": list(pos),
+                                     "text_carry": list(carry)})
+
+    done = np.asarray(s._stream_finalized).copy()
+    now0 = time.monotonic()
+    last_growth = [now0] * n
+    last_ckpt = now0
+    try:
+        while not done.all():
+            now = time.monotonic()
+            chunks = [b""] * n
+            to_finalize = []
+            for i in range(n):
+                if done[i]:
+                    continue
+                try:
+                    size = os.path.getsize(logs[i])
+                except OSError:
+                    size = pos[i]
+                if size > pos[i]:
+                    try:
+                        with open(logs[i], "rb") as f:
+                            f.seek(pos[i])
+                            data = f.read(size - pos[i])
+                    except OSError:
+                        continue
+                    pos[i] = size
+                    buf = carry[i] + data
+                    cut = max(buf.rfind(b" "), buf.rfind(b"\n"),
+                              buf.rfind(b"\r"), buf.rfind(b"\t"))
+                    if cut >= 0:
+                        chunks[i] = tokenize_hex(bytes(buf[: cut + 1]))
+                        carry[i] = buf[cut + 1:]
+                    else:
+                        carry[i] = buf
+                    last_growth[i] = now
+                elif (args.idle_timeout
+                      and now - last_growth[i] > args.idle_timeout):
+                    # This capture stopped: feed its tokenizer tail in
+                    # this round, then close it ALONE.
+                    chunks[i] = tokenize_hex(bytes(carry[i]))
+                    carry[i] = b""
+                    to_finalize.append(i)
+            if any(len(c) for c in chunks):
+                s.feed(chunks)
+            if to_finalize:
+                s.finalize_streams(to_finalize)
+                done[to_finalize] = True
+                print(f"stream(s) {to_finalize} finalized "
+                      f"({(~done).sum()} still live)", file=sys.stderr)
+            if (args.checkpoint and args.checkpoint_every
+                    and now - last_ckpt >= args.checkpoint_every):
+                save_ckpt()
+                last_ckpt = now
+            time.sleep(args.poll_interval)
+    except KeyboardInterrupt:
+        pass
+    # Interrupt / exit: flush whatever is still open (tails included).
+    if not done.all():
+        tails = [tokenize_hex(bytes(carry[i])) if not done[i] else b""
+                 for i in range(n)]
+        carry = [b""] * n
+        if any(len(t) for t in tails):
+            s.feed(tails)
+        s.finalize()
+    save_ckpt()
+
+    nf, nk, ng, sums, counts, _ovf = s.results()
+    stats = []
+    for i in range(n):
+        grid = grid_from_sums_np(sums[i].astype(np.float64),
+                                 counts[i].astype(np.int64))
+        from slam_process_tpu.config import RenderConfig, SceneConfig
+
+        rendered = render_intensity(
+            grid, lut, SceneConfig(keep_nan=True, fill_with_min=False),
+            RenderConfig())
+        png = args.outdir / f"{names[i]}_watch.png"
+        save_heatmap_figure(rendered.blurred, rendered.aod_angles,
+                            rendered.aoa_angles, png,
+                            title=f"live watch ({names[i]})")
+        write_filtered_table(args.outdir / f"{names[i]}_filtered.xlsx",
+                             s.stream_filtered(i))
+        if args.paths:
+            _export_tracks(*s.stream_tracks(i), names[i], args)
+        stats.append({"session": names[i], "bytes_seen": pos[i],
+                      "frames": int(nf[i]), "kept": int(nk[i]),
+                      "sweeps": int(ng[i]), "png": str(png)})
+        print(json.dumps(stats[-1]))
+    print(json.dumps({"streams": n,
+                      "total_frames": int(sum(x["frames"] for x in stats))}))
 
 
 def _add_run_config(sub):

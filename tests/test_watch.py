@@ -131,3 +131,64 @@ def test_watch_crash_resume_from_checkpoint(tmp_path):
     rows = np.asarray(read_filtered_table(out), dtype=np.int64)
     np.testing.assert_array_equal(
         rows, np.asarray(off.filtered)[:, :rows.shape[1]])
+
+
+def test_watch_multi_ragged_idle_matches_offline(tmp_path):
+    """watch --logs A B: two growing captures tailed as ONE vmapped
+    multi-stream session.  A stops writing early and must finalize ALONE
+    on its idle timeout while B keeps growing; both filtered tables equal
+    the offline pipeline on each file's full contents."""
+    from slam_process_tpu.io.schemas import read_filtered_table
+    from slam_process_tpu.pipeline.cli import main
+    from slam_process_tpu.pipeline.session import Session
+
+    data = LOG.read_bytes()
+    a_total = len(data) // 3
+    grow_a = tmp_path / "live_a.txt"
+    grow_b = tmp_path / "live_b.txt"
+    grow_a.write_bytes(b"")
+    grow_b.write_bytes(b"")
+
+    rng = np.random.default_rng(11)
+    cuts_a = np.sort(rng.integers(1, a_total, 6))
+    pieces_a = np.split(np.frombuffer(data[:a_total], np.uint8), cuts_a)
+    cuts_b = np.sort(rng.integers(1, len(data), 16))
+    pieces_b = np.split(np.frombuffer(data, np.uint8), cuts_b)
+
+    def writer(path, pieces, dt, delay):
+        time.sleep(delay)
+        with open(path, "ab") as f:
+            for p in pieces:
+                f.write(p.tobytes())
+                f.flush()
+                time.sleep(dt)
+
+    # A finishes its writes quickly, then goes idle; B keeps writing well
+    # past A's idle window.
+    ta = threading.Thread(target=writer, args=(grow_a, pieces_a, 0.05, 0.3))
+    tb = threading.Thread(target=writer, args=(grow_b, pieces_b, 0.45, 0.3))
+    ta.start()
+    tb.start()
+    argv, sys.argv = sys.argv, [
+        "cli", "watch", "--logs", str(grow_a), str(grow_b),
+        "--mapping", MAPPING, "--outdir", str(tmp_path),
+        "--engine", "device", "--poll-interval", "0.05",
+        "--idle-timeout", "1.5"]
+    try:
+        main()
+    finally:
+        sys.argv = argv
+    ta.join()
+    tb.join()
+
+    for name, blob in (("live_a", data[:a_total]), ("live_b", data)):
+        src = tmp_path / f"{name}_src.txt"
+        src.write_bytes(blob)
+        off = Session.from_log(src)
+        off.correct()
+        out = tmp_path / f"{name}_filtered.xlsx"
+        assert out.exists(), list(tmp_path.iterdir())
+        rows = np.asarray(read_filtered_table(out), dtype=np.int64)
+        np.testing.assert_array_equal(
+            rows, np.asarray(off.filtered)[:, :rows.shape[1]],
+            err_msg=name)
