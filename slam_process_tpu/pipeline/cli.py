@@ -456,6 +456,24 @@ def _run_replay(args):
     print(json.dumps({"sessions": len(stats), "total_frames": total}))
 
 
+def _reconcile_paths_flag(args, s) -> bool:
+    """Align --paths with what a restored checkpoint actually carries.
+
+    The state decides (online estimation cannot be toggled mid-stream);
+    the flag only selects exports — so never silently DROP accumulated
+    tracks when the operator forgets --paths on the resume command, and
+    never pretend to honor --paths the state cannot satisfy."""
+    has = getattr(s, "_paths_spec", None) is not None
+    if args.paths and not has:
+        print("warning: --paths ignored — the restored checkpoint was "
+              "created without online estimation", file=sys.stderr)
+    elif has and not args.paths:
+        print("note: the restored checkpoint carries online-estimation "
+              "state; its tracks will be exported (pass --paths to "
+              "silence this note)", file=sys.stderr)
+    return has
+
+
 def _export_stream_tracks(s, name: str, args) -> None:
     """Track + (optional) scene-change exports for a streaming session
     with ``collect_paths`` — shared by ``replay`` and ``watch``.
@@ -551,6 +569,11 @@ def _run_watch(args):
 
     if (args.log is None) == (args.logs is None):
         raise SystemExit("watch needs exactly one of --log / --logs")
+    if args.checkpoint_every and not args.checkpoint:
+        raise SystemExit("--checkpoint-every requires --checkpoint "
+                         "(no state file to write to)")
+    if args.emit_capacity is not None and args.emit_capacity <= 0:
+        raise SystemExit("--emit-capacity must be a positive row count")
     if args.logs is not None:
         if len(args.logs) == 1:
             args.log = args.logs[0]
@@ -597,25 +620,31 @@ def _run_watch(args):
         # device-engine checkpoint restores only with --engine device and
         # vice versa (the restore raises a kind-mismatch error).
         s = Sess.restore(args.checkpoint)
-        if s._finalized:
-            raise SystemExit(
-                f"{args.checkpoint} is from a COMPLETED watch (the "
-                "final sweep group was already flushed); delete it to "
-                "start a fresh session")
-        if args.paths and getattr(s, "_paths_spec", None) is None:
-            print("warning: --paths ignored — the restored checkpoint "
-                  "was created without online estimation",
-                  file=sys.stderr)
-            args.paths = False
+        resume_completed = s._finalized
+        if resume_completed:
+            # A crash AFTER finalize (e.g. during export) must not strand
+            # the capture's only surviving state: skip straight to the
+            # export stage and re-write the outputs from the checkpoint.
+            print(f"{args.checkpoint} is from a COMPLETED watch; "
+                  "re-exporting its results", file=sys.stderr)
+        args.paths = _reconcile_paths_flag(args, s)
         if args.engine == "device" and not s.collect_filtered:
             raise SystemExit(
                 f"{args.checkpoint} was created without collect_filtered; "
                 "watch needs the emit ring to export the filtered table")
+        if (args.emit_capacity is not None and args.engine == "device"
+                and s._ecap != args.emit_capacity):
+            print(f"warning: --emit-capacity {args.emit_capacity} ignored "
+                  f"— the checkpoint's ring capacity ({s._ecap}) wins on "
+                  "resume", file=sys.stderr)
         host = s.checkpoint_extra or {}
         pos = int(host.get("pos", 0))
         text_carry = bytes(host.get("text_carry", b""))
-        print(f"resumed from {args.checkpoint} at byte {pos} "
-              f"({int(s.n_frames)} frames so far)", file=sys.stderr)
+        # No s.n_frames here: that is a D2H read, and the process's FIRST
+        # read flips relay transports into the degraded dispatch mode for
+        # the whole resumed watch (docs/STATUS.md).
+        print(f"resumed from {args.checkpoint} at byte {pos}",
+              file=sys.stderr)
     elif args.engine == "device":
         # Unknown final size: the emit ring auto-grows from the
         # conservative host-side bound as bytes arrive (unless pinned
@@ -623,8 +652,10 @@ def _run_watch(args):
         cp = make_paths_spec(args.mapping) if args.paths else None
         s = Sess(collect_filtered=True, collect_paths=cp,
                  emit_capacity=args.emit_capacity)
+        resume_completed = False
     else:
         s = Sess()
+        resume_completed = False
     if (args.checkpoint and args.checkpoint_every
             and args.engine == "device"):
         # Same transport caveat as --render-every: each periodic save
@@ -651,7 +682,7 @@ def _run_watch(args):
     last_ckpt = time.monotonic()
     fed_tokens = 0
     try:
-        while True:
+        while not resume_completed:
             try:
                 size = os.path.getsize(args.log)
             except OSError:
@@ -695,13 +726,14 @@ def _run_watch(args):
             time.sleep(args.poll_interval)
     except KeyboardInterrupt:
         pass
-    tokens = tokenize_hex(bytes(text_carry))
-    if len(tokens):
-        s.feed(tokens)
-        fed_tokens += len(tokens)
-        text_carry = b""
-    s.finalize()
-    save_ckpt()
+    if not resume_completed:
+        tokens = tokenize_hex(bytes(text_carry))
+        if len(tokens):
+            s.feed(tokens)
+            fed_tokens += len(tokens)
+            text_carry = b""
+        s.finalize()
+        save_ckpt()
     png = tail_png()
     write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
     if args.engine == "device" and args.paths:
@@ -746,7 +778,17 @@ def _run_watch_multi(args):
               "will be written", file=sys.stderr)
     logs = list(args.logs)
     n = len(logs)
+    # Per-stream export names: filename stem/timestamp, deduplicated —
+    # two captures named live.txt in different directories must not
+    # overwrite each other's outputs.
     names = [extract_timestamp(str(p)) or p.stem for p in logs]
+    seen: dict = {}
+    for i, nm in enumerate(names):
+        if nm in seen:
+            seen[nm] += 1
+            names[i] = f"{nm}_{seen[nm]}"
+        else:
+            seen[nm] = 0
     lut = load_angle_lut(args.mapping)
     args.outdir.mkdir(parents=True, exist_ok=True)
     ecap = args.emit_capacity if args.emit_capacity else 1 << 18
@@ -759,10 +801,12 @@ def _run_watch_multi(args):
             raise SystemExit(
                 f"{args.checkpoint} holds {s.n_streams} streams, "
                 f"--logs names {n}")
-        if args.paths and s._paths_spec is None:
-            print("warning: --paths ignored — the restored checkpoint "
-                  "was created without online estimation", file=sys.stderr)
-            args.paths = False
+        args.paths = _reconcile_paths_flag(args, s)
+        if (args.emit_capacity is not None
+                and s._ecap != args.emit_capacity):
+            print(f"warning: --emit-capacity {args.emit_capacity} ignored "
+                  f"— the checkpoint's ring capacity ({s._ecap}) wins on "
+                  "resume", file=sys.stderr)
         host = s.checkpoint_extra or {}
         pos = [int(x) for x in host.get("pos", pos)]
         carry = [bytes(x) for x in host.get("text_carry", carry)]
@@ -779,9 +823,35 @@ def _run_watch_multi(args):
                               extra={"pos": list(pos),
                                      "text_carry": list(carry)})
 
+    def render_all():
+        from slam_process_tpu.config import RenderConfig, SceneConfig
+
+        _nf, _nk, _ng, sums, counts, _ovf = s.results()
+        pngs = []
+        for i in range(n):
+            grid = grid_from_sums_np(sums[i].astype(np.float64),
+                                     counts[i].astype(np.int64))
+            rendered = render_intensity(
+                grid, lut, SceneConfig(keep_nan=True, fill_with_min=False),
+                RenderConfig())
+            png = args.outdir / f"{names[i]}_watch.png"
+            save_heatmap_figure(rendered.blurred, rendered.aod_angles,
+                                rendered.aoa_angles, png,
+                                title=f"live watch ({names[i]})")
+            pngs.append(png)
+        return pngs
+
+    if args.render_every:
+        # Same transport caveat as the single-file watch: each periodic
+        # render reads device state mid-stream.
+        print("note: --render-every performs mid-stream device reads; on "
+              "relay transports this degrades feed throughput for the "
+              "rest of the watch", file=sys.stderr)
+
     done = np.asarray(s._stream_finalized).copy()
     now0 = time.monotonic()
     last_growth = [now0] * n
+    last_render = now0
     last_ckpt = now0
     try:
         while not done.all():
@@ -826,6 +896,10 @@ def _run_watch_multi(args):
                 done[to_finalize] = True
                 print(f"stream(s) {to_finalize} finalized "
                       f"({(~done).sum()} still live)", file=sys.stderr)
+            if (args.render_every
+                    and now - last_render >= args.render_every):
+                render_all()
+                last_render = now
             if (args.checkpoint and args.checkpoint_every
                     and now - last_ckpt >= args.checkpoint_every):
                 save_ckpt()
@@ -843,20 +917,11 @@ def _run_watch_multi(args):
         s.finalize()
     save_ckpt()
 
-    nf, nk, ng, sums, counts, _ovf = s.results()
+    nf, nk, ng, _sums, _counts, _ovf = s.results()
+    pngs = render_all()
     stats = []
     for i in range(n):
-        grid = grid_from_sums_np(sums[i].astype(np.float64),
-                                 counts[i].astype(np.int64))
-        from slam_process_tpu.config import RenderConfig, SceneConfig
-
-        rendered = render_intensity(
-            grid, lut, SceneConfig(keep_nan=True, fill_with_min=False),
-            RenderConfig())
-        png = args.outdir / f"{names[i]}_watch.png"
-        save_heatmap_figure(rendered.blurred, rendered.aod_angles,
-                            rendered.aoa_angles, png,
-                            title=f"live watch ({names[i]})")
+        png = pngs[i]
         write_filtered_table(args.outdir / f"{names[i]}_filtered.xlsx",
                              s.stream_filtered(i))
         if args.paths:

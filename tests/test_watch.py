@@ -192,3 +192,52 @@ def test_watch_multi_ragged_idle_matches_offline(tmp_path):
         np.testing.assert_array_equal(
             rows, np.asarray(off.filtered)[:, :rows.shape[1]],
             err_msg=name)
+
+
+def test_watch_completed_checkpoint_reexports(tmp_path):
+    """A crash AFTER finalize (e.g. during export) must not strand the
+    capture: re-running the same watch command re-exports the results
+    from the finalized checkpoint instead of erroring, and duplicate
+    flags (--checkpoint-every without --checkpoint, --emit-capacity 0)
+    fail loudly up front."""
+    from slam_process_tpu.io.schemas import read_filtered_table
+    from slam_process_tpu.pipeline.cli import main
+    from slam_process_tpu.pipeline.session import Session
+
+    grow = tmp_path / "live.txt"
+    grow.write_bytes(LOG.read_bytes())
+    ckpt = tmp_path / "watch.ckpt"
+    base = ["cli", "watch", "--log", str(grow), "--mapping", MAPPING,
+            "--outdir", str(tmp_path), "--engine", "device",
+            "--poll-interval", "0.05", "--idle-timeout", "1.0",
+            "--checkpoint", str(ckpt)]
+
+    argv = sys.argv
+    try:
+        sys.argv = base
+        main()                       # completes; saves finalized checkpoint
+        out = tmp_path / "live_filtered.xlsx"
+        first = np.asarray(read_filtered_table(out), np.int64)
+        for f in tmp_path.glob("live_filtered.xlsx"):
+            f.unlink()               # simulate a crash that lost the export
+        sys.argv = base
+        main()                       # must RE-export, not SystemExit
+        again = np.asarray(read_filtered_table(out), np.int64)
+        np.testing.assert_array_equal(again, first)
+
+        import pytest
+        sys.argv = ["cli", "watch", "--log", str(grow), "--mapping",
+                    MAPPING, "--outdir", str(tmp_path),
+                    "--checkpoint-every", "5"]
+        with pytest.raises(SystemExit, match="requires --checkpoint"):
+            main()
+        sys.argv = base + ["--emit-capacity", "0"]
+        with pytest.raises(SystemExit, match="positive"):
+            main()
+    finally:
+        sys.argv = argv
+
+    off = Session.from_log(LOG)
+    off.correct()
+    np.testing.assert_array_equal(
+        first, np.asarray(off.filtered)[:, :first.shape[1]])
