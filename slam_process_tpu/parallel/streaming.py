@@ -23,6 +23,7 @@ on real logs at multiple chunk sizes.
 
 from __future__ import annotations
 
+import functools
 from typing import Iterator, Optional, Union
 
 import numpy as np
@@ -31,11 +32,45 @@ from slam_process_tpu.config import PipelineConfig, SceneConfig
 from slam_process_tpu.ops.correct import correct_frames_np
 from slam_process_tpu.ops.decode import extract_fields, frame_start_mask
 from slam_process_tpu.ops.scene import IntensityGrid
+from slam_process_tpu.utils import get_logger
+
+_LOGGER = get_logger("slam_process_tpu.streaming")
+
+
+@functools.lru_cache(maxsize=8)
+def _host_sweep_estimator(est_key):
+    """The SAME estimator body the device/offline paths run, jitted for
+    per-closed-sweep [1, U, B] calls (lane results are batch-size
+    invariant, so a batch of one equals the offline [S, U, B] lanes)."""
+    import jax
+
+    from slam_process_tpu.models.sweep_estimation import sweep_estimator_body
+
+    run_all = sweep_estimator_body(est_key)
+
+    def f(sub, phi_rx, phi_tx, aoa_g, aod_g):
+        with jax.default_matmul_precision("highest"):
+            return run_all(sub, phi_rx, phi_tx, aoa_g, aod_g)
+
+    return jax.jit(f)
 
 
 class StreamingSession:
+    """Host-engine streaming session.
+
+    ``collect_paths`` (a ``(spec, dict_args)`` pair from
+    ``parallel.streaming_device.make_paths_spec``) arms ONLINE per-sweep
+    estimation + CLK anchoring, mirroring the device engine's
+    ``DeviceStreamingSession(collect_paths=...)``: kept rows segment into
+    sweeps incrementally (UE decrease, carried across chunks), each sweep
+    that closes runs the per-sweep estimator immediately, and memory
+    stays O(closed sweeps) — no kept-row history is needed.  Results
+    (``sweep_paths``/``sweep_times``/``path_tracks``) equal the offline
+    flagship exactly (tests/test_streaming_paths.py).
+    """
+
     def __init__(self, config: Optional[PipelineConfig] = None,
-                 n_beams: int = 64):
+                 n_beams: int = 64, collect_paths=None):
         self.config = config or PipelineConfig()
         self._carry = np.zeros(0, dtype=np.uint8)
         self._group_rows: list[np.ndarray] = []   # frames of the open sweep
@@ -48,6 +83,21 @@ class StreamingSession:
         self._sums = np.zeros((nb, nb))
         self._counts = np.zeros((nb, nb), dtype=np.int64)
         self._finalized = False
+        if collect_paths is not None:
+            spec, dict_args = collect_paths
+            self._paths_spec = spec
+            self._dict_args = tuple(np.asarray(a, np.float32)
+                                    for a in dict_args)
+            self._p_open_sums = np.zeros((nb, nb), np.float32)
+            self._p_open_counts = np.zeros((nb, nb), np.float32)
+            self._p_open_time = -1
+            self._p_last_ue = -1
+            self._p_est: list = []     # per-closed-sweep estimator outputs
+            self._p_valid: list = []
+            self._p_times: list = []
+        else:
+            self._paths_spec = None
+            self._dict_args = ()
 
     # -- ingest --------------------------------------------------------------
 
@@ -107,6 +157,8 @@ class StreamingSession:
         if len(res.filtered):
             self.filtered_parts.append(res.filtered)
             self.n_kept += len(res.filtered)
+            if self._paths_spec is not None:
+                self._paths_push(res.filtered)
             ue = res.filtered[:, 0]
             bs = res.filtered[:, 1]
             rss = res.filtered[:, 2].astype(np.float64)
@@ -118,11 +170,134 @@ class StreamingSession:
             np.add.at(self._sums, (ue, bs), rss)
             np.add.at(self._counts, (ue, bs), 1)
 
+    # -- online per-sweep estimation (host engine) -------------------------
+
+    def _paths_push(self, rows: np.ndarray) -> None:
+        """Segment this fold's kept rows into sweeps (UE decrease, seeded
+        with the carry ``_p_last_ue``) and estimate every sweep that
+        closes — same boundary rule as the device step's kept-row scan."""
+        ue = rows[:, 0]
+        prev = np.concatenate([[self._p_last_ue], ue[:-1]])
+        bnd = (prev >= 0) & (prev > ue)
+        start = 0
+        for cut in np.nonzero(bnd)[0]:
+            self._p_accumulate(rows[start:cut])
+            self._p_close_sweep()
+            start = int(cut)
+        self._p_accumulate(rows[start:])
+        self._p_last_ue = int(ue[-1])
+
+    def _p_accumulate(self, rows: np.ndarray) -> None:
+        if not len(rows):
+            return
+        if self._p_open_time < 0:
+            self._p_open_time = int(rows[0, 3])
+        np.add.at(self._p_open_sums, (rows[:, 0], rows[:, 1]),
+                  rows[:, 2].astype(np.float32))
+        np.add.at(self._p_open_counts, (rows[:, 0], rows[:, 1]),
+                  np.float32(1))
+
+    def _p_close_sweep(self) -> None:
+        """Run the per-sweep estimator on the closed sweep's mean grid
+        (f32 sums/counts — exact integer sums, the device formulation).
+
+        The call pads the single sweep to an 8-lane NaN batch (the device
+        step's block size): XLA's CPU backend dispatches batch-1 GEMMs
+        through a different reduction order than batched ones, which
+        costs ~1 f32 ulp vs the offline [S]-batch — lane results ARE
+        bitwise batch-size invariant for batch >= 2 (verified), so the
+        padded call restores exact offline parity.  NaN lanes produce
+        invalid outputs that are sliced off.
+        """
+        import jax
+
+        spec = self._paths_spec
+        counts = self._p_open_counts
+        mean = np.where(counts > 0,
+                        self._p_open_sums / np.maximum(counts,
+                                                       np.float32(1.0)),
+                        np.float32(np.nan)).astype(np.float32)
+        sub = mean[np.ix_(list(spec.ue_ids), list(spec.bs_ids))]
+        padded = np.full((8,) + sub.shape, np.nan, np.float32)
+        padded[0] = sub
+        est, valid = jax.device_get(_host_sweep_estimator(spec.est_key)(
+            padded, *self._dict_args))
+        est = type(est)(*(np.asarray(x)[:1] for x in est))
+        valid = np.asarray(valid)[:1]
+        self._p_est.append(est)
+        self._p_valid.append(np.asarray(valid))
+        self._p_times.append(self._p_open_time)
+        self._p_open_sums[:] = 0
+        self._p_open_counts[:] = 0
+        self._p_open_time = -1
+
+    def sweep_paths(self):
+        """Online per-sweep estimates: (paths [n_closed, K], sweep_valid)
+        — the ``DeviceStreamingSession.sweep_paths`` contract; equals the
+        offline ``Session.sweep_paths`` on the same stream exactly."""
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        if not self._p_est:
+            import jax
+
+            # No sweeps closed: derive the empty-but-correctly-shaped
+            # structure from one estimator call on an all-NaN grid.
+            spec = self._paths_spec
+            u, b = len(spec.ue_ids), len(spec.bs_ids)
+            nan = np.full((8, u, b), np.nan, np.float32)
+            est, valid = jax.device_get(
+                _host_sweep_estimator(spec.est_key)(nan, *self._dict_args))
+            paths = type(est)(*(np.asarray(x)[:0] for x in est))
+            return paths, np.asarray(valid)[:0]
+        est0 = self._p_est[0]
+        paths = type(est0)(*(
+            np.concatenate([np.asarray(getattr(e, f)) for e in self._p_est])
+            for f in est0._fields))
+        return paths, np.concatenate(self._p_valid)
+
+    def sweep_times(self):
+        """CLK anchors of the closed sweeps, unwrapped like the offline
+        ``Session.sweep_times`` (shared helper)."""
+        from slam_process_tpu.utils.timestamps import unwrap_clk_anchors
+
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        return unwrap_clk_anchors(np.asarray(self._p_times, np.int64),
+                                  _LOGGER)
+
+    def path_tracks(self):
+        """Online CLK-anchored tracks — the offline ``Session.path_tracks``
+        contract, from the incrementally estimated sweeps."""
+        from slam_process_tpu.models.tracking import (
+            track_paths_np,
+            track_velocities,
+        )
+
+        spec = self._paths_spec
+        paths, sweep_valid = self.sweep_paths()
+        times = self.sweep_times()
+        power = paths.power if hasattr(paths, "power") else paths.metric
+        valid = (np.asarray(paths.valid, bool)
+                 & sweep_valid[:, None] & (times >= 0)[:, None])
+        tracks = track_paths_np(paths.aoa, paths.aod, power, valid,
+                                max_tracks=spec.max_tracks,
+                                gate_deg=spec.gate_deg)
+        return tracks, times, track_velocities(tracks, times)
+
+    @property
+    def n_sweeps_closed(self) -> int:
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        return len(self._p_times)
+
     def finalize(self) -> None:
         """Flush the open sweep group (end of stream)."""
         if self._finalized:
             return
         self._correct_and_fold_open()
+        if (self._paths_spec is not None
+                and float(self._p_open_counts.sum()) > 0):
+            self._p_close_sweep()
         self._last_ue = None
         self._finalized = True
 
@@ -151,6 +326,17 @@ class StreamingSession:
             "n_groups": self.n_groups,
             "finalized": self._finalized,
             "extra": extra,
+            "paths_spec": self._paths_spec,
+            "dict_args": tuple(self._dict_args),
+            "paths_state": (None if self._paths_spec is None else {
+                "open_sums": self._p_open_sums,
+                "open_counts": self._p_open_counts,
+                "open_time": self._p_open_time,
+                "last_ue": self._p_last_ue,
+                "est": self._p_est,
+                "valid": self._p_valid,
+                "times": self._p_times,
+            }),
         }
         blob = np.frombuffer(pickle.dumps(meta, protocol=4), np.uint8)
         tmp = f"{path}.tmp"
@@ -178,7 +364,19 @@ class StreamingSession:
             carry, sums, counts, group, filtered = (
                 z["carry"], z["sums"], z["counts"], z["group"],
                 z["filtered"])
-        sess = cls(config=meta["config"], n_beams=sums.shape[0])
+        spec = meta.get("paths_spec")
+        sess = cls(config=meta["config"], n_beams=sums.shape[0],
+                   collect_paths=((spec, meta["dict_args"])
+                                  if spec is not None else None))
+        if spec is not None:
+            ps = meta["paths_state"]
+            sess._p_open_sums = np.asarray(ps["open_sums"], np.float32)
+            sess._p_open_counts = np.asarray(ps["open_counts"], np.float32)
+            sess._p_open_time = int(ps["open_time"])
+            sess._p_last_ue = int(ps["last_ue"])
+            sess._p_est = list(ps["est"])
+            sess._p_valid = list(ps["valid"])
+            sess._p_times = list(ps["times"])
         sess._carry = np.asarray(carry, np.uint8)
         sess._sums = np.asarray(sums, np.float64)
         sess._counts = np.asarray(counts, np.int64)
@@ -220,9 +418,10 @@ class StreamingSession:
 def replay_log(raw: np.ndarray, chunk_bytes: int = 1 << 16,
                config: Optional[PipelineConfig] = None,
                render_every: int = 0, angle_lut: Optional[np.ndarray] = None,
+               collect_paths=None,
                ) -> StreamingSession:
     """Replay one tokenized log through the streaming pipeline."""
-    s = StreamingSession(config)
+    s = StreamingSession(config, collect_paths=collect_paths)
     n_chunks = 0
     for off in range(0, len(raw), chunk_bytes):
         s.feed(raw[off : off + chunk_bytes])

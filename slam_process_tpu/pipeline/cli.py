@@ -399,15 +399,11 @@ def _run_replay(args):
 
     lut = load_angle_lut(args.mapping)
     args.outdir.mkdir(parents=True, exist_ok=True)
-    if args.paths and args.engine != "device":
+    if args.changes and not args.paths:
         # Same warn-loudly policy as _coerce_sweep_estimator: never
         # silently drop a requested output.
-        print("warning: --paths (online estimation + tracking) requires "
-              "--engine device; no stream-tracks output will be written",
-              file=sys.stderr)
-    if args.changes and not (args.paths and args.engine == "device"):
-        print("warning: --changes requires --paths with --engine device; "
-              "no change events will be written", file=sys.stderr)
+        print("warning: --changes requires --paths; no change events "
+              "will be written", file=sys.stderr)
     stats = []
     for log in args.logs:
         name = extract_timestamp(str(log)) or log.stem
@@ -436,8 +432,16 @@ def _run_replay(args):
                                   collect_paths=cp)
             s.block_until_ready()
         else:
+            cp = None
+            if args.paths:
+                from slam_process_tpu.parallel.streaming_device import (
+                    make_paths_spec,
+                )
+
+                cp = make_paths_spec(args.mapping)
             s = replay_log(raw, chunk_bytes=args.chunk_bytes,
-                           render_every=args.render_every, angle_lut=lut)
+                           render_every=args.render_every, angle_lut=lut,
+                           collect_paths=cp)
         dt = time.perf_counter() - t0
         rendered = s.render(lut)
         save_heatmap_figure(
@@ -446,7 +450,7 @@ def _run_replay(args):
             title=f"streaming replay ({name})",
         )
         write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
-        if args.engine == "device" and args.paths:
+        if args.paths:
             _export_stream_tracks(s, name, args)
         stats.append({"session": name, "frames": s.n_frames,
                       "kept": s.n_kept, "sweeps": s.n_groups,
@@ -589,12 +593,9 @@ def _run_watch(args):
     lut = load_angle_lut(args.mapping)
     args.outdir.mkdir(parents=True, exist_ok=True)
     name = extract_timestamp(str(args.log)) or args.log.stem
-    if args.paths and args.engine != "device":
-        print("warning: --paths requires --engine device; no stream-"
-              "tracks output will be written", file=sys.stderr)
-    if args.changes and not (args.paths and args.engine == "device"):
-        print("warning: --changes requires --paths with --engine device; "
-              "no change events will be written", file=sys.stderr)
+    if args.changes and not args.paths:
+        print("warning: --changes requires --paths; no change events "
+              "will be written", file=sys.stderr)
     if args.render_every and args.engine == "device":
         # Periodic renders read device state mid-stream; on relay-style
         # PJRT transports the FIRST D2H read flips a persistent degraded
@@ -604,10 +605,11 @@ def _run_watch(args):
               "feed throughput for the rest of the watch", file=sys.stderr)
     pos = 0
     text_carry = b""
+    from slam_process_tpu.parallel.streaming_device import make_paths_spec
+
     if args.engine == "device":
         from slam_process_tpu.parallel.streaming_device import (
             DeviceStreamingSession as Sess,
-            make_paths_spec,
         )
     else:
         from slam_process_tpu.parallel.streaming import (
@@ -654,7 +656,8 @@ def _run_watch(args):
                  emit_capacity=args.emit_capacity)
         resume_completed = False
     else:
-        s = Sess()
+        cp = make_paths_spec(args.mapping) if args.paths else None
+        s = Sess(collect_paths=cp)
         resume_completed = False
     if (args.checkpoint and args.checkpoint_every
             and args.engine == "device"):
@@ -736,7 +739,7 @@ def _run_watch(args):
         save_ckpt()
     png = tail_png()
     write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
-    if args.engine == "device" and args.paths:
+    if args.paths:
         _export_stream_tracks(s, name, args)
     print(json.dumps({"session": name, "bytes_seen": pos,
                       "tokens": fed_tokens, "frames": int(s.n_frames),

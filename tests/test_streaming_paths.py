@@ -188,3 +188,61 @@ def test_multi_stream_online_paths_match_single_stream():
         assert int(mt.n_tracks) == int(st.n_tracks)
         for a, b in zip(mvel, svel):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("chunk", [1 << 14, 1 << 17])
+def test_host_online_paths_match_offline(chunk):
+    """The HOST engine's online estimation (StreamingSession(
+    collect_paths=...), estimating each kept-sweep as it closes with
+    O(sweeps) memory) equals the offline flagship exactly — the no-TPU
+    counterpart of the device engine's collect_paths contract."""
+    from slam_process_tpu.parallel.streaming import StreamingSession
+
+    raw = read_hex_log(SMALL_LOG)
+    spec = make_paths_spec(BEAM_ANGLE)
+    s = StreamingSession(collect_paths=spec)
+    for off in range(0, len(raw), chunk):
+        s.feed(raw[off:off + chunk])
+    s.finalize()
+    _assert_stream_equals_offline(s, _offline(raw, spec[0]))
+
+
+def test_host_online_paths_checkpoint_resume(tmp_path):
+    """Host online-estimation state (open sweep accumulators, closed-sweep
+    rings, kept-UE carry) survives a checkpoint mid-stream."""
+    from slam_process_tpu.parallel.streaming import StreamingSession
+
+    raw = read_hex_log(SMALL_LOG)
+    spec = make_paths_spec(BEAM_ANGLE, grid_res=1.0)
+    chunk = 1 << 15
+
+    full = StreamingSession(collect_paths=spec)
+    for off in range(0, len(raw), chunk):
+        full.feed(raw[off:off + chunk])
+    full.finalize()
+
+    part = StreamingSession(collect_paths=spec)
+    split = 90_007
+    part.feed(raw[:split])
+    ckpt = tmp_path / "host_paths.ckpt"
+    part.save_checkpoint(ckpt)
+    resumed = StreamingSession.restore(ckpt)
+    for off in range(split, len(raw), chunk):
+        resumed.feed(raw[off:off + chunk])
+    resumed.finalize()
+
+    pa, va = resumed.sweep_paths()
+    pb, vb = full.sweep_paths()
+    np.testing.assert_array_equal(va, vb)
+    for name in pa._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pa, name)),
+            np.asarray(getattr(pb, name)), err_msg=name)
+    np.testing.assert_array_equal(resumed.sweep_times(), full.sweep_times())
+    ta, tta, vela = resumed.path_tracks()
+    tb, ttb, velb = full.path_tracks()
+    np.testing.assert_array_equal(tta, ttb)
+    for name in ("pos_aoa", "pos_aod", "power", "observed", "created"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ta, name)),
+            np.asarray(getattr(tb, name)), err_msg=name)
