@@ -460,6 +460,60 @@ def _run_replay(args):
     print(json.dumps({"sessions": len(stats), "total_frames": total}))
 
 
+def _make_event_emitter(args, session):
+    """LIVE scene-change feed for ``watch --events``: returns ``poll()``,
+    which recomputes events from the session's accumulated online tracks
+    and APPENDS only the new ones to the JSONL file.
+
+    Append-only is sound: all four detectors are cumulative per-sweep
+    predicates (models/change_detection.py), so an event row, once
+    produced for sweep s, is reproduced identically by every later
+    detection over the grown history — dedup by (sweep, kind, track)
+    never suppresses a changed event.  ``poll`` skips entirely while no
+    new sweep has closed, so idle polls cost nothing.
+    """
+    import json as _json
+
+    from slam_process_tpu.models.change_detection import (
+        EVENT_KINDS,
+        detect_scene_changes_np,
+        scene_change_events,
+    )
+
+    seen: set = set()
+    last_n = -1
+
+    def poll() -> int:
+        nonlocal last_n
+        n = session.n_sweeps_closed
+        if n == last_n or n == 0:
+            return 0
+        last_n = n
+        tracks, times, _vel = session.path_tracks()
+        ch = detect_scene_changes_np(
+            tracks, min_persist=args.min_persist,
+            min_gone=args.min_gone, jump_deg=args.jump_deg)
+        ev = scene_change_events(ch, tracks, times)
+        wrote = 0
+        with open(args.events, "a") as f:
+            for row in ev:
+                key = (int(row[0]), int(row[2]), int(row[3]))
+                if key in seen:
+                    continue
+                seen.add(key)
+                f.write(_json.dumps({
+                    "sweep": int(row[0]), "clk": int(row[1]),
+                    "kind": EVENT_KINDS[int(row[2])], "track": int(row[3]),
+                    "aoa": round(float(row[4]), 4),
+                    "aod": round(float(row[5]), 4),
+                    "power": float(row[6]),
+                }) + "\n")
+                wrote += 1
+        return wrote
+
+    return poll
+
+
 def _reconcile_paths_flag(args, s) -> bool:
     """Align --paths with what a restored checkpoint actually carries.
 
@@ -561,6 +615,13 @@ def _add_watch(sub):
     p.add_argument("--checkpoint-every", type=float, default=0.0,
                    help="seconds between periodic checkpoints (0 = only "
                         "at exit; requires --checkpoint)")
+    p.add_argument("--events", type=Path, default=None,
+                   help="with --paths: append scene-change events (birth/"
+                        "death/jump/LoS-handover) to this JSONL file LIVE "
+                        "as the capture's sweeps close — the machine-"
+                        "readable monitoring feed (single --log only; "
+                        "--min-persist/--min-gone/--jump-deg set the "
+                        "thresholds)")
     _add_change_args(p, gate="--paths")
     p.set_defaults(fn=_run_watch)
 
@@ -578,11 +639,19 @@ def _run_watch(args):
                          "(no state file to write to)")
     if args.emit_capacity is not None and args.emit_capacity <= 0:
         raise SystemExit("--emit-capacity must be a positive row count")
+    if args.events is not None and args.logs is not None \
+            and len(args.logs) > 1:
+        raise SystemExit("--events supports a single --log watch (use "
+                         "--paths --changes for per-stream event tables "
+                         "at exit in --logs mode)")
     if args.logs is not None:
         if len(args.logs) == 1:
             args.log = args.logs[0]
         else:
             return _run_watch_multi(args)
+    if args.events is not None and not args.paths:
+        raise SystemExit("--events requires --paths (the events derive "
+                         "from the online tracks)")
 
     from slam_process_tpu.io.angles import load_angle_lut
     from slam_process_tpu.io.hexlog import tokenize_hex
@@ -667,6 +736,22 @@ def _run_watch(args):
               "device reads; on relay transports this degrades feed "
               "throughput for the rest of the watch", file=sys.stderr)
 
+    emitter = None
+    events_written = 0
+    if args.events is not None and args.paths:
+        args.events.parent.mkdir(parents=True, exist_ok=True)
+        emitter = _make_event_emitter(args, s)
+        if args.engine == "device":
+            print("note: --events polls the online tracks after each fed "
+                  "chunk (device reads); on relay transports this degrades "
+                  "feed throughput for the rest of the watch",
+                  file=sys.stderr)
+    elif args.events is not None:
+        # Only reachable when a restored checkpoint lacked online
+        # estimation and _reconcile_paths_flag cleared --paths.
+        print("warning: --events ignored — the restored checkpoint was "
+              "created without online estimation", file=sys.stderr)
+
     def save_ckpt():
         if args.checkpoint:
             s.save_checkpoint(args.checkpoint,
@@ -714,6 +799,8 @@ def _run_watch(args):
                     if len(tokens):
                         s.feed(tokens)
                         fed_tokens += len(tokens)
+                        if emitter:
+                            events_written += emitter()
                 else:
                     text_carry = buf
                 last_growth = now
@@ -737,14 +824,19 @@ def _run_watch(args):
             text_carry = b""
         s.finalize()
         save_ckpt()
+    if emitter:
+        events_written += emitter()   # the flush-closed final sweep
     png = tail_png()
     write_filtered_table(args.outdir / f"{name}_filtered.xlsx", s.filtered)
     if args.paths:
         _export_stream_tracks(s, name, args)
-    print(json.dumps({"session": name, "bytes_seen": pos,
-                      "tokens": fed_tokens, "frames": int(s.n_frames),
-                      "kept": int(s.n_kept), "sweeps": int(s.n_groups),
-                      "png": str(png)}))
+    summary = {"session": name, "bytes_seen": pos,
+               "tokens": fed_tokens, "frames": int(s.n_frames),
+               "kept": int(s.n_kept), "sweeps": int(s.n_groups),
+               "png": str(png)}
+    if emitter:
+        summary["events"] = events_written
+    print(json.dumps(summary))
 
 
 def _run_watch_multi(args):

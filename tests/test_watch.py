@@ -241,3 +241,72 @@ def test_watch_completed_checkpoint_reexports(tmp_path):
     off.correct()
     np.testing.assert_array_equal(
         first, np.asarray(off.filtered)[:, :first.shape[1]])
+
+
+def test_watch_live_events_feed(tmp_path):
+    """watch --events: scene-change events append LIVE to a JSONL file as
+    sweeps close; the final feed has no duplicates and equals the offline
+    detector on the full capture exactly."""
+    import json
+
+    from slam_process_tpu.models.change_detection import (
+        EVENT_KINDS,
+        detect_scene_changes_np,
+        scene_change_events,
+    )
+    from slam_process_tpu.parallel.streaming import replay_log
+    from slam_process_tpu.parallel.streaming_device import make_paths_spec
+    from slam_process_tpu.pipeline.cli import main
+
+    data = LOG.read_bytes()
+    grow = tmp_path / "live.txt"
+    grow.write_bytes(b"")
+    events = tmp_path / "events.jsonl"
+
+    rng = np.random.default_rng(3)
+    cuts = np.sort(rng.integers(1, len(data), 12))
+    pieces = np.split(np.frombuffer(data, np.uint8), cuts)
+
+    def writer():
+        time.sleep(0.3)
+        with open(grow, "ab") as f:
+            for p in pieces:
+                f.write(p.tobytes())
+                f.flush()
+                time.sleep(0.1)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    argv, sys.argv = sys.argv, [
+        "cli", "watch", "--log", str(grow), "--mapping", MAPPING,
+        "--outdir", str(tmp_path), "--engine", "host", "--paths",
+        "--events", str(events), "--min-persist", "2", "--min-gone", "2",
+        "--jump-deg", "2.0",
+        "--poll-interval", "0.05", "--idle-timeout", "2.0"]
+    try:
+        main()
+    finally:
+        sys.argv = argv
+    t.join()
+
+    lines = [json.loads(x) for x in events.read_text().splitlines()]
+    keys = [(e["sweep"], e["kind"], e["track"]) for e in lines]
+    assert len(keys) == len(set(keys)), "duplicate live events"
+    # Non-vacuous: this capture produces all four event kinds at these
+    # thresholds (16 events — checked once offline).
+    assert len({e["kind"] for e in lines}) == 4
+
+    # Offline expectation from the same capture with the same thresholds.
+    from slam_process_tpu.io import read_hex_log
+
+    s = replay_log(read_hex_log(LOG), collect_paths=make_paths_spec(MAPPING))
+    tracks, times, _ = s.path_tracks()
+    ev = scene_change_events(
+        detect_scene_changes_np(tracks, min_persist=2, min_gone=2,
+                                jump_deg=2.0), tracks, times)
+    expected = [(int(r[0]), EVENT_KINDS[int(r[2])], int(r[3])) for r in ev]
+    assert sorted(keys) == sorted(expected)
+    for e, r in zip(sorted(lines, key=lambda x: (x["sweep"], x["kind"],
+                                                 x["track"])),
+                    sorted(zip(expected, ev), key=lambda x: x[0])):
+        assert e["clk"] == int(r[1][1])
