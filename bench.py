@@ -372,6 +372,37 @@ def main() -> None:
     dt_emit = measure_device_time(stream_emit_all, n=1)
     emit_device_s = sum(sum(v) for v in dt_emit.all_modules.values())
 
+    # Multi-stream vmapped ingest (the §5.8 many-concurrent-feeds shape):
+    # the 19 logs round-robined over 8 live streams, every step ONE
+    # vmapped program over the [S, ...] state (single chip here; on a
+    # mesh the S axis shards over 'data' with no cross-chip traffic).
+    # Per-stream parity vs independent sessions is tests/
+    # test_multidevice.py's job — this measures aggregate throughput.
+    from slam_process_tpu.parallel.streaming_device import (
+        MultiStreamingSession,
+    )
+
+    n_ms_streams = 8
+    ms_feeds = [
+        np.concatenate(
+            [r for j, r in enumerate(raw) if j % n_ms_streams == i]
+            or [np.zeros(0, np.uint8)])
+        for i in range(n_ms_streams)
+    ]
+
+    def multistream_all(_i):
+        ms = MultiStreamingSession(n_ms_streams, chunk_bytes=1 << 20)
+        ms.feed(ms_feeds)
+        ms.finalize()
+        return ms, ms._state.n_frames
+
+    ms_warm, _ = multistream_all(0)                   # warm/compile
+    multistream_frames = int(ms_warm.results()[0].sum())
+    assert multistream_frames == total_frames, "multistream lost frames"
+    dt_ms_fn = lambda i: multistream_all(i)[1]
+    dt_ms = measure_device_time(dt_ms_fn, n=1)
+    multistream_device_s = sum(sum(v) for v in dt_ms.all_modules.values())
+
     # Streaming with ONLINE per-sweep estimation + tracking: the offline
     # flagship produced in-stream as sweeps close (exact-parity tested
     # against Session.sweep_paths/path_tracks on every log).
@@ -520,6 +551,12 @@ def main() -> None:
             spaths_device_s, 4),
         "streaming_with_estimation_frames_per_sec": round(
             total_frames / spaths_device_s, 1),
+        "multistream_n_streams": n_ms_streams,
+        "multistream_frames": multistream_frames,
+        "multistream_device_seconds_full_dataset": round(
+            multistream_device_s, 4),
+        "multistream_device_frames_per_sec": round(
+            multistream_frames / multistream_device_s, 1),
         "estimate_device_seconds_dataset": round(est_vm_device_s, 4),
         "estimate_sessions_per_sec_device": round(
             len(logs) / est_vm_device_s, 1),

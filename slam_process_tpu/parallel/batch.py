@@ -38,8 +38,12 @@ def batched_session_pipeline(
     n_bytes_padded: int,
     blur_sigma: float = 1.0,
     use_log: bool = True,
-    max_groups: int = 64,
-    max_baselines_per_group: int = 128,
+    # ~2x the dataset's measured maxima (58 groups/log, 93 baselines/
+    # group) — the old 64/128 defaults left 10%/38% headroom against the
+    # corrector's silent-truncation overflow (same audit that resized the
+    # streaming session's bounds in round 4; see streaming_device.py).
+    max_groups: int = 128,
+    max_baselines_per_group: int = 192,
     outputs: str = "full",
 ):
     """Build a jitted [S, N]-batched pipeline sharded over mesh axis 'data'.
@@ -190,4 +194,12 @@ def run_dataset(mesh, raw_list: Sequence[np.ndarray], **pipeline_kwargs):
     for (idxs, _), out in zip(grouped, host):
         for row, orig in enumerate(idxs):
             results[orig] = jax.tree.map(lambda x: x[row], out)
+    bad = [i for i, r in enumerate(results) if bool(r.correct_overflow)]
+    if bad:
+        import warnings
+
+        warnings.warn(
+            f"corrector capacity exceeded on sessions {bad}: their rows "
+            "were silently truncated — re-run with larger max_groups/"
+            "max_baselines_per_group", RuntimeWarning, stacklevel=2)
     return results

@@ -782,9 +782,23 @@ class DeviceStreamingSession:
         self,
         config: Optional[PipelineConfig] = None,
         chunk_bytes: int = 1 << 20,
-        group_capacity: int = 4096,
-        max_groups: int = 64,
-        max_baselines_per_group: int = 96,
+        # The carry holds the OPEN sweep group across a window boundary, so
+        # it must exceed the largest single UE group in the stream.  The
+        # shipped dataset's max group is 4,361 frames (log "…114913",
+        # measured round 4) — the old 4096 default silently dropped 128
+        # kept rows from that log whenever its big group straddled a 1 MiB
+        # window edge (chunk-phase dependent, so most replays passed).
+        # 8192 gives ~1.9x headroom; overflow still warns loudly.
+        #
+        # The other two bounds get the same ~2x-over-observed treatment
+        # (dataset maxima at 1 MiB windows: 56 closed groups/window, 93
+        # baselines/group — the old 64/96 defaults had 14%/3% headroom
+        # against the same silent-truncation failure).  Cost: the
+        # corrector's one-hot planes scale linearly in both, ~20% on the
+        # streaming step; pass tighter bounds to trade safety for speed.
+        group_capacity: int = 8192,
+        max_groups: int = 128,
+        max_baselines_per_group: int = 192,
         decoder: str = "xla",
         collect_filtered: bool = False,
         n_beams: int = 64,
@@ -1366,9 +1380,9 @@ class MultiStreamingSession:
         n_streams: int,
         config: Optional[PipelineConfig] = None,
         chunk_bytes: int = 1 << 20,
-        group_capacity: int = 4096,
-        max_groups: int = 64,
-        max_baselines_per_group: int = 96,
+        group_capacity: int = 8192,  # see DeviceStreamingSession for the
+        max_groups: int = 128,       # measured-headroom sizing of these
+        max_baselines_per_group: int = 192,
         decoder: str = "xla",
         n_beams: int = 64,
         mesh=None,

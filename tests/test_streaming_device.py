@@ -199,6 +199,71 @@ def test_device_streaming_overflow_warns():
     assert s.n_kept >= 0
 
 
+def test_big_open_group_straddles_window_boundary():
+    """Regression (round 4): the shipped dataset's largest UE sweep group
+    is 4,361 frames — above the old group_capacity=4096 default.  When
+    such a group straddled a chunk-window edge, the carry silently
+    dropped its tail (128 kept rows lost on log "…114913" at 1 MiB
+    chunks; chunk-phase dependent, so most replays passed).  Synthesize
+    a >4096-frame group forced across many window edges and require
+    exact offline parity under the DEFAULT bounds."""
+    from slam_process_tpu.ops.correct import correct_frames_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.parallel.streaming_device import (
+        DeviceStreamingSession,
+    )
+
+    def frame(ue, rss, clk):
+        b = [0x33, ue & 0x3F, 0xC0 | 0x3F]
+        b += [0x40 | ((clk >> (6 * k)) & 0x3F) for k in range(5)]
+        b += [0x80 | ((rss >> (6 * k)) & 0x3F) for k in range(3)]
+        return b
+
+    out = []
+    for i in range(40):                       # small leading group
+        out += frame(i % 64, 50 + i, 1_000 + 700 * i)
+    big = 4_500                               # > the old 4096 default
+    for i in range(big):                      # one huge monotone-UE group
+        out += frame(i * 64 // big, 100 + i % 200, 40_000 + 700 * i)
+    for i in range(40):                       # trailing group closes it
+        out += frame(i % 64, 60 + i, 4_000_000 + 700 * i)
+    raw = np.asarray(out, dtype=np.uint8)
+
+    dec = decode_frames_np(raw)
+    res = correct_frames_np(dec.frames)
+
+    # 16 KiB windows: the 49.5 KB big group straddles several edges.
+    s = DeviceStreamingSession(chunk_bytes=1 << 14, collect_filtered=True)
+    s.feed(raw)
+    s.finalize()
+    assert not s.overflow
+    assert s.n_frames == dec.valid
+    np.testing.assert_array_equal(s.filtered, res.filtered)
+
+
+@pytest.mark.slow
+def test_log4_default_bounds_exact():
+    """The log whose 4,361-frame group broke the old default, pinned at
+    the bench configuration (1 MiB chunks, default bounds)."""
+    import glob
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.ops.correct import correct_frames_np
+    from slam_process_tpu.ops.decode import decode_frames_np
+    from slam_process_tpu.parallel.streaming_device import replay_log_device
+    from tests.conftest import DEBUGDOC
+
+    path = sorted(glob.glob(str(DEBUGDOC / "*.txt")))[4]
+    assert "114913" in path
+    raw = read_hex_log(path)
+    s = replay_log_device(raw, chunk_bytes=1 << 20, collect_filtered=True)
+    assert not s.overflow
+    dec = decode_frames_np(raw)
+    res = correct_frames_np(dec.frames)
+    assert s.n_frames == dec.valid
+    np.testing.assert_array_equal(s.filtered, res.filtered)
+
+
 def test_decode_jax_n_valid_masks_nonzero_padding():
     """n_valid must reject frames in the padded tail even when the padding
     bytes themselves form a decodable frame (explicit masking, not
