@@ -35,6 +35,7 @@ import numpy as np
 __all__ = [
     "Tracks",
     "track_paths_np",
+    "track_sweep_step_np",
     "track_paths_jax",
     "track_velocities",
 ]
@@ -84,35 +85,62 @@ def track_paths_np(
     o_obs = np.zeros((t_n, s_n), bool)
 
     for s in range(s_n):
-        assigned = np.zeros(t_n, bool)
-        used = np.zeros(k_n, bool)
-        for _ in range(k_n):
-            da = pos[:, 0:1] - aoa[s][None, :]
-            dd = pos[:, 1:2] - aod[s][None, :]
-            cost = (da * da + dd * dd).astype(np.float32)
-            mask = (created & ~assigned)[:, None] & (valid[s] & ~used)[None, :]
-            cost = np.where(mask, cost, np.float32(np.inf))
-            flat = int(np.argmin(cost))
-            t, k = divmod(flat, k_n)
-            if not (cost[t, k] <= gate2):
-                break
-            assigned[t] = True
-            used[k] = True
-            pos[t] = (aoa[s, k], aod[s, k])
-            o_obs[t, s] = True
-            o_pow[t, s] = power[s, k]
-        # New tracks for leftover valid paths, in path order.
-        for k in range(k_n):
-            if valid[s, k] and not used[k] and count < t_n:
-                pos[count] = (aoa[s, k], aod[s, k])
-                created[count] = True
-                o_obs[count, s] = True
-                o_pow[count, s] = power[s, k]
-                count += 1
-        o_aoa[:, s] = pos[:, 0]
-        o_aod[:, s] = pos[:, 1]
+        count, o_aoa[:, s], o_aod[:, s], o_pow[:, s], o_obs[:, s] = \
+            track_sweep_step_np(pos, created, count, aoa[s], aod[s],
+                                power[s], valid[s], gate2)
 
     return Tracks(o_aoa, o_aod, o_pow, o_obs, created, count)
+
+
+def track_sweep_step_np(
+    pos: np.ndarray,       # [T, 2] f32 — mutated in place
+    created: np.ndarray,   # [T] bool — mutated in place
+    count: int,
+    aoa_s: np.ndarray,     # [K] f32 — this sweep's path AoA
+    aod_s: np.ndarray,     # [K] f32
+    power_s: np.ndarray,   # [K] f32
+    valid_s: np.ndarray,   # [K] bool
+    gate2: np.float32,
+) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One sweep of the greedy global-NN association.
+
+    The single shared step behind ``track_paths_np`` AND the live-feed
+    incremental tracker (``StreamingSession.track_columns``), so
+    streamed track columns equal the batch output by construction.
+    Mutates ``pos``/``created`` in place; returns ``(count, col_aoa,
+    col_aod, col_pow, col_obs)`` — the updated track count and this
+    sweep's [T] output column (positions carry the coasting hold).
+    """
+    t_n = pos.shape[0]
+    k_n = len(aoa_s)
+    assigned = np.zeros(t_n, bool)
+    used = np.zeros(k_n, bool)
+    col_pow = np.zeros(t_n, np.float32)
+    col_obs = np.zeros(t_n, bool)
+    for _ in range(k_n):
+        da = pos[:, 0:1] - aoa_s[None, :]
+        dd = pos[:, 1:2] - aod_s[None, :]
+        cost = (da * da + dd * dd).astype(np.float32)
+        mask = (created & ~assigned)[:, None] & (valid_s & ~used)[None, :]
+        cost = np.where(mask, cost, np.float32(np.inf))
+        flat = int(np.argmin(cost))
+        t, k = divmod(flat, k_n)
+        if not (cost[t, k] <= gate2):
+            break
+        assigned[t] = True
+        used[k] = True
+        pos[t] = (aoa_s[k], aod_s[k])
+        col_obs[t] = True
+        col_pow[t] = power_s[k]
+    # New tracks for leftover valid paths, in path order.
+    for k in range(k_n):
+        if valid_s[k] and not used[k] and count < t_n:
+            pos[count] = (aoa_s[k], aod_s[k])
+            created[count] = True
+            col_obs[count] = True
+            col_pow[count] = power_s[k]
+            count += 1
+    return count, pos[:, 0].copy(), pos[:, 1].copy(), col_pow, col_obs
 
 
 def track_paths_jax(

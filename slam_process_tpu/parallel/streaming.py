@@ -55,6 +55,34 @@ def _host_sweep_estimator(est_key):
     return jax.jit(f)
 
 
+def _cpu_execution_scope():
+    """Scope for the host engine's estimator dispatch: execute on the
+    CPU backend even in a process whose default backend is an
+    accelerator.
+
+    Two reasons: (a) this class's contract is "streaming without a TPU"
+    — the estimator must not silently land on the accelerator; (b) the
+    batch-1 GEMM NaN-padding parity rationale in ``_p_close_sweep`` is a
+    property of XLA's CPU backend.  In a CPU-pinned process (the CLI's
+    host-engine commands call ``utils.transport.pin_cpu_backend``; the
+    test suite pins ``jax_platforms=cpu``) this scope is the default
+    already.  NOTE: in a process that is NOT pinned, the device query
+    below initializes all registered backends — on a relay-style
+    transport whose tunnel is down that hangs, which is exactly why the
+    CLI pins the platform list up front instead of relying on this
+    scope.
+    """
+    import contextlib
+
+    import jax
+
+    try:
+        dev = jax.local_devices(backend="cpu")[0]
+    except Exception:   # pragma: no cover — no cpu backend registered
+        return contextlib.nullcontext()
+    return jax.default_device(dev)
+
+
 class StreamingSession:
     """Host-engine streaming session.
 
@@ -95,6 +123,13 @@ class StreamingSession:
             self._p_est: list = []     # per-closed-sweep estimator outputs
             self._p_valid: list = []
             self._p_times: list = []
+            # Incremental tracker (track_columns): lazily advanced from
+            # the _p_est history, so checkpoints need no extra state.
+            t_n = spec.max_tracks
+            self._trk_pos = np.zeros((t_n, 2), np.float32)
+            self._trk_created = np.zeros(t_n, bool)
+            self._trk_count = 0
+            self._trk_cols: list = []  # per-sweep (aoa, aod, pow, obs) [T]
         else:
             self._paths_spec = None
             self._dict_args = ()
@@ -220,8 +255,9 @@ class StreamingSession:
         sub = mean[np.ix_(list(spec.ue_ids), list(spec.bs_ids))]
         padded = np.full((8,) + sub.shape, np.nan, np.float32)
         padded[0] = sub
-        est, valid = jax.device_get(_host_sweep_estimator(spec.est_key)(
-            padded, *self._dict_args))
+        with _cpu_execution_scope():
+            est, valid = jax.device_get(_host_sweep_estimator(spec.est_key)(
+                padded, *self._dict_args))
         est = type(est)(*(np.asarray(x)[:1] for x in est))
         valid = np.asarray(valid)[:1]
         self._p_est.append(est)
@@ -245,8 +281,10 @@ class StreamingSession:
             spec = self._paths_spec
             u, b = len(spec.ue_ids), len(spec.bs_ids)
             nan = np.full((8, u, b), np.nan, np.float32)
-            est, valid = jax.device_get(
-                _host_sweep_estimator(spec.est_key)(nan, *self._dict_args))
+            with _cpu_execution_scope():
+                est, valid = jax.device_get(
+                    _host_sweep_estimator(spec.est_key)(nan,
+                                                        *self._dict_args))
             paths = type(est)(*(np.asarray(x)[:0] for x in est))
             return paths, np.asarray(valid)[:0]
         est0 = self._p_est[0]
@@ -283,6 +321,55 @@ class StreamingSession:
                                 max_tracks=spec.max_tracks,
                                 gate_deg=spec.gate_deg)
         return tracks, times, track_velocities(tracks, times)
+
+    def track_columns(self, lo: int, hi: int):
+        """Per-sweep track columns for closed sweeps ``[lo, hi)``:
+        ``(aoa [m, T], aod, power, observed, raw CLK anchors [m])``.
+
+        The incremental read behind the live ``watch --events`` feed.
+        Columns come from the SAME association step batch
+        ``path_tracks`` runs (``track_sweep_step_np``), advanced lazily
+        over the stored per-sweep estimates and cached — so repeated
+        polls cost O(new sweeps), and the streamed columns equal the
+        batch ``Tracks`` tensors column-for-column (restore replays the
+        checkpointed history through the same step).
+        """
+        from slam_process_tpu.models.tracking import track_sweep_step_np
+
+        spec = self._paths_spec
+        if spec is None:
+            raise ValueError("built without collect_paths")
+        n = len(self._p_times)
+        lo, hi = max(int(lo), 0), min(int(hi), n)
+        gate2 = np.float32(spec.gate_deg) * np.float32(spec.gate_deg)
+        while len(self._trk_cols) < hi:
+            s = len(self._trk_cols)
+            est = self._p_est[s]
+            # Same per-sweep inputs batch path_tracks derives: power (or
+            # metric), path-valid & sweep-valid & anchored (unwrapped
+            # anchors are >= 0 exactly where raw anchors are).
+            aoa_s = np.asarray(est.aoa, np.float32)[0]
+            aod_s = np.asarray(est.aod, np.float32)[0]
+            pw = est.power if hasattr(est, "power") else est.metric
+            pow_s = np.asarray(pw, np.float32)[0]
+            valid_s = (np.asarray(est.valid, bool)[0]
+                       & bool(self._p_valid[s][0])
+                       & (int(self._p_times[s]) >= 0))
+            self._trk_count, ca, cd, cp, co = track_sweep_step_np(
+                self._trk_pos, self._trk_created, self._trk_count,
+                aoa_s, aod_s, pow_s, valid_s, gate2)
+            self._trk_cols.append((ca, cd, cp, co))
+        cols = self._trk_cols[lo:hi]
+        t_n = spec.max_tracks
+        if not cols:
+            z = np.zeros((0, t_n), np.float32)
+            return (z, z.copy(), z.copy(), np.zeros((0, t_n), bool),
+                    np.zeros(0, np.int64))
+        return (np.stack([c[0] for c in cols]),
+                np.stack([c[1] for c in cols]),
+                np.stack([c[2] for c in cols]),
+                np.stack([c[3] for c in cols]),
+                np.asarray(self._p_times[lo:hi], np.int64))
 
     @property
     def n_sweeps_closed(self) -> int:

@@ -1076,6 +1076,35 @@ class DeviceStreamingSession:
         vel = track_velocities(tracks, t)
         return tracks, t, vel
 
+    def track_columns(self, lo: int, hi: int):
+        """Track-ring columns for closed sweeps ``[lo, hi)``:
+        ``(aoa [m, T], aod, power, observed, raw CLK anchors [m])``.
+
+        The incremental read behind the live ``watch --events`` feed:
+        transfers O(hi - lo) ring rows, not the whole state — the
+        in-stream tracker carry already computed the columns, so a poll
+        over an unbounded watch stays O(new sweeps).  Same transport
+        caveat as every mid-stream device read (docs/STATUS.md).
+        """
+        import jax
+
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        p = self._state.paths
+        ov, a, d, pw, ob, tm = jax.device_get(
+            (p.overflow, p.trk_aoa[lo:hi], p.trk_aod[lo:hi],
+             p.trk_pow[lo:hi], p.trk_obs[lo:hi], p.time_ring[lo:hi]))
+        if bool(ov):
+            raise RuntimeError(
+                f"online estimation overflow: more than "
+                f"{self._paths_spec.s_step} sweeps closed in one step or "
+                f"more than {self._paths_spec.capacity} sweeps total; "
+                "rebuild the session with larger s_step/capacity "
+                "(grids/counts remain exact)")
+        return (np.asarray(a, np.float32), np.asarray(d, np.float32),
+                np.asarray(pw, np.float32), np.asarray(ob, bool),
+                np.asarray(tm, np.int64))
+
     @property
     def n_sweeps_closed(self) -> int:
         import jax

@@ -378,9 +378,11 @@ def _add_replay(sub):
                         "(default: sized to the log, so file replays can "
                         "never overflow the ring)")
     p.add_argument("--paths", action="store_true",
-                   help="online per-sweep estimation + CLK tracks inside "
-                        "the streaming step (--engine device only); writes "
-                        "<name>_stream_tracks.xlsx per log")
+                   help="online per-sweep estimation + CLK tracks as "
+                        "sweeps close (device: inside the jitted "
+                        "streaming step; host: per closed sweep on the "
+                        "CPU backend); writes <name>_stream_tracks.xlsx "
+                        "per log")
     _add_change_args(p, gate="--paths")
     p.set_defaults(fn=_run_replay)
 
@@ -397,6 +399,12 @@ def _run_replay(args):
     from slam_process_tpu.render.figures import save_heatmap_figure
     from slam_process_tpu.utils import extract_timestamp
 
+    if args.engine == "host":
+        # Same contract as watch: host-engine replay must not initialize
+        # the accelerator backend (see _run_watch / pin_cpu_backend).
+        from slam_process_tpu.utils.transport import pin_cpu_backend
+
+        pin_cpu_backend()
     lut = load_angle_lut(args.mapping)
     args.outdir.mkdir(parents=True, exist_ok=True)
     if args.changes and not args.paths:
@@ -460,55 +468,85 @@ def _run_replay(args):
     print(json.dumps({"sessions": len(stats), "total_frames": total}))
 
 
-def _make_event_emitter(args, session):
+def _make_event_emitter(args, session, seeded: bool = False):
     """LIVE scene-change feed for ``watch --events``: returns ``poll()``,
-    which recomputes events from the session's accumulated online tracks
-    and APPENDS only the new ones to the JSONL file.
+    which runs the INCREMENTAL change detector over the track columns of
+    the sweeps that closed since the last poll and APPENDS their event
+    rows to the JSONL file.
 
-    Append-only is sound: all four detectors are cumulative per-sweep
-    predicates (models/change_detection.py), so an event row, once
-    produced for sweep s, is reproduced identically by every later
-    detection over the grown history — dedup by (sweep, kind, track)
-    never suppresses a changed event.  ``poll`` skips entirely while no
-    new sweep has closed, so idle polls cost nothing.
+    Incremental is exact: the detectors are cumulative per-sweep
+    predicates, and ``IncrementalChangeDetector`` fed one column at a
+    time reproduces the batch table row-for-row (tests/
+    test_change_detection.py) — while per-poll cost stays O(sweeps
+    closed since last poll), not O(all history), so an unbounded live
+    watch never slows down.  Track columns come from the session's
+    in-stream tracker (``track_columns``): the device engine transfers
+    only the new ring rows; the host engine advances its cached
+    association state.
+
+    ``seeded`` (checkpoint resume): the first poll replays the restored
+    history through the detector to rebuild its state; the dedup set is
+    pre-seeded from the existing feed file so the pre-crash rows are not
+    appended twice (a torn tail line from the crash is skipped).
     """
     import json as _json
 
     from slam_process_tpu.models.change_detection import (
         EVENT_KINDS,
-        detect_scene_changes_np,
-        scene_change_events,
+        IncrementalChangeDetector,
     )
+    from slam_process_tpu.utils.timestamps import ClkUnwrapper
 
+    spec = session._paths_spec
+    det = IncrementalChangeDetector(
+        spec.max_tracks, min_persist=args.min_persist,
+        min_gone=args.min_gone, jump_deg=args.jump_deg)
+    unwrap = ClkUnwrapper()
     seen: set = set()
-    last_n = -1
+    if seeded:
+        try:
+            with open(args.events) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        e = _json.loads(line)
+                        seen.add((int(e["sweep"]),
+                                  EVENT_KINDS.index(e["kind"]),
+                                  int(e["track"])))
+                    except (ValueError, KeyError):
+                        continue
+        except OSError:
+            pass
+    state = {"n": 0}
 
     def poll() -> int:
-        nonlocal last_n
         n = session.n_sweeps_closed
-        if n == last_n or n == 0:
+        lo = state["n"]
+        if n <= lo:
             return 0
-        last_n = n
-        tracks, times, _vel = session.path_tracks()
-        ch = detect_scene_changes_np(
-            tracks, min_persist=args.min_persist,
-            min_gone=args.min_gone, jump_deg=args.jump_deg)
-        ev = scene_change_events(ch, tracks, times)
+        aoa, aod, power, obs, raw_times = session.track_columns(lo, n)
+        state["n"] = n
         wrote = 0
         with open(args.events, "a") as f:
-            for row in ev:
-                key = (int(row[0]), int(row[2]), int(row[3]))
-                if key in seen:
-                    continue
-                seen.add(key)
-                f.write(_json.dumps({
-                    "sweep": int(row[0]), "clk": int(row[1]),
-                    "kind": EVENT_KINDS[int(row[2])], "track": int(row[3]),
-                    "aoa": round(float(row[4]), 4),
-                    "aod": round(float(row[5]), 4),
-                    "power": float(row[6]),
-                }) + "\n")
-                wrote += 1
+            for i in range(n - lo):
+                t_u = unwrap.push(raw_times[i])
+                for row in det.step(aoa[i], aod[i], power[i], obs[i],
+                                    float(t_u)):
+                    key = (int(row[0]), int(row[2]), int(row[3]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    f.write(_json.dumps({
+                        "sweep": int(row[0]), "clk": int(row[1]),
+                        "kind": EVENT_KINDS[int(row[2])],
+                        "track": int(row[3]),
+                        "aoa": round(float(row[4]), 4),
+                        "aod": round(float(row[5]), 4),
+                        "power": float(row[6]),
+                    }) + "\n")
+                    wrote += 1
         return wrote
 
     return poll
@@ -606,8 +644,10 @@ def _add_watch(sub):
                    help="re-render the live heatmap every N seconds "
                         "(0 = only at exit)")
     p.add_argument("--paths", action="store_true",
-                   help="online per-sweep estimation + CLK tracks inside "
-                        "the streaming step (--engine device only)")
+                   help="online per-sweep estimation + CLK tracks as "
+                        "sweeps close (device: inside the jitted "
+                        "streaming step; host: per closed sweep on the "
+                        "CPU backend)")
     p.add_argument("--checkpoint", type=Path, default=None,
                    help="crash-recovery state file: restored at startup "
                         "when it exists; rewritten atomically every "
@@ -649,9 +689,22 @@ def _run_watch(args):
             args.log = args.logs[0]
         else:
             return _run_watch_multi(args)
-    if args.events is not None and not args.paths:
+    if args.events is not None and not args.paths and not (
+            args.checkpoint and args.checkpoint.exists()):
+        # With a restorable checkpoint the STATE decides whether online
+        # estimation exists (_reconcile_paths_flag) — the resume command
+        # must not need a different flag set than the one that crashed.
         raise SystemExit("--events requires --paths (the events derive "
                          "from the online tracks)")
+    if args.engine == "host":
+        # The host engine's contract is "no accelerator required": pin
+        # the platform list before the first backend touch, or the
+        # per-sweep estimator's jit would initialize the default
+        # accelerator backend (which HANGS on relay transports whose
+        # tunnel is down — utils/transport.pin_cpu_backend).
+        from slam_process_tpu.utils.transport import pin_cpu_backend
+
+        pin_cpu_backend()
 
     from slam_process_tpu.io.angles import load_angle_lut
     from slam_process_tpu.io.hexlog import tokenize_hex
@@ -684,6 +737,7 @@ def _run_watch(args):
         from slam_process_tpu.parallel.streaming import (
             StreamingSession as Sess,
         )
+    was_restored = False
     if args.checkpoint and args.checkpoint.exists():
         # Crash recovery: the checkpoint holds the session state AND this
         # loop's cursor (file offset + tokenizer text carry), so the
@@ -691,6 +745,7 @@ def _run_watch(args):
         # device-engine checkpoint restores only with --engine device and
         # vice versa (the restore raises a kind-mismatch error).
         s = Sess.restore(args.checkpoint)
+        was_restored = True
         resume_completed = s._finalized
         if resume_completed:
             # A crash AFTER finalize (e.g. during export) must not strand
@@ -740,7 +795,7 @@ def _run_watch(args):
     events_written = 0
     if args.events is not None and args.paths:
         args.events.parent.mkdir(parents=True, exist_ok=True)
-        emitter = _make_event_emitter(args, s)
+        emitter = _make_event_emitter(args, s, seeded=was_restored)
         if args.engine == "device":
             print("note: --events polls the online tracks after each fed "
                   "chunk (device reads); on relay transports this degrades "

@@ -57,3 +57,37 @@ def unwrap_clk_anchors(times, logger=None):
         wraps = np.cumsum(np.concatenate([[0], wrap]))
         times[obs] = t + (wraps.astype(np.int64) << 30)
     return times
+
+
+class ClkUnwrapper:
+    """Streamed :func:`unwrap_clk_anchors`: ``push`` anchors one at a
+    time and get the unwrapped value back immediately.
+
+    The batch helper is prefix-stable (each output depends only on
+    earlier anchors), so the pushed sequence equals
+    ``unwrap_clk_anchors(all_anchors)`` element-for-element
+    (tests/test_change_detection.py) — this is what lets the live
+    ``watch --events`` feed stamp events without re-unwrapping the whole
+    history per poll.  ``odd`` counts non-wrap decreases (the batch
+    helper's warning condition) so callers can surface the same warning.
+    """
+
+    def __init__(self) -> None:
+        self._last_raw = -1
+        self._wraps = 0
+        self.odd = 0
+
+    def push(self, raw) -> int:
+        import numpy as np
+
+        raw = int(raw)
+        if raw < 0:
+            return -1
+        if self._last_raw >= 0:
+            d = raw - self._last_raw
+            if d < 0 and -d > (1 << 29):
+                self._wraps += 1
+            elif d < 0:
+                self.odd += 1
+        self._last_raw = raw
+        return raw + (self._wraps << 30)

@@ -67,3 +67,33 @@ def probe_default_backend(timeout_s: float = 240.0) -> bool:
         return r.returncode == 0 and "ok" in r.stdout
     except (subprocess.TimeoutExpired, OSError):
         return False
+
+
+def pin_cpu_backend() -> bool:
+    """Constrain this process's JAX to the CPU backend, for host-engine
+    code paths whose contract is "no accelerator required".
+
+    On this image, merely ASKING for the CPU backend
+    (``jax.local_devices(backend='cpu')``) initializes every registered
+    platform — including the axon TPU plugin, whose registration hangs
+    forever while its relay tunnel is down (verified 2026-08-18).  The
+    only safe route is restricting the platform list BEFORE the first
+    backend touch; the ``JAX_PLATFORMS`` env var alone does not work
+    because this environment's sitecustomize overrides it.
+
+    Returns True when the pin took effect; False when JAX backends were
+    already initialized in this process (too late to restrict — callers
+    then rely on a ``jax.default_device`` CPU scope instead, which is
+    safe post-init).
+    """
+    import jax
+
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if getattr(_xb, "_backends", None):
+            return False
+    except Exception:   # pragma: no cover — private-API drift guard
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    return True

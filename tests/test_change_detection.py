@@ -148,3 +148,60 @@ def test_session_scene_changes_smoke(tmp_path):
     assert events.size == 0 or (
         events[:, 0].min() >= 0
         and events[:, 0].max() < tracks.observed.shape[1])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_incremental_equals_batch(seed):
+    """IncrementalChangeDetector fed one column at a time reproduces the
+    batch scene_change_events table row-for-row — the property the live
+    ``watch --events`` feed rests on (O(T) per sweep instead of
+    recomputing the whole history per poll)."""
+    from slam_process_tpu.models.change_detection import (
+        IncrementalChangeDetector,
+        detect_scene_changes_np,
+        scene_change_events,
+    )
+    from slam_process_tpu.models.tracking import Tracks, track_paths_np
+    from slam_process_tpu.utils.timestamps import (
+        ClkUnwrapper,
+        unwrap_clk_anchors,
+    )
+
+    rng = np.random.default_rng(seed)
+    s_n, k_n, t_n = 40, 4, 6
+    aoa = rng.uniform(-40, 40, (s_n, k_n)).astype(np.float32)
+    aod = rng.uniform(-40, 40, (s_n, k_n)).astype(np.float32)
+    power = rng.uniform(0, 1, (s_n, k_n)).astype(np.float32)
+    valid = rng.random((s_n, k_n)) < 0.6
+    # Correlated sweeps so tracks persist (and die, and jump).
+    for s in range(1, s_n):
+        hold = rng.random(k_n) < 0.7
+        aoa[s] = np.where(hold, aoa[s - 1] + rng.normal(0, 1, k_n)
+                          .astype(np.float32), aoa[s])
+        aod[s] = np.where(hold, aod[s - 1] + rng.normal(0, 1, k_n)
+                          .astype(np.float32), aod[s])
+    tracks = track_paths_np(aoa, aod, power, valid, max_tracks=t_n,
+                            gate_deg=8.0)
+    # Raw CLK anchors with a wrap and an empty sweep.
+    raw = np.cumsum(rng.integers(1, 1 << 20, s_n)).astype(np.int64)
+    raw = raw % (1 << 30)
+    raw[7] = -1
+    times = unwrap_clk_anchors(raw)
+
+    batch = scene_change_events(
+        detect_scene_changes_np(tracks, min_persist=2, min_gone=2,
+                                jump_deg=2.0), tracks, times)
+
+    det = IncrementalChangeDetector(t_n, min_persist=2, min_gone=2,
+                                    jump_deg=2.0)
+    unwrap = ClkUnwrapper()
+    parts = []
+    for s in range(s_n):
+        t_u = unwrap.push(raw[s])
+        parts.append(det.step(tracks.pos_aoa[:, s], tracks.pos_aod[:, s],
+                              tracks.power[:, s], tracks.observed[:, s],
+                              float(t_u)))
+    inc = np.concatenate(parts) if parts else np.zeros((0, 7))
+    assert batch.shape == inc.shape
+    np.testing.assert_array_equal(batch, inc)
+    assert len(batch) > 0, "vacuous: no events produced at these settings"

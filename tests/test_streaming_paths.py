@@ -246,3 +246,43 @@ def test_host_online_paths_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(getattr(ta, name)),
             np.asarray(getattr(tb, name)), err_msg=name)
+
+
+@pytest.mark.parametrize("engine", ["device", "host"])
+def test_track_columns_equal_batch_tracks(engine):
+    """``track_columns(lo, hi)`` — the incremental read behind the live
+    --events feed — returns exactly the batch ``path_tracks`` tensors'
+    columns on BOTH engines, in windowed reads (state carried across
+    calls) and regardless of read order."""
+    raw = read_hex_log(SMALL_LOG)
+    spec = make_paths_spec(BEAM_ANGLE)
+    if engine == "device":
+        s = _replay(raw, spec, chunk_bytes=1 << 16)
+    else:
+        from slam_process_tpu.parallel.streaming import StreamingSession
+
+        s = StreamingSession(collect_paths=spec)
+        for off in range(0, len(raw), 1 << 16):
+            s.feed(raw[off:off + (1 << 16)])
+        s.finalize()
+
+    n = s.n_sweeps_closed
+    assert n > 3
+    tracks, times, _ = s.path_tracks()
+
+    # Windowed incremental reads concatenate to the full history.
+    parts = [s.track_columns(lo, min(lo + 3, n)) for lo in range(0, n, 3)]
+    aoa = np.concatenate([p[0] for p in parts])
+    aod = np.concatenate([p[1] for p in parts])
+    power = np.concatenate([p[2] for p in parts])
+    obs = np.concatenate([p[3] for p in parts])
+    np.testing.assert_array_equal(aoa.T, tracks.pos_aoa)
+    np.testing.assert_array_equal(aod.T, tracks.pos_aod)
+    np.testing.assert_array_equal(power.T, tracks.power)
+    np.testing.assert_array_equal(obs.T, tracks.observed)
+
+    # Re-reads of an earlier window return the same columns (cached /
+    # ring-resident — no recompute drift).
+    a2, d2, p2, o2, _t2 = s.track_columns(0, n)
+    np.testing.assert_array_equal(a2.T, tracks.pos_aoa)
+    np.testing.assert_array_equal(o2.T, tracks.observed)

@@ -310,3 +310,93 @@ def test_watch_live_events_feed(tmp_path):
                                                  x["track"])),
                     sorted(zip(expected, ev), key=lambda x: x[0])):
         assert e["clk"] == int(r[1][1])
+
+
+def test_watch_events_resume_no_duplicates(tmp_path):
+    """A crashed ``watch --events`` resumed from its checkpoint does not
+    re-append the pre-crash event rows (the dedup set is seeded from the
+    existing feed file), and the final feed still equals the offline
+    detector on the full capture — including events whose rows were
+    written by the first process."""
+    import json
+    import os
+    import signal
+    import subprocess
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.models.change_detection import (
+        EVENT_KINDS,
+        detect_scene_changes_np,
+        scene_change_events,
+    )
+    from slam_process_tpu.parallel.streaming import replay_log
+    from slam_process_tpu.parallel.streaming_device import make_paths_spec
+    from slam_process_tpu.pipeline.cli import main
+
+    data = LOG.read_bytes()
+    grow = tmp_path / "live.txt"
+    ckpt = tmp_path / "watch.ckpt"
+    events = tmp_path / "events.jsonl"
+    grow.write_bytes(data[: len(data) // 2])
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    code = (
+        "import jax, sys; jax.config.update('jax_platforms', 'cpu');\n"
+        "from slam_process_tpu.pipeline.cli import main\n"
+        f"sys.argv = ['cli', 'watch', '--log', {str(grow)!r}, "
+        f"'--mapping', {MAPPING!r}, '--outdir', {str(tmp_path)!r}, "
+        f"'--engine', 'host', '--paths', '--events', {str(events)!r}, "
+        f"'--min-persist', '2', '--min-gone', '2', '--jump-deg', '2.0', "
+        f"'--poll-interval', '0.05', '--idle-timeout', '0', "
+        f"'--checkpoint', {str(ckpt)!r}, '--checkpoint-every', '0.3']\n"
+        "main()\n")
+    child = subprocess.Popen([sys.executable, "-c", code], cwd=repo,
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.monotonic() + 180
+        # Wait for a checkpoint AND at least one event row on disk, so the
+        # resume genuinely exercises the seeded dedup path.
+        while not (ckpt.exists() and events.exists()
+                   and events.stat().st_size > 0):
+            assert child.poll() is None, "watch process died before saving"
+            assert time.monotonic() < deadline, "no checkpoint within 180s"
+            time.sleep(0.2)
+        time.sleep(1.0)
+    finally:
+        if child.poll() is None:
+            os.kill(child.pid, signal.SIGKILL)
+        child.wait()
+
+    pre_crash = [x for x in events.read_text().splitlines() if x.strip()]
+    assert pre_crash, "vacuous: no events written before the crash"
+
+    with open(grow, "ab") as f:
+        f.write(data[len(data) // 2:])
+    # Resume WITHOUT --paths: the checkpoint state carries the online
+    # estimation, and the --events gate must defer to it (reconcile).
+    argv, sys.argv = sys.argv, [
+        "cli", "watch", "--log", str(grow), "--mapping", MAPPING,
+        "--outdir", str(tmp_path), "--engine", "host",
+        "--events", str(events),
+        "--min-persist", "2", "--min-gone", "2", "--jump-deg", "2.0",
+        "--poll-interval", "0.05", "--idle-timeout", "2.0",
+        "--checkpoint", str(ckpt)]
+    try:
+        main()
+    finally:
+        sys.argv = argv
+
+    lines = [json.loads(x) for x in events.read_text().splitlines()
+             if x.strip()]
+    keys = [(e["sweep"], e["kind"], e["track"]) for e in lines]
+    assert len(keys) == len(set(keys)), "duplicate events after resume"
+
+    # Offline expectation on the full capture, same thresholds.
+    s = replay_log(read_hex_log(LOG), collect_paths=make_paths_spec(MAPPING))
+    tracks, times, _ = s.path_tracks()
+    ev = scene_change_events(
+        detect_scene_changes_np(tracks, min_persist=2, min_gone=2,
+                                jump_deg=2.0), tracks, times)
+    want = {(int(r[0]), EVENT_KINDS[int(r[2])], int(r[3])) for r in ev}
+    assert set(keys) == want
