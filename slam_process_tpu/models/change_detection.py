@@ -77,6 +77,12 @@ def _detect(xp, tracks, min_persist: int, min_gone: int, jump_deg: float):
     power = xp.asarray(tracks.power, xp.float32)
     created = xp.asarray(tracks.created, bool)
     t_n, s_n = obs.shape
+    if s_n == 0:
+        # Zero-sweep session (e.g. a junk-only stream): no events.  The
+        # shapes are static under jit, so this is a trace-time branch.
+        z = xp.zeros((t_n, 0), bool)
+        return SceneChanges(z, z, z, xp.zeros(0, xp.int32),
+                            xp.zeros(0, bool))
 
     obs = obs & created[:, None]
     obs_i = obs.astype(xp.int32)

@@ -1696,6 +1696,47 @@ class MultiStreamingSession:
         paths = type(est)(*(np.asarray(x)[i][:n] for x in est))
         return paths, np.asarray(host[3])[i][:n]
 
+    def n_sweeps_closed_all(self) -> np.ndarray:
+        """Closed-sweep counts per stream ([S] i64) — ONE small device
+        read (no full-state transfer), for live pollers deciding whether
+        any stream has new sweeps."""
+        import jax
+
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        return np.asarray(jax.device_get(self._state.paths.n_closed),
+                          np.int64)
+
+    def stream_track_columns(self, i: int, lo: int, hi: int):
+        """Stream ``i``'s track-ring columns for closed sweeps
+        ``[lo, hi)``: ``(aoa [m, T], aod, power, observed, raw CLK
+        anchors [m])``.
+
+        The incremental read behind the multi-log live ``watch --events``
+        feed — transfers O(hi - lo) ring rows of ONE stream, not the
+        whole [S, ...] paths state (``_paths_read_all`` is the right
+        call for one-shot exports; this is the right one for a poll
+        loop).  Same transport caveat as every mid-stream device read.
+        """
+        import jax
+
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        p = self._state.paths
+        ov, a, d, pw, ob, tm = jax.device_get(
+            (p.overflow[i], p.trk_aoa[i, lo:hi], p.trk_aod[i, lo:hi],
+             p.trk_pow[i, lo:hi], p.trk_obs[i, lo:hi],
+             p.time_ring[i, lo:hi]))
+        if bool(ov):
+            raise RuntimeError(
+                f"online estimation overflow on stream {i}: more than "
+                f"{self._paths_spec.s_step} sweeps closed in one step or "
+                f"more than {self._paths_spec.capacity} sweeps total; "
+                "rebuild with larger s_step/capacity")
+        return (np.asarray(a, np.float32), np.asarray(d, np.float32),
+                np.asarray(pw, np.float32), np.asarray(ob, bool),
+                np.asarray(tm, np.int64))
+
     def stream_tracks(self, i: int):
         """Stream ``i``'s online tracks: (tracks, times, velocities) —
         the single-stream ``path_tracks`` contract."""

@@ -552,6 +552,88 @@ def _make_event_emitter(args, session, seeded: bool = False):
     return poll
 
 
+def _make_multi_event_emitter(args, session, names, seeded: bool = False):
+    """Unified live scene-change feed for the multi-log watch: ONE JSONL
+    file whose rows carry a ``session`` field naming the stream.
+
+    Per-stream ``IncrementalChangeDetector`` + CLK-unwrap state; each
+    poll reads the per-stream closed-sweep counts (one small device
+    read) and then only the NEW track-ring rows of streams that
+    advanced (``stream_track_columns``) — O(new sweeps) per poll, like
+    the single-log emitter.  ``seeded`` (checkpoint resume) pre-loads
+    the dedup set from the existing feed file so replayed history is
+    not re-appended.
+    """
+    import json as _json
+
+    from slam_process_tpu.models.change_detection import (
+        EVENT_KINDS,
+        IncrementalChangeDetector,
+    )
+    from slam_process_tpu.utils.timestamps import ClkUnwrapper
+
+    spec = session._paths_spec
+    s_n = session.n_streams
+    dets = [IncrementalChangeDetector(
+        spec.max_tracks, min_persist=args.min_persist,
+        min_gone=args.min_gone, jump_deg=args.jump_deg)
+        for _ in range(s_n)]
+    unwraps = [ClkUnwrapper() for _ in range(s_n)]
+    seen: set = set()
+    if seeded:
+        try:
+            with open(args.events) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        e = _json.loads(line)
+                        seen.add((e.get("session"), int(e["sweep"]),
+                                  EVENT_KINDS.index(e["kind"]),
+                                  int(e["track"])))
+                    except (ValueError, KeyError):
+                        continue
+        except OSError:
+            pass
+    lows = [0] * s_n
+
+    def poll() -> int:
+        ns = session.n_sweeps_closed_all()
+        todo = [i for i in range(s_n) if int(ns[i]) > lows[i]]
+        if not todo:
+            return 0
+        wrote = 0
+        with open(args.events, "a") as f:
+            for i in todo:
+                hi = int(ns[i])
+                aoa, aod, power, obs, raw = \
+                    session.stream_track_columns(i, lows[i], hi)
+                for j in range(hi - lows[i]):
+                    t_u = unwraps[i].push(raw[j])
+                    for row in dets[i].step(aoa[j], aod[j], power[j],
+                                            obs[j], float(t_u)):
+                        key = (names[i], int(row[0]), int(row[2]),
+                               int(row[3]))
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        f.write(_json.dumps({
+                            "session": names[i],
+                            "sweep": int(row[0]), "clk": int(row[1]),
+                            "kind": EVENT_KINDS[int(row[2])],
+                            "track": int(row[3]),
+                            "aoa": round(float(row[4]), 4),
+                            "aod": round(float(row[5]), 4),
+                            "power": float(row[6]),
+                        }) + "\n")
+                        wrote += 1
+                lows[i] = hi
+        return wrote
+
+    return poll
+
+
 def _reconcile_paths_flag(args, s) -> bool:
     """Align --paths with what a restored checkpoint actually carries.
 
@@ -658,8 +740,9 @@ def _add_watch(sub):
     p.add_argument("--events", type=Path, default=None,
                    help="with --paths: append scene-change events (birth/"
                         "death/jump/LoS-handover) to this JSONL file LIVE "
-                        "as the capture's sweeps close — the machine-"
-                        "readable monitoring feed (single --log only; "
+                        "as the captures' sweeps close — the machine-"
+                        "readable monitoring feed (in --logs mode rows "
+                        "carry a 'session' field naming the stream; "
                         "--min-persist/--min-gone/--jump-deg set the "
                         "thresholds)")
     _add_change_args(p, gate="--paths")
@@ -679,11 +762,6 @@ def _run_watch(args):
                          "(no state file to write to)")
     if args.emit_capacity is not None and args.emit_capacity <= 0:
         raise SystemExit("--emit-capacity must be a positive row count")
-    if args.events is not None and args.logs is not None \
-            and len(args.logs) > 1:
-        raise SystemExit("--events supports a single --log watch (use "
-                         "--paths --changes for per-stream event tables "
-                         "at exit in --logs mode)")
     if args.logs is not None:
         if len(args.logs) == 1:
             args.log = args.logs[0]
@@ -926,6 +1004,12 @@ def _run_watch_multi(args):
     if args.changes and not args.paths:
         print("warning: --changes requires --paths; no change events "
               "will be written", file=sys.stderr)
+    if args.events is not None and not args.paths and not (
+            args.checkpoint and args.checkpoint.exists()):
+        # Same deferral as the single-log watch: a restorable checkpoint's
+        # state decides whether online estimation exists.
+        raise SystemExit("--events requires --paths (the events derive "
+                         "from the online tracks)")
     logs = list(args.logs)
     n = len(logs)
     # Per-stream export names: filename stem/timestamp, deduplicated —
@@ -945,8 +1029,10 @@ def _run_watch_multi(args):
 
     pos = [0] * n
     carry = [b""] * n
+    was_restored = False
     if args.checkpoint and args.checkpoint.exists():
         s = MultiStreamingSession.restore(args.checkpoint)
+        was_restored = True
         if s.n_streams != n:
             raise SystemExit(
                 f"{args.checkpoint} holds {s.n_streams} streams, "
@@ -966,6 +1052,19 @@ def _run_watch_multi(args):
     else:
         cp = make_paths_spec(args.mapping) if args.paths else None
         s = MultiStreamingSession(n, collect_paths=cp, emit_capacity=ecap)
+
+    emitter = None
+    events_written = 0
+    if args.events is not None and args.paths:
+        args.events.parent.mkdir(parents=True, exist_ok=True)
+        emitter = _make_multi_event_emitter(args, s, names,
+                                            seeded=was_restored)
+        print("note: --events polls the online tracks after each fed "
+              "round (device reads); on relay transports this degrades "
+              "feed throughput for the rest of the watch", file=sys.stderr)
+    elif args.events is not None:
+        print("warning: --events ignored — the restored checkpoint was "
+              "created without online estimation", file=sys.stderr)
 
     def save_ckpt():
         if args.checkpoint:
@@ -1039,13 +1138,18 @@ def _run_watch_multi(args):
                     chunks[i] = tokenize_hex(bytes(carry[i]))
                     carry[i] = b""
                     to_finalize.append(i)
+            fed_round = False
             if any(len(c) for c in chunks):
                 s.feed(chunks)
+                fed_round = True
             if to_finalize:
                 s.finalize_streams(to_finalize)
                 done[to_finalize] = True
+                fed_round = True
                 print(f"stream(s) {to_finalize} finalized "
                       f"({(~done).sum()} still live)", file=sys.stderr)
+            if emitter and fed_round:
+                events_written += emitter()
             if (args.render_every
                     and now - last_render >= args.render_every):
                 render_all()
@@ -1066,6 +1170,8 @@ def _run_watch_multi(args):
             s.feed(tails)
         s.finalize()
     save_ckpt()
+    if emitter:
+        events_written += emitter()   # the finalize-closed final sweeps
 
     nf, nk, ng, _sums, _counts, _ovf = s.results()
     pngs = render_all()
@@ -1080,8 +1186,11 @@ def _run_watch_multi(args):
                       "frames": int(nf[i]), "kept": int(nk[i]),
                       "sweeps": int(ng[i]), "png": str(png)})
         print(json.dumps(stats[-1]))
-    print(json.dumps({"streams": n,
-                      "total_frames": int(sum(x["frames"] for x in stats))}))
+    totals = {"streams": n,
+              "total_frames": int(sum(x["frames"] for x in stats))}
+    if emitter:
+        totals["events"] = events_written
+    print(json.dumps(totals))
 
 
 def _add_run_config(sub):

@@ -205,3 +205,28 @@ def test_incremental_equals_batch(seed):
     assert batch.shape == inc.shape
     np.testing.assert_array_equal(batch, inc)
     assert len(batch) > 0, "vacuous: no events produced at these settings"
+
+
+def test_zero_sweep_tracks_no_events():
+    """A zero-sweep session (junk-only stream) must yield empty change
+    masks and an empty event table, not an indexing error."""
+    from slam_process_tpu.models.change_detection import (
+        detect_scene_changes_jax,
+        detect_scene_changes_np,
+        scene_change_events,
+    )
+    from slam_process_tpu.models.tracking import Tracks
+
+    t_n = 4
+    tracks = Tracks(np.zeros((t_n, 0), np.float32),
+                    np.zeros((t_n, 0), np.float32),
+                    np.zeros((t_n, 0), np.float32),
+                    np.zeros((t_n, 0), bool),
+                    np.zeros(t_n, bool), 0)
+    for detect in (detect_scene_changes_np, detect_scene_changes_jax):
+        ch = detect(tracks)
+        assert np.asarray(ch.birth).shape == (t_n, 0)
+        assert np.asarray(ch.los_change).shape == (0,)
+    ev = scene_change_events(detect_scene_changes_np(tracks), tracks,
+                             np.zeros(0, np.int64))
+    assert ev.shape == (0, 7)

@@ -400,3 +400,81 @@ def test_watch_events_resume_no_duplicates(tmp_path):
                                 jump_deg=2.0), tracks, times)
     want = {(int(r[0]), EVENT_KINDS[int(r[2])], int(r[3])) for r in ev}
     assert set(keys) == want
+
+
+def test_watch_multi_live_events_feed(tmp_path):
+    """watch --logs A B --events: ONE live JSONL feed across both
+    streams, rows tagged with their stream's session name; per stream it
+    has no duplicates and equals the offline detector on that capture's
+    full contents (including A, which finalizes alone on idle while B
+    keeps growing)."""
+    import json
+
+    from slam_process_tpu.models.change_detection import (
+        EVENT_KINDS,
+        detect_scene_changes_np,
+        scene_change_events,
+    )
+    from slam_process_tpu.parallel.streaming import replay_log
+    from slam_process_tpu.parallel.streaming_device import make_paths_spec
+    from slam_process_tpu.pipeline.cli import main
+
+    data = LOG.read_bytes()
+    a_total = len(data) // 3
+    grow_a = tmp_path / "live_a.txt"
+    grow_b = tmp_path / "live_b.txt"
+    grow_a.write_bytes(b"")
+    grow_b.write_bytes(b"")
+    events = tmp_path / "events.jsonl"
+
+    rng = np.random.default_rng(13)
+    pieces_a = np.split(np.frombuffer(data[:a_total], np.uint8),
+                        np.sort(rng.integers(1, a_total, 5)))
+    pieces_b = np.split(np.frombuffer(data, np.uint8),
+                        np.sort(rng.integers(1, len(data), 12)))
+
+    def writer(path, pieces, dt, delay):
+        time.sleep(delay)
+        with open(path, "ab") as f:
+            for p in pieces:
+                f.write(p.tobytes())
+                f.flush()
+                time.sleep(dt)
+
+    ta = threading.Thread(target=writer, args=(grow_a, pieces_a, 0.05, 0.3))
+    tb = threading.Thread(target=writer, args=(grow_b, pieces_b, 0.4, 0.3))
+    ta.start()
+    tb.start()
+    argv, sys.argv = sys.argv, [
+        "cli", "watch", "--logs", str(grow_a), str(grow_b),
+        "--mapping", MAPPING, "--outdir", str(tmp_path),
+        "--engine", "device", "--paths", "--events", str(events),
+        "--min-persist", "2", "--min-gone", "2", "--jump-deg", "2.0",
+        "--poll-interval", "0.05", "--idle-timeout", "1.5"]
+    try:
+        main()
+    finally:
+        sys.argv = argv
+    ta.join()
+    tb.join()
+
+    lines = [json.loads(x) for x in events.read_text().splitlines()
+             if x.strip()]
+    keys = [(e["session"], e["sweep"], e["kind"], e["track"])
+            for e in lines]
+    assert len(keys) == len(set(keys)), "duplicate live events"
+    assert {e["session"] for e in lines} == {"live_a", "live_b"}
+
+    from slam_process_tpu.io.hexlog import tokenize_hex
+
+    for name, blob in (("live_a", data[:a_total]), ("live_b", data)):
+        s = replay_log(tokenize_hex(blob),
+                       collect_paths=make_paths_spec(MAPPING))
+        tracks, times, _ = s.path_tracks()
+        ev = scene_change_events(
+            detect_scene_changes_np(tracks, min_persist=2, min_gone=2,
+                                    jump_deg=2.0), tracks, times)
+        want = {(name, int(r[0]), EVENT_KINDS[int(r[2])], int(r[3]))
+                for r in ev}
+        got = {k for k in keys if k[0] == name}
+        assert got == want, name
