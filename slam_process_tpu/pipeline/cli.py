@@ -468,6 +468,57 @@ def _run_replay(args):
     print(json.dumps({"sessions": len(stats), "total_frames": total}))
 
 
+def _seed_event_keys(events_path, with_session: bool) -> set:
+    """Dedup keys from an existing JSONL feed (checkpoint resume).
+
+    Malformed lines — including the torn tail a crash mid-write leaves —
+    are skipped; a torn TAIL (no trailing newline) is additionally
+    quarantined by appending a newline, so the first post-resume append
+    starts on a fresh line instead of concatenating onto the fragment.
+    """
+    import json as _json
+
+    from slam_process_tpu.models.change_detection import EVENT_KINDS
+
+    seen: set = set()
+    try:
+        with open(events_path, "rb+") as f:
+            data = f.read()
+            if data and not data.endswith(b"\n"):
+                f.write(b"\n")
+    except OSError:
+        return seen
+    for line in data.decode("utf-8", "replace").splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            e = _json.loads(line)
+            key = (int(e["sweep"]), EVENT_KINDS.index(e["kind"]),
+                   int(e["track"]))
+            seen.add(((e.get("session"),) + key) if with_session else key)
+        except (ValueError, KeyError, TypeError):
+            continue
+    return seen
+
+
+def _event_json_line(row, session=None) -> str:
+    """One feed row (the [7] float64 detector row) as a JSONL line."""
+    import json as _json
+
+    from slam_process_tpu.models.change_detection import EVENT_KINDS
+
+    d = {} if session is None else {"session": session}
+    d.update({
+        "sweep": int(row[0]), "clk": int(row[1]),
+        "kind": EVENT_KINDS[int(row[2])], "track": int(row[3]),
+        "aoa": round(float(row[4]), 4),
+        "aod": round(float(row[5]), 4),
+        "power": float(row[6]),
+    })
+    return _json.dumps(d)
+
+
 def _make_event_emitter(args, session, seeded: bool = False):
     """LIVE scene-change feed for ``watch --events``: returns ``poll()``,
     which runs the INCREMENTAL change detector over the track columns of
@@ -489,10 +540,7 @@ def _make_event_emitter(args, session, seeded: bool = False):
     pre-seeded from the existing feed file so the pre-crash rows are not
     appended twice (a torn tail line from the crash is skipped).
     """
-    import json as _json
-
     from slam_process_tpu.models.change_detection import (
-        EVENT_KINDS,
         IncrementalChangeDetector,
     )
     from slam_process_tpu.utils.timestamps import ClkUnwrapper
@@ -502,23 +550,8 @@ def _make_event_emitter(args, session, seeded: bool = False):
         spec.max_tracks, min_persist=args.min_persist,
         min_gone=args.min_gone, jump_deg=args.jump_deg)
     unwrap = ClkUnwrapper()
-    seen: set = set()
-    if seeded:
-        try:
-            with open(args.events) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        e = _json.loads(line)
-                        seen.add((int(e["sweep"]),
-                                  EVENT_KINDS.index(e["kind"]),
-                                  int(e["track"])))
-                    except (ValueError, KeyError):
-                        continue
-        except OSError:
-            pass
+    seen = _seed_event_keys(args.events, with_session=False) if seeded \
+        else set()
     state = {"n": 0}
 
     def poll() -> int:
@@ -538,14 +571,7 @@ def _make_event_emitter(args, session, seeded: bool = False):
                     if key in seen:
                         continue
                     seen.add(key)
-                    f.write(_json.dumps({
-                        "sweep": int(row[0]), "clk": int(row[1]),
-                        "kind": EVENT_KINDS[int(row[2])],
-                        "track": int(row[3]),
-                        "aoa": round(float(row[4]), 4),
-                        "aod": round(float(row[5]), 4),
-                        "power": float(row[6]),
-                    }) + "\n")
+                    f.write(_event_json_line(row) + "\n")
                     wrote += 1
         return wrote
 
@@ -564,10 +590,7 @@ def _make_multi_event_emitter(args, session, names, seeded: bool = False):
     the dedup set from the existing feed file so replayed history is
     not re-appended.
     """
-    import json as _json
-
     from slam_process_tpu.models.change_detection import (
-        EVENT_KINDS,
         IncrementalChangeDetector,
     )
     from slam_process_tpu.utils.timestamps import ClkUnwrapper
@@ -579,23 +602,8 @@ def _make_multi_event_emitter(args, session, names, seeded: bool = False):
         min_gone=args.min_gone, jump_deg=args.jump_deg)
         for _ in range(s_n)]
     unwraps = [ClkUnwrapper() for _ in range(s_n)]
-    seen: set = set()
-    if seeded:
-        try:
-            with open(args.events) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        e = _json.loads(line)
-                        seen.add((e.get("session"), int(e["sweep"]),
-                                  EVENT_KINDS.index(e["kind"]),
-                                  int(e["track"])))
-                    except (ValueError, KeyError):
-                        continue
-        except OSError:
-            pass
+    seen = _seed_event_keys(args.events, with_session=True) if seeded \
+        else set()
     lows = [0] * s_n
 
     def poll() -> int:
@@ -618,15 +626,8 @@ def _make_multi_event_emitter(args, session, names, seeded: bool = False):
                         if key in seen:
                             continue
                         seen.add(key)
-                        f.write(_json.dumps({
-                            "session": names[i],
-                            "sweep": int(row[0]), "clk": int(row[1]),
-                            "kind": EVENT_KINDS[int(row[2])],
-                            "track": int(row[3]),
-                            "aoa": round(float(row[4]), 4),
-                            "aod": round(float(row[5]), 4),
-                            "power": float(row[6]),
-                        }) + "\n")
+                        f.write(_event_json_line(row, session=names[i])
+                                + "\n")
                         wrote += 1
                 lows[i] = hi
         return wrote

@@ -78,8 +78,6 @@ class ClkUnwrapper:
         self.odd = 0
 
     def push(self, raw) -> int:
-        import numpy as np
-
         raw = int(raw)
         if raw < 0:
             return -1

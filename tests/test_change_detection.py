@@ -182,11 +182,15 @@ def test_incremental_equals_batch(seed):
                           .astype(np.float32), aod[s])
     tracks = track_paths_np(aoa, aod, power, valid, max_tracks=t_n,
                             gate_deg=8.0)
-    # Raw CLK anchors with a wrap and an empty sweep.
-    raw = np.cumsum(rng.integers(1, 1 << 20, s_n)).astype(np.int64)
+    # Raw CLK anchors with real 2^30 wraps and an empty sweep: 2^28-max
+    # increments keep every modular decrease wrap-consistent while the
+    # cumulative sum crosses the period several times.
+    raw = np.cumsum(rng.integers(1, 1 << 28, s_n)).astype(np.int64)
+    assert raw[-1] > (1 << 30), "vacuous: anchors never wrap"
     raw = raw % (1 << 30)
     raw[7] = -1
     times = unwrap_clk_anchors(raw)
+    assert times.max() > (1 << 30), "unwrap did not extend past a period"
 
     batch = scene_change_events(
         detect_scene_changes_np(tracks, min_persist=2, min_gone=2,
@@ -230,3 +234,28 @@ def test_zero_sweep_tracks_no_events():
     ev = scene_change_events(detect_scene_changes_np(tracks), tracks,
                              np.zeros(0, np.int64))
     assert ev.shape == (0, 7)
+
+
+def test_seed_event_keys_torn_tail(tmp_path):
+    """The resume seeder skips malformed feed lines (torn crash tail,
+    non-object JSON) without crashing, and quarantines a newline-less
+    tail so the next append starts on a fresh line."""
+    import json
+
+    from slam_process_tpu.pipeline.cli import _seed_event_keys
+
+    feed = tmp_path / "events.jsonl"
+    good = {"sweep": 3, "kind": "birth", "track": 1, "clk": 9,
+            "aoa": 0.0, "aod": 0.0, "power": 1.0}
+    feed.write_bytes(json.dumps(good).encode() + b"\n"
+                     + b"5\n"             # valid JSON, not an object
+                     + b"[1, 2]\n"        # ditto
+                     + b'{"sweep": 4, "kind": "nope", "track"')  # torn tail
+    seen = _seed_event_keys(feed, with_session=False)
+    assert seen == {(3, 0, 1)}
+    assert feed.read_bytes().endswith(b"\n"), "torn tail not quarantined"
+    # Appending after seeding must produce a clean standalone line.
+    with open(feed, "a") as f:
+        f.write(json.dumps(good) + "\n")
+    lines = feed.read_text().splitlines()
+    assert json.loads(lines[-1]) == good
