@@ -57,6 +57,9 @@ def _oracle_norm_raster(filtered: np.ndarray) -> np.ndarray:
     return np.asarray(shifted_log_norm(blur_nan_aware_np(matrix, 1.0)))
 
 
+_FALLBACK_REASON = None   # set when the default backend cannot initialize
+
+
 def main() -> None:
     import jax
 
@@ -64,10 +67,14 @@ def main() -> None:
 
     # A down relay hangs backend registration forever; probe in a
     # subprocess and fall back to a valid CPU JSON line instead.
+    global _FALLBACK_REASON
     if not probe_default_backend():
         print("bench: default backend unavailable (relay down?); "
               "falling back to CPU", flush=True)
         jax.config.update("jax_platforms", "cpu")
+        _FALLBACK_REASON = ("default backend failed to initialize "
+                            "(accelerator transport down); CPU numbers — "
+                            "NOT comparable to TPU rounds")
 
     # Persistent compilation cache: the driver re-runs bench each round;
     # warm compiles dominate otherwise.
@@ -587,6 +594,8 @@ def main() -> None:
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    if _FALLBACK_REASON is not None:
+        result["backend_fallback"] = _FALLBACK_REASON
     print(json.dumps(result))
 
 
