@@ -25,6 +25,11 @@ ride DCN on a real TPU pod:
   * :func:`estimate_sessions_multihost` — the sharded flagship NN-OMP
     estimator (sessions over 'data', dictionary grid over 'model') over
     the same process-spanning mesh.
+  * :class:`MultihostMultiStream` — multi-host LIVE INGEST: each process
+    tails its own captures and all streams advance as one global vmapped
+    streaming program (the ``MultiStreamingSession`` state machine with
+    its 'data'-sharded stream axis spanning processes), including online
+    per-sweep estimation + tracking and per-stream emit rings.
 
 Tested end-to-end in ``tests/test_multihost.py``: two real OS processes
 with 4 virtual devices each run the sharded dataset pipeline over an
@@ -43,6 +48,7 @@ __all__ = [
     "global_data_mesh",
     "run_batched_multihost",
     "estimate_sessions_multihost",
+    "MultihostMultiStream",
     "local_shard",
 ]
 
@@ -234,3 +240,281 @@ def local_shard(x) -> np.ndarray:
         if start not in seen:
             seen[start] = np.asarray(s.data)
     return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
+class MultihostMultiStream:
+    """Multi-host live ingest: each process tails ``n_local`` streams and
+    all ``n_local x process_count`` streams advance as ONE global vmapped
+    streaming program over a process-spanning ``data`` mesh.
+
+    The multi-host form of
+    :class:`~slam_process_tpu.parallel.streaming_device.MultiStreamingSession`
+    (which this reuses wholesale — the step/flush programs are the SAME
+    jitted executables, their 'data'-sharded state now spanning DCN): a
+    deployment where every host owns a set of serial captures runs one
+    collective program per chunk round, each host's bytes staying on its
+    own devices.  Per-stream results are read back process-locally
+    (``local_*`` readers — a process can only address its own shard).
+
+    Contract: every method is COLLECTIVE — all processes call the same
+    methods in the same order (``feed`` once per round with their own
+    chunks, ``b""`` for idle streams; the window-round count is agreed
+    with a process allgather so the lockstep dispatch can never
+    diverge).  ``finalize_streams`` takes process-LOCAL indices; passing
+    different indices per process is the point (captures end
+    independently per host).  Checkpointing and ``reset_streams`` are
+    single-host features for now — use one
+    :class:`MultiStreamingSession` per host if you need them without the
+    global program.
+
+    Exact parity: each stream's results equal a single-process
+    ``MultiStreamingSession`` replay of the same bytes
+    (tests/test_multihost.py::test_two_process_multistream_*).
+    """
+
+    def __init__(
+        self,
+        mesh,
+        n_local: int,
+        config=None,
+        chunk_bytes: int = 1 << 20,
+        group_capacity: int = 8192,
+        max_groups: int = 128,
+        max_baselines_per_group: int = 192,
+        n_beams: int = 64,
+        collect_paths=None,
+        emit_capacity: int = 0,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        from slam_process_tpu.config import PipelineConfig
+        from slam_process_tpu.parallel.streaming_device import (
+            CARRY_BYTES,
+            _build_init,
+            _build_multi_flush,
+            _build_multi_step,
+            frame_capacity,
+        )
+
+        self.mesh = mesh
+        self.config = config or PipelineConfig()
+        self.n_local = int(n_local)
+        self.n_streams = self.n_local * jax.process_count()
+        dp = mesh.shape.get("data", 1)
+        if self.n_streams % dp:
+            raise ValueError(
+                f"global stream count {self.n_streams} must divide the "
+                f"mesh data axis {dp}")
+        self.chunk_bytes = int(chunk_bytes)
+        if self.chunk_bytes <= CARRY_BYTES:
+            raise ValueError("chunk_bytes must exceed the 10-byte carry")
+        self._carry_bytes = CARRY_BYTES
+        self._gcap = int(group_capacity)
+        cap = frame_capacity(self.chunk_bytes, self.config.decode)
+        if collect_paths is not None:
+            spec, dict_args = collect_paths
+            self._paths_spec = spec
+            self._dict_args = tuple(
+                multihost_utils.host_local_array_to_global_array(
+                    np.asarray(a, np.float32), mesh, P())
+                for a in dict_args)
+            ga, gd = len(dict_args[2]), len(dict_args[3])
+        else:
+            self._paths_spec = None
+            self._dict_args = ()
+            ga = gd = 0
+        self._ecap = int(emit_capacity)
+        emit_alloc = (self._ecap + self._gcap
+                      + (-(-self.chunk_bytes // 11)) if self._ecap else 0)
+        self._step = _build_multi_step(
+            cap, self._gcap, max_groups, max_baselines_per_group,
+            self.config, "xla", self._paths_spec, self._ecap)
+        self._flush = _build_multi_flush(
+            max_groups, max_baselines_per_group, self.config,
+            self._paths_spec, self._ecap)
+
+        # Local state shards -> one global [S, ...] tree.  Every process
+        # computes the same deterministic per-stream init, so assembling
+        # the local slices yields the exact single-host initial state.
+        init1 = _build_init(self._gcap, n_beams, emit_alloc,
+                            self._paths_spec, ga, gd)
+        local = jax.vmap(lambda _: init1())(np.arange(self.n_local))
+        self._state = jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh,
+                P("data", *([None] * (np.asarray(x).ndim - 1)))),
+            local)
+        self._byte_carry = [np.zeros(0, np.uint8)
+                            for _ in range(self.n_local)]
+        self._stream_finalized = np.zeros(self.n_local, bool)
+        self._finalized = False
+
+    # -- collective ingest -------------------------------------------------
+
+    def feed(self, chunks) -> None:
+        """Advance this process's streams by one chunk each (COLLECTIVE:
+        all processes call feed in the same round; pass ``b""`` for
+        streams with no new data)."""
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        if self._finalized:
+            raise RuntimeError("session already finalized")
+        if len(chunks) != self.n_local:
+            raise ValueError(f"expected {self.n_local} chunks")
+        c = self.chunk_bytes
+        bufs, offs = [], []
+        for i, chunk in enumerate(chunks):
+            if isinstance(chunk, (bytes, bytearray)):
+                chunk = np.frombuffer(chunk, dtype=np.uint8)
+            chunk = np.asarray(chunk, np.uint8)
+            if len(chunk) and self._stream_finalized[i]:
+                raise RuntimeError(
+                    f"local stream {i} already finalized (pass b'' for "
+                    "ended streams)")
+            bufs.append(np.concatenate([self._byte_carry[i], chunk]))
+            offs.append(0)
+        while True:
+            go = any(len(b) - o > self._carry_bytes
+                     for b, o in zip(bufs, offs))
+            # Lockstep rounds: every process must dispatch the same
+            # number of step programs, so the continue-decision is a
+            # global OR (one tiny allgather per window round).
+            go = bool(np.max(multihost_utils.process_allgather(
+                np.int32(go))))
+            if not go:
+                break
+            pieces = np.zeros((self.n_local, c), np.uint8)
+            lens = np.zeros((self.n_local,), np.int32)
+            for i in range(self.n_local):
+                n, off = len(bufs[i]), offs[i]
+                if n - off > self._carry_bytes:
+                    piece = bufs[i][off:off + c]
+                    pieces[i, : len(piece)] = piece
+                    lens[i] = len(piece)
+                    offs[i] = min(off + c, n) - self._carry_bytes
+            p_g = multihost_utils.host_local_array_to_global_array(
+                pieces, self.mesh, P("data", None))
+            l_g = multihost_utils.host_local_array_to_global_array(
+                lens, self.mesh, P("data"))
+            self._state = self._step(self._state, p_g, l_g,
+                                     self._dict_args)
+        for i in range(self.n_local):
+            self._byte_carry[i] = bufs[i][offs[i]:].copy()
+
+    def _masked_flush(self, mask_local: np.ndarray) -> None:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        m_g = multihost_utils.host_local_array_to_global_array(
+            np.asarray(mask_local, bool), self.mesh, P("data"))
+        self._state = self._flush(self._state, m_g, self._dict_args)
+        for i in np.nonzero(mask_local)[0]:
+            self._byte_carry[i] = np.zeros(0, np.uint8)
+
+    def finalize_streams(self, local_indices) -> None:
+        """Close the open sweep group of this process's given streams
+        (COLLECTIVE: every process calls with ITS ended streams, possibly
+        none — ragged capture lifecycles across hosts)."""
+        mask = np.zeros(self.n_local, bool)
+        idx = np.asarray(list(local_indices), int)
+        if idx.size:
+            mask[idx] = True
+        already = mask & self._stream_finalized
+        if already.any():
+            raise RuntimeError(
+                f"local streams {np.nonzero(already)[0].tolist()} "
+                "already finalized")
+        self._masked_flush(mask)
+        self._stream_finalized |= mask
+        if bool(self._stream_finalized.all()):
+            self._finalized = True
+
+    def finalize(self) -> None:
+        """Flush every stream still open (COLLECTIVE)."""
+        if self._finalized:
+            return
+        self._masked_flush(~self._stream_finalized)
+        self._stream_finalized[:] = True
+        self._finalized = True
+
+    # -- process-local readers ---------------------------------------------
+
+    def local_results(self):
+        """This process's streams' (n_frames, n_kept, n_groups, sums,
+        counts, overflow), leading axis ``n_local`` in feed order."""
+        s = self._state
+        out = tuple(local_shard(x) for x in (
+            s.n_frames, s.n_kept, s.n_groups, s.sums, s.counts,
+            s.overflow))
+        if bool(np.any(out[5])):
+            import warnings
+
+            bad = np.nonzero(np.asarray(out[5]))[0].tolist()
+            warnings.warn(
+                f"MultihostMultiStream capacity exceeded on local "
+                f"streams {bad}; their results are incomplete — rebuild "
+                "with larger bounds", RuntimeWarning, stacklevel=2)
+        return out
+
+    def local_stream_filtered(self, i: int) -> np.ndarray:
+        """Local stream ``i``'s corrected rows [N, 4] in stream order
+        (requires ``emit_capacity``)."""
+        if not self._ecap:
+            raise ValueError("built with emit_capacity=0")
+        buf = local_shard(self._state.emit_buf)[i]
+        count = int(local_shard(self._state.emit_count)[i])
+        if bool(local_shard(self._state.emit_overflow)[i]):
+            raise RuntimeError(
+                f"emit ring overflowed on local stream {i} "
+                f"(emit_capacity={self._ecap}); rebuild with a larger "
+                "emit_capacity")
+        return buf[:count].astype(np.int64)
+
+    def local_stream_paths(self, i: int):
+        """Local stream ``i``'s online per-sweep estimates (the
+        single-stream ``sweep_paths`` contract)."""
+        p = self._state.paths
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        if bool(local_shard(p.overflow)[i]):
+            raise RuntimeError(
+                f"online estimation overflow on local stream {i}; "
+                "rebuild with larger s_step/capacity")
+        n = int(local_shard(p.n_closed)[i])
+        est = type(p.est_rings)(*(local_shard(x)[i][:n]
+                                  for x in p.est_rings))
+        return est, local_shard(p.valid_ring)[i][:n]
+
+    def local_stream_tracks(self, i: int):
+        """Local stream ``i``'s online tracks (the single-stream
+        ``path_tracks`` contract)."""
+        from slam_process_tpu.models.tracking import (
+            Tracks,
+            track_velocities,
+        )
+        from slam_process_tpu.utils.timestamps import unwrap_clk_anchors
+
+        p = self._state.paths
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        if bool(local_shard(p.overflow)[i]):
+            raise RuntimeError(
+                f"online estimation overflow on local stream {i}; "
+                "rebuild with larger s_step/capacity")
+        n = int(local_shard(p.n_closed)[i])
+        taoa = local_shard(p.trk_aoa)[i][:n]
+        taod = local_shard(p.trk_aod)[i][:n]
+        tpow = local_shard(p.trk_pow)[i][:n]
+        tobs = local_shard(p.trk_obs)[i][:n]
+        created = local_shard(p.trk_created)[i]
+        count = int(local_shard(p.trk_count)[i])
+        tracks = Tracks(taoa.T.copy(), taod.T.copy(), tpow.T.copy(),
+                        tobs.T.copy(), created, count)
+        times = unwrap_clk_anchors(
+            local_shard(p.time_ring)[i][:n].astype(np.int64))
+        return tracks, times, track_velocities(tracks, times)

@@ -99,3 +99,38 @@ def test_two_process_batched_pipeline_matches_single_process():
         np.testing.assert_allclose(
             w["est_power_sum"][j],
             float(np.asarray(est[i].power)[v].sum()), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_multistream_matches_single_process():
+    """Multi-host LIVE INGEST: 2 processes x 4 local streams advance as
+    ONE global 8-stream program over the process-spanning mesh — with
+    online estimation + tracking, per-stream emit rings, and a ragged
+    early finalize — and every stream equals a single-process
+    MultiStreamingSession replay of the same bytes (asserted inside each
+    worker; this parent checks both workers succeeded and fed real
+    frames)."""
+    logs = [LOGS[1], LOGS[2]]
+    for p in logs:
+        assert p.exists(), p
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tests._multihost_stream_worker",
+             str(pid), "2", coordinator, str(logs[pid])],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+        outs.append(json.loads(line))
+    assert all(o["ok"] for o in outs)
+    assert all(sum(o["n_frames"]) > 1000 for o in outs), outs
