@@ -286,7 +286,6 @@ class MultihostMultiStream:
         emit_capacity: int = 0,
     ):
         import jax
-        import jax.numpy as jnp
         from jax.experimental import multihost_utils
         from jax.sharding import PartitionSpec as P
 
@@ -358,7 +357,6 @@ class MultihostMultiStream:
         """Advance this process's streams by one chunk each (COLLECTIVE:
         all processes call feed in the same round; pass ``b""`` for
         streams with no new data)."""
-        import jax.numpy as jnp
         from jax.experimental import multihost_utils
         from jax.sharding import PartitionSpec as P
 

@@ -381,3 +381,33 @@ def test_pallas_compact_on_chip():
         jnp.asarray(rows), jnp.asarray(mask2), capacity=cap,
         interpret=False))
     np.testing.assert_array_equal(out2, rows[mask2][:cap])
+
+
+def test_track_columns_windowed_reads_on_chip(small_log_bytes):
+    """Round-4 sentinel: the incremental ring-slice reads behind the live
+    --events feed (`track_columns(lo, hi)`) return exactly the batch
+    track tensors' columns when the rings live on the real chip, across
+    windowed reads and re-reads."""
+    from slam_process_tpu.parallel.streaming_device import (
+        DeviceStreamingSession,
+        make_paths_spec,
+    )
+    from tests.conftest import BEAM_ANGLE
+
+    spec = make_paths_spec(BEAM_ANGLE)
+    s = DeviceStreamingSession(chunk_bytes=1 << 18, collect_paths=spec)
+    for off in range(0, len(small_log_bytes), 1 << 18):
+        s.feed(small_log_bytes[off:off + (1 << 18)])
+    s.finalize()
+    n = s.n_sweeps_closed
+    assert n > 3
+    tracks, _times, _vel = s.path_tracks()
+    parts = [s.track_columns(lo, min(lo + 3, n)) for lo in range(0, n, 3)]
+    aoa = np.concatenate([p[0] for p in parts])
+    obs = np.concatenate([p[3] for p in parts])
+    raw = np.concatenate([p[4] for p in parts])
+    np.testing.assert_array_equal(aoa.T, tracks.pos_aoa)
+    np.testing.assert_array_equal(obs.T, tracks.observed)
+    a2, _d2, _p2, o2, raw2 = s.track_columns(0, n)
+    np.testing.assert_array_equal(a2.T, tracks.pos_aoa)
+    np.testing.assert_array_equal(raw2, raw)
