@@ -300,13 +300,22 @@ class MultihostMultiStream:
 
         self.mesh = mesh
         self.config = config or PipelineConfig()
-        self.n_local = int(n_local)
-        self.n_streams = self.n_local * jax.process_count()
+        self.n_local_real = int(n_local)
         dp = mesh.shape.get("data", 1)
-        if self.n_streams % dp:
-            raise ValueError(
-                f"global stream count {self.n_streams} must divide the "
-                f"mesh data axis {dp}")
+        nproc = jax.process_count()
+        # Per-process stream counts may be ragged, and the global count
+        # must divide the mesh 'data' axis: agree on a padded per-process
+        # count (max over processes, then bumped until P*n divides dp).
+        # Padding slots are inert streams that are never fed and never
+        # surface in the local_* readers.
+        counts = np.asarray(multihost_utils.process_allgather(
+            np.int32(self.n_local_real)))
+        n_pad = int(counts.max())
+        while (n_pad * nproc) % dp:
+            n_pad += 1
+        self.n_local = n_pad
+        self.n_streams = self.n_local * nproc       # incl. padding slots
+        self.n_streams_real = int(counts.sum())     # live captures only
         self.chunk_bytes = int(chunk_bytes)
         if self.chunk_bytes <= CARRY_BYTES:
             raise ValueError("chunk_bytes must exceed the 10-byte carry")
@@ -360,10 +369,15 @@ class MultihostMultiStream:
         from jax.experimental import multihost_utils
         from jax.sharding import PartitionSpec as P
 
-        if self._finalized:
-            raise RuntimeError("session already finalized")
-        if len(chunks) != self.n_local:
-            raise ValueError(f"expected {self.n_local} chunks")
+        # NOTE: no blanket finalized guard — a process whose local streams
+        # all ended must keep calling feed with all-empty chunks so the
+        # cluster's collective sequence stays aligned (stepping a
+        # finalized stream with an empty piece is a provable no-op); the
+        # per-stream check below still rejects real bytes for ended
+        # streams.
+        if len(chunks) != self.n_local_real:
+            raise ValueError(f"expected {self.n_local_real} chunks")
+        chunks = list(chunks) + [b""] * (self.n_local - self.n_local_real)
         c = self.chunk_bytes
         bufs, offs = [], []
         for i, chunk in enumerate(chunks):
@@ -418,8 +432,11 @@ class MultihostMultiStream:
         """Close the open sweep group of this process's given streams
         (COLLECTIVE: every process calls with ITS ended streams, possibly
         none — ragged capture lifecycles across hosts)."""
-        mask = np.zeros(self.n_local, bool)
         idx = np.asarray(list(local_indices), int)
+        if idx.size and (idx.min() < 0 or idx.max()
+                         >= self.n_local_real):
+            raise IndexError(f"stream index out of range: {idx.tolist()}")
+        mask = np.zeros(self.n_local, bool)
         if idx.size:
             mask[idx] = True
         already = mask & self._stream_finalized
@@ -429,14 +446,20 @@ class MultihostMultiStream:
                 "already finalized")
         self._masked_flush(mask)
         self._stream_finalized |= mask
-        if bool(self._stream_finalized.all()):
+        if bool(self._stream_finalized[: self.n_local_real].all()):
             self._finalized = True
 
     def finalize(self) -> None:
-        """Flush every stream still open (COLLECTIVE)."""
-        if self._finalized:
-            return
-        self._masked_flush(~self._stream_finalized)
+        """Flush every stream still open.
+
+        COLLECTIVE, exactly once per process at shutdown: it always
+        dispatches exactly ONE masked flush — with an all-False mask when
+        this process has nothing left to close — so ragged clusters
+        (some hosts long finished, others closing now) stay in lockstep.
+        """
+        mask = ~self._stream_finalized
+        mask[self.n_local_real:] = False   # inert padding never flushes
+        self._masked_flush(mask)
         self._stream_finalized[:] = True
         self._finalized = True
 
@@ -444,9 +467,10 @@ class MultihostMultiStream:
 
     def local_results(self):
         """This process's streams' (n_frames, n_kept, n_groups, sums,
-        counts, overflow), leading axis ``n_local`` in feed order."""
+        counts, overflow), leading axis ``n_local_real`` in feed order
+        (inert padding slots are sliced off)."""
         s = self._state
-        out = tuple(local_shard(x) for x in (
+        out = tuple(local_shard(x)[: self.n_local_real] for x in (
             s.n_frames, s.n_kept, s.n_groups, s.sums, s.counts,
             s.overflow))
         if bool(np.any(out[5])):
@@ -464,6 +488,8 @@ class MultihostMultiStream:
         (requires ``emit_capacity``)."""
         if not self._ecap:
             raise ValueError("built with emit_capacity=0")
+        if not (0 <= i < self.n_local_real):
+            raise IndexError(f"local stream {i} out of range")
         buf = local_shard(self._state.emit_buf)[i]
         count = int(local_shard(self._state.emit_count)[i])
         if bool(local_shard(self._state.emit_overflow)[i]):
@@ -479,6 +505,8 @@ class MultihostMultiStream:
         p = self._state.paths
         if self._paths_spec is None:
             raise ValueError("built without collect_paths")
+        if not (0 <= i < self.n_local_real):
+            raise IndexError(f"local stream {i} out of range")
         if bool(local_shard(p.overflow)[i]):
             raise RuntimeError(
                 f"online estimation overflow on local stream {i}; "
@@ -500,6 +528,8 @@ class MultihostMultiStream:
         p = self._state.paths
         if self._paths_spec is None:
             raise ValueError("built without collect_paths")
+        if not (0 <= i < self.n_local_real):
+            raise IndexError(f"local stream {i} out of range")
         if bool(local_shard(p.overflow)[i]):
             raise RuntimeError(
                 f"online estimation overflow on local stream {i}; "

@@ -746,6 +746,20 @@ def _add_watch(sub):
                         "carry a 'session' field naming the stream; "
                         "--min-persist/--min-gone/--jump-deg set the "
                         "thresholds)")
+    mh = p.add_argument_group(
+        "multi-host", "run this watch as one process of a cluster: all "
+        "processes' captures advance as ONE global streaming program "
+        "(parallel/multihost.MultihostMultiStream); every process runs "
+        "the same command with its own --logs and --process-id")
+    mh.add_argument("--coordinator", type=str, default=None,
+                    help="HOST:PORT of process 0 (enables multi-host "
+                         "mode; requires --logs, --num-processes, "
+                         "--process-id)")
+    mh.add_argument("--num-processes", type=int, default=None)
+    mh.add_argument("--process-id", type=int, default=None)
+    mh.add_argument("--local-devices", type=int, default=None,
+                    help="pin N virtual CPU devices + gloo collectives "
+                         "(CPU clusters / tests); omit on a real TPU pod")
     _add_change_args(p, gate="--paths")
     p.set_defaults(fn=_run_watch)
 
@@ -758,6 +772,11 @@ def _run_watch(args):
 
     if (args.log is None) == (args.logs is None):
         raise SystemExit("watch needs exactly one of --log / --logs")
+    if args.coordinator is not None:
+        return _run_watch_multihost(args)
+    if args.num_processes is not None or args.process_id is not None:
+        raise SystemExit("--num-processes/--process-id require "
+                         "--coordinator (multi-host watch mode)")
     if args.checkpoint_every and not args.checkpoint:
         raise SystemExit("--checkpoint-every requires --checkpoint "
                          "(no state file to write to)")
@@ -971,6 +990,202 @@ def _run_watch(args):
     if emitter:
         summary["events"] = events_written
     print(json.dumps(summary))
+
+
+def _run_watch_multihost(args):
+    """One process of a MULTI-HOST watch cluster: every process tails its
+    own ``--logs`` and all captures advance as ONE global streaming
+    program (``parallel/multihost.MultihostMultiStream``).
+
+    Launch the same command on every host with its own ``--logs`` /
+    ``--process-id`` (and a shared ``--coordinator``).  The collective
+    protocol per poll tick is identical on every process — (1) allgather
+    the local (wants-finalize, all-done) bits, (2) feed this round's
+    local chunks (window rounds are allgather-agreed inside ``feed``),
+    (3) if ANY process wants a finalize, one collective masked flush
+    runs (empty mask on the others), (4) exit when every process reports
+    all its streams done — so the sequence of collective dispatches can
+    never diverge.  The allgather doubles as a tick barrier, keeping the
+    processes in lockstep regardless of poll-loop drift.
+
+    Ctrl-C should go to the WHOLE cluster (each process treats it as
+    "drain and finalize my streams at the next tick" and keeps
+    participating in the collectives until the others finish, so a
+    single-host interrupt degrades to a clean early finalize of that
+    host's captures rather than a hang).
+    """
+    import os
+    import time
+
+    import numpy as np
+
+    if args.logs is None:
+        raise SystemExit("--coordinator requires --logs (each process "
+                         "tails its own capture set)")
+    if args.num_processes is None or args.process_id is None:
+        raise SystemExit("--coordinator requires --num-processes and "
+                         "--process-id")
+    if args.engine != "device":
+        raise SystemExit("multi-host watch requires --engine device")
+    for flag in ("checkpoint", "events"):
+        if getattr(args, flag):
+            raise SystemExit(
+                f"--{flag} is not supported in multi-host watch mode "
+                "(run per-host watches without --coordinator for it)")
+    if args.changes and not args.paths:
+        print("warning: --changes requires --paths; no change events "
+              "will be written", file=sys.stderr)
+
+    # Process-group init MUST precede the first backend touch.
+    from slam_process_tpu.parallel.multihost import (
+        MultihostMultiStream,
+        global_data_mesh,
+        initialize_multihost,
+    )
+
+    initialize_multihost(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id,
+                         local_device_count=args.local_devices)
+
+    from jax.experimental import multihost_utils
+
+    from slam_process_tpu.io.angles import load_angle_lut
+    from slam_process_tpu.io.hexlog import tokenize_hex
+    from slam_process_tpu.io.schemas import write_filtered_table
+    from slam_process_tpu.ops.scene import grid_from_sums_np
+    from slam_process_tpu.parallel.streaming_device import make_paths_spec
+    from slam_process_tpu.render.figures import save_heatmap_figure
+    from slam_process_tpu.render.heatmap import render_intensity
+    from slam_process_tpu.utils import extract_timestamp
+
+    logs = list(args.logs)
+    n = len(logs)
+    names = [extract_timestamp(str(p)) or p.stem for p in logs]
+    seen: dict = {}
+    for i, nm in enumerate(names):
+        if nm in seen:
+            seen[nm] += 1
+            names[i] = f"{nm}_{seen[nm]}"
+        else:
+            seen[nm] = 0
+    lut = load_angle_lut(args.mapping)
+    args.outdir.mkdir(parents=True, exist_ok=True)
+    ecap = args.emit_capacity if args.emit_capacity else 1 << 18
+    cp = make_paths_spec(args.mapping) if args.paths else None
+    mesh = global_data_mesh(model=1)
+    s = MultihostMultiStream(mesh, n, collect_paths=cp,
+                             emit_capacity=ecap)
+    print(f"multi-host watch: process {args.process_id}/"
+          f"{args.num_processes}, {n} local stream(s), "
+          f"{s.n_streams_real} global ({s.n_streams} padded) over a "
+          f"{tuple(mesh.shape.values())} mesh", file=sys.stderr)
+
+    def render_local():
+        from slam_process_tpu.config import RenderConfig, SceneConfig
+
+        _nf, _nk, _ng, sums, counts, _ovf = s.local_results()
+        pngs = []
+        for i in range(n):
+            grid = grid_from_sums_np(sums[i].astype(np.float64),
+                                     counts[i].astype(np.int64))
+            rendered = render_intensity(
+                grid, lut, SceneConfig(keep_nan=True, fill_with_min=False),
+                RenderConfig())
+            png = args.outdir / f"{names[i]}_watch.png"
+            save_heatmap_figure(rendered.blurred, rendered.aod_angles,
+                                rendered.aoa_angles, png,
+                                title=f"live watch ({names[i]})")
+            pngs.append(png)
+        return pngs
+
+    pos = [0] * n
+    carry = [b""] * n
+    done = np.zeros(n, bool)
+    now0 = time.monotonic()
+    last_growth = [now0] * n
+    last_render = now0
+    force = False
+    while True:
+        try:
+            now = time.monotonic()
+            chunks = [b""] * n
+            to_finalize = []
+            for i in range(n):
+                if done[i]:
+                    continue
+                try:
+                    size = os.path.getsize(logs[i])
+                except OSError:
+                    size = pos[i]
+                if size > pos[i] and not force:
+                    try:
+                        with open(logs[i], "rb") as f:
+                            f.seek(pos[i])
+                            data = f.read(size - pos[i])
+                    except OSError:
+                        continue
+                    pos[i] = size
+                    buf = carry[i] + data
+                    cut = max(buf.rfind(b" "), buf.rfind(b"\n"),
+                              buf.rfind(b"\r"), buf.rfind(b"\t"))
+                    if cut >= 0:
+                        chunks[i] = tokenize_hex(bytes(buf[: cut + 1]))
+                        carry[i] = buf[cut + 1:]
+                    else:
+                        carry[i] = buf
+                    last_growth[i] = now
+                elif force or (args.idle_timeout
+                               and now - last_growth[i]
+                               > args.idle_timeout):
+                    chunks[i] = tokenize_hex(bytes(carry[i]))
+                    carry[i] = b""
+                    to_finalize.append(i)
+            will_all_be_done = bool(done.all()) or (
+                len(to_finalize) + int(done.sum()) == n)
+            # The tick's ONE coordination point: who needs a flush, who
+            # is finished.  Every later branch keys off this shared
+            # result, so the collective sequence is identical everywhere.
+            sync = multihost_utils.process_allgather(np.asarray(
+                [int(bool(to_finalize)), int(will_all_be_done)],
+                np.int32))
+            sync = np.asarray(sync).reshape(-1, 2)
+            s.feed(chunks)
+            if bool(sync[:, 0].any()):
+                s.finalize_streams(to_finalize)
+                if to_finalize:
+                    done[to_finalize] = True
+                    print(f"stream(s) {to_finalize} finalized "
+                          f"({(~done).sum()} still live)",
+                          file=sys.stderr)
+            if bool(sync[:, 1].all()):
+                break
+            if (args.render_every
+                    and now - last_render >= args.render_every):
+                render_local()
+                last_render = now
+            time.sleep(args.poll_interval)
+        except KeyboardInterrupt:
+            force = True
+
+    s.finalize()   # no-op (everything flushed); keeps the state closed
+    nf, nk, ng, _sums, _counts, _ovf = s.local_results()
+    pngs = render_local()
+    stats = []
+    for i in range(n):
+        write_filtered_table(args.outdir / f"{names[i]}_filtered.xlsx",
+                             s.local_stream_filtered(i))
+        if args.paths:
+            _export_tracks(*s.local_stream_tracks(i), names[i], args)
+        stats.append({"session": names[i], "process": args.process_id,
+                      "bytes_seen": pos[i], "frames": int(nf[i]),
+                      "kept": int(nk[i]), "sweeps": int(ng[i]),
+                      "png": str(pngs[i])})
+        print(json.dumps(stats[-1]))
+    print(json.dumps({"process": args.process_id, "local_streams": n,
+                      "global_streams": s.n_streams_real,
+                      "total_frames": int(sum(x["frames"]
+                                              for x in stats))}))
 
 
 def _run_watch_multi(args):

@@ -76,6 +76,15 @@ def main() -> None:
         if r == 1:
             mh.finalize_streams([0])
     mh.finalize()
+    # Read the WHOLE multihost state while the processes are still in
+    # lockstep: the step dispatches execute lazily, and the local oracle
+    # below takes minutes — reading afterwards would make the two
+    # processes rendezvous on the deferred collective program minutes
+    # apart (observed: gloo context setup DEADLINE_EXCEEDED).
+    mh_res = mh.local_results()
+    mh_filtered = [mh.local_stream_filtered(i) for i in range(n_local)]
+    mh_paths = [mh.local_stream_paths(i) for i in range(n_local)]
+    mh_tracks = [mh.local_stream_tracks(i) for i in range(n_local)]
 
     oracle = MultiStreamingSession(n_local, **kw)
     for r, row in enumerate(schedule):
@@ -84,7 +93,7 @@ def main() -> None:
             oracle.finalize_streams([0])
     oracle.finalize()
 
-    nf, nk, ng, sums, counts, ovf = mh.local_results()
+    nf, nk, ng, sums, counts, ovf = mh_res
     onf, onk, ong, osums, ocounts, oovf = oracle.results()
     np.testing.assert_array_equal(nf, onf)
     np.testing.assert_array_equal(nk, onk)
@@ -94,14 +103,14 @@ def main() -> None:
     assert not ovf.any() and not np.asarray(oovf).any()
 
     for i in range(n_local):
-        np.testing.assert_array_equal(mh.local_stream_filtered(i),
+        np.testing.assert_array_equal(mh_filtered[i],
                                       oracle.stream_filtered(i))
-        est, valid = mh.local_stream_paths(i)
+        est, valid = mh_paths[i]
         oest, ovalid = oracle.stream_paths(i)
         for a, b in zip(est, oest):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_array_equal(valid, ovalid)
-        tr, times, vel = mh.local_stream_tracks(i)
+        tr, times, vel = mh_tracks[i]
         otr, otimes, ovel = oracle.stream_tracks(i)
         for a, b in zip(tr[:5], otr[:5]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

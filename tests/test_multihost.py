@@ -134,3 +134,81 @@ def test_two_process_multistream_matches_single_process():
         outs.append(json.loads(line))
     assert all(o["ok"] for o in outs)
     assert all(sum(o["n_frames"]) > 1000 for o in outs), outs
+
+
+@pytest.mark.slow
+def test_two_process_cli_watch_multihost(tmp_path):
+    """`cli watch --coordinator`: two REAL processes each tail their own
+    GROWING capture, the two streams advance as one global program, one
+    capture goes idle early (ragged collective finalize), and each
+    process's exported filtered table equals the offline pipeline on its
+    file's full contents."""
+    import threading
+    import time as _time
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.io.schemas import read_filtered_table
+    from slam_process_tpu.pipeline.session import Session
+
+    np_random = np.random.default_rng(17)
+    blobs = [LOGS[1].read_bytes(), LOGS[2].read_bytes()[: 400000]]
+    grows = [tmp_path / "host_a.txt", tmp_path / "host_b.txt"]
+    for g in grows:
+        g.write_bytes(b"")
+
+    def writer(path, data, dt):
+        _time.sleep(2.0)   # let the cluster come up first
+        with open(path, "ab") as f:
+            step = len(data) // 8 + 1
+            for off in range(0, len(data), step):
+                f.write(data[off:off + step])
+                f.flush()
+                _time.sleep(dt)
+
+    # host_b finishes early and must finalize alone while host_a grows.
+    threads = [threading.Thread(target=writer, args=(grows[0], blobs[0], 1.2)),
+               threading.Thread(target=writer, args=(grows[1], blobs[1], 0.3))]
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "slam_process_tpu.pipeline.cli",
+             "watch", "--logs", str(grows[pid]),
+             "--mapping", "/root/reference/beam_angle.xlsx",
+             "--outdir", str(tmp_path / f"out{pid}"),
+             "--engine", "device",
+             "--coordinator", coordinator, "--num-processes", "2",
+             "--process-id", str(pid), "--local-devices", "4",
+             "--poll-interval", "0.2", "--idle-timeout", "4.0"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    for t in threads:
+        t.start()
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=580)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        lines = [json.loads(ln) for ln in stdout.splitlines()
+                 if ln.startswith("{")]
+        outs.append(lines)
+    for t in threads:
+        t.join()
+
+    for pid, blob in enumerate(blobs):
+        src = tmp_path / f"src{pid}.txt"
+        src.write_bytes(blob)
+        off = Session.from_log(src)
+        off.correct()
+        outdir = tmp_path / f"out{pid}"
+        xlsx = list(outdir.glob("*_filtered.xlsx"))
+        assert len(xlsx) == 1, list(outdir.iterdir())
+        rows = np.asarray(read_filtered_table(xlsx[0]), dtype=np.int64)
+        np.testing.assert_array_equal(
+            rows, np.asarray(off.filtered)[:, :rows.shape[1]],
+            err_msg=f"process {pid}")
+        assert outs[pid][-1]["global_streams"] == 2
