@@ -359,6 +359,42 @@ class MultihostMultiStream:
                             for _ in range(self.n_local)]
         self._stream_finalized = np.zeros(self.n_local, bool)
         self._finalized = False
+        # Collective WARMUP: compile and execute one empty-window step
+        # and one all-False-mask flush (both provable no-ops), blocking
+        # until they ran.  The counts allgather above aligned the
+        # processes to within milliseconds; warming here means (a) the
+        # executables and the runtime's cross-process contexts exist
+        # before live data flows, and (b) per-process compile-time skew
+        # cannot push the first real dispatch's gloo rendezvous past the
+        # runtime's 30 s key-value timeout (observed as a cluster
+        # deadlock when pre-grown captures made the first feed and first
+        # read race a minutes-long first compile).
+        zero_p = multihost_utils.host_local_array_to_global_array(
+            np.zeros((self.n_local, self.chunk_bytes), np.uint8), mesh,
+            P("data", None))
+        zero_l = multihost_utils.host_local_array_to_global_array(
+            np.zeros((self.n_local,), np.int32), mesh, P("data"))
+        no_mask = multihost_utils.host_local_array_to_global_array(
+            np.zeros(self.n_local, bool), mesh, P("data"))
+        # Phase 1 — compile WITHOUT executing (populates the persistent
+        # compile cache; purely local, no cross-process rendezvous).
+        # The two big programs can take minutes to compile on CPU, and
+        # the per-process compile-time difference exceeds the gloo
+        # rendezvous timeout when the first dispatch follows the compile
+        # directly (observed as GetKeyValue DEADLINE_EXCEEDED on one
+        # process and a TCP connect timeout on the other).
+        self._step.lower(self._state, zero_p, zero_l,
+                         self._dict_args).compile()
+        self._flush.lower(self._state, no_mask, self._dict_args).compile()
+        # Phase 2 — re-align the processes (tiny collective whose
+        # contexts already exist from the counts allgather), THEN
+        # dispatch the no-op executions so the big programs' collective
+        # contexts are created with millisecond skew.
+        multihost_utils.process_allgather(np.int32(0))
+        self._state = self._step(self._state, zero_p, zero_l,
+                                 self._dict_args)
+        self._state = self._flush(self._state, no_mask, self._dict_args)
+        _ = local_shard(self._state.n_frames)   # block until executed
 
     # -- collective ingest -------------------------------------------------
 
@@ -465,6 +501,53 @@ class MultihostMultiStream:
 
     # -- process-local readers ---------------------------------------------
 
+    def _my_base_row(self) -> int:
+        """Global row index of this process's first local stream."""
+        return min((sh.index[0].start or 0) for sh in
+                   self._state.n_frames.addressable_shards)
+
+    def n_sweeps_closed_all(self) -> np.ndarray:
+        """Closed-sweep counts for this process's streams ([n_local_real]
+        i64) — a small addressable-shard read, no collective dispatch;
+        the live --events poller's cheap has-anything-changed check."""
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        return local_shard(self._state.paths.n_closed)[
+            : self.n_local_real].astype(np.int64)
+
+    def stream_track_columns(self, i: int, lo: int, hi: int):
+        """Local stream ``i``'s track-ring columns for closed sweeps
+        ``[lo, hi)`` — the incremental read behind the multi-host live
+        ``--events`` feed.
+
+        Uses addressable-shard row slices only (``_local_row_slice``):
+        the transfer is O(hi - lo) and nothing collective is dispatched,
+        so processes may poll at independent cadences without breaking
+        the cluster's lockstep.  Same return contract as
+        ``MultiStreamingSession.stream_track_columns``.
+        """
+        import jax
+
+        p = self._state.paths
+        if self._paths_spec is None:
+            raise ValueError("built without collect_paths")
+        if not (0 <= i < self.n_local_real):
+            raise IndexError(f"local stream {i} out of range")
+        if bool(local_shard(p.overflow)[i]):
+            raise RuntimeError(
+                f"online estimation overflow on local stream {i}; "
+                "rebuild with larger s_step/capacity")
+        g = self._my_base_row() + i
+        a, d, pw, ob, tm = jax.device_get((
+            _local_row_slice(p.trk_aoa, g, lo, hi),
+            _local_row_slice(p.trk_aod, g, lo, hi),
+            _local_row_slice(p.trk_pow, g, lo, hi),
+            _local_row_slice(p.trk_obs, g, lo, hi),
+            _local_row_slice(p.time_ring, g, lo, hi)))
+        return (np.asarray(a, np.float32), np.asarray(d, np.float32),
+                np.asarray(pw, np.float32), np.asarray(ob, bool),
+                np.asarray(tm, np.int64))
+
     def local_results(self):
         """This process's streams' (n_frames, n_kept, n_groups, sums,
         counts, overflow), leading axis ``n_local_real`` in feed order
@@ -546,3 +629,22 @@ class MultihostMultiStream:
         times = unwrap_clk_anchors(
             local_shard(p.time_ring)[i][:n].astype(np.int64))
         return tracks, times, track_velocities(tracks, times)
+
+
+def _local_row_slice(garr, g_row: int, lo: int, hi: int):
+    """One row-window ``[g_row, lo:hi]`` of a 'data'-sharded global
+    array, via this process's addressable shards ONLY.
+
+    Safe in multiprocess lockstep: reading ``addressable_shards`` and
+    slicing a shard's single-device array dispatches nothing collective
+    (the slice runs on the owning local device), unlike lazy ops on the
+    global array itself, which every process would have to dispatch
+    together.  Returns a jax array on the owning device (caller batches
+    the ``device_get``).
+    """
+    for sh in garr.addressable_shards:
+        st = sh.index[0].start or 0
+        data = sh.data
+        if st <= g_row < st + data.shape[0]:
+            return data[g_row - st, lo:hi]
+    raise IndexError(f"global row {g_row} is not addressable here")

@@ -596,7 +596,9 @@ def _make_multi_event_emitter(args, session, names, seeded: bool = False):
     from slam_process_tpu.utils.timestamps import ClkUnwrapper
 
     spec = session._paths_spec
-    s_n = session.n_streams
+    # MultihostMultiStream feeds its REAL local streams only (padding
+    # slots are internal); everything else polls all streams.
+    s_n = getattr(session, "n_local_real", session.n_streams)
     dets = [IncrementalChangeDetector(
         spec.max_tracks, min_persist=args.min_persist,
         min_gone=args.min_gone, jump_deg=args.jump_deg)
@@ -1027,11 +1029,13 @@ def _run_watch_multihost(args):
                          "--process-id")
     if args.engine != "device":
         raise SystemExit("multi-host watch requires --engine device")
-    for flag in ("checkpoint", "events"):
-        if getattr(args, flag):
-            raise SystemExit(
-                f"--{flag} is not supported in multi-host watch mode "
-                "(run per-host watches without --coordinator for it)")
+    if args.checkpoint:
+        raise SystemExit(
+            "--checkpoint is not supported in multi-host watch mode "
+            "(run per-host watches without --coordinator for it)")
+    if args.events is not None and not args.paths:
+        raise SystemExit("--events requires --paths (the events derive "
+                         "from the online tracks)")
     if args.changes and not args.paths:
         print("warning: --changes requires --paths; no change events "
               "will be written", file=sys.stderr)
@@ -1076,6 +1080,14 @@ def _run_watch_multihost(args):
     mesh = global_data_mesh(model=1)
     s = MultihostMultiStream(mesh, n, collect_paths=cp,
                              emit_capacity=ecap)
+    emitter = None
+    events_written = 0
+    if args.events is not None and args.paths:
+        # Per-process local feed: the readers behind it are
+        # addressable-shard slices (no collective dispatch), so polling
+        # never perturbs the cluster's lockstep.
+        args.events.parent.mkdir(parents=True, exist_ok=True)
+        emitter = _make_multi_event_emitter(args, s, names)
     print(f"multi-host watch: process {args.process_id}/"
           f"{args.num_processes}, {n} local stream(s), "
           f"{s.n_streams_real} global ({s.n_streams} padded) over a "
@@ -1158,6 +1170,8 @@ def _run_watch_multihost(args):
                     print(f"stream(s) {to_finalize} finalized "
                           f"({(~done).sum()} still live)",
                           file=sys.stderr)
+            if emitter:
+                events_written += emitter()
             if bool(sync[:, 1].all()):
                 break
             if (args.render_every
@@ -1169,6 +1183,8 @@ def _run_watch_multihost(args):
             force = True
 
     s.finalize()   # no-op (everything flushed); keeps the state closed
+    if emitter:
+        events_written += emitter()   # the finalize-closed final sweeps
     nf, nk, ng, _sums, _counts, _ovf = s.local_results()
     pngs = render_local()
     stats = []
@@ -1182,10 +1198,21 @@ def _run_watch_multihost(args):
                       "kept": int(nk[i]), "sweeps": int(ng[i]),
                       "png": str(pngs[i])})
         print(json.dumps(stats[-1]))
-    print(json.dumps({"process": args.process_id, "local_streams": n,
-                      "global_streams": s.n_streams_real,
-                      "total_frames": int(sum(x["frames"]
-                                              for x in stats))}))
+    totals = {"process": args.process_id, "local_streams": n,
+              "global_streams": s.n_streams_real,
+              "total_frames": int(sum(x["frames"] for x in stats))}
+    if emitter:
+        totals["events"] = events_written
+    print(json.dumps(totals))
+    # Hold the cluster together until every process finished its local
+    # exports: per-host export time varies by minutes on CPU, and a
+    # process that exits early trips the distributed runtime's shutdown
+    # barrier timeout on the laggards (observed: the whole cluster
+    # terminated with BarrierError after one host's exports outlasted
+    # the 5-minute shutdown window).
+    from jax.experimental import multihost_utils as _mhu
+
+    _mhu.sync_global_devices("multihost-watch-exit")
 
 
 def _run_watch_multi(args):

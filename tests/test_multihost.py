@@ -212,3 +212,89 @@ def test_two_process_cli_watch_multihost(tmp_path):
             rows, np.asarray(off.filtered)[:, :rows.shape[1]],
             err_msg=f"process {pid}")
         assert outs[pid][-1]["global_streams"] == 2
+
+
+@pytest.mark.slow
+def test_two_process_cli_watch_multihost_events(tmp_path):
+    """Multi-host watch with online estimation and a live events feed:
+    each process's JSONL feed equals the offline detector on its own
+    capture exactly (local addressable-shard reads only — polling never
+    perturbs the cluster's collective lockstep)."""
+    import threading
+    import time as _time
+
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.io.hexlog import tokenize_hex
+    from slam_process_tpu.models.change_detection import (
+        EVENT_KINDS,
+        detect_scene_changes_np,
+        scene_change_events,
+    )
+    from slam_process_tpu.parallel.streaming import replay_log
+    from slam_process_tpu.parallel.streaming_device import make_paths_spec
+
+    blobs = [LOGS[1].read_bytes()[: 500000],
+             LOGS[2].read_bytes()[: 300000]]
+    grows = [tmp_path / "ev_a.txt", tmp_path / "ev_b.txt"]
+    for g in grows:
+        g.write_bytes(b"")
+
+    def writer(path, data, dt):
+        _time.sleep(2.0)
+        with open(path, "ab") as f:
+            step = len(data) // 6 + 1
+            for off in range(0, len(data), step):
+                f.write(data[off:off + step])
+                f.flush()
+                _time.sleep(dt)
+
+    threads = [threading.Thread(target=writer, args=(grows[0], blobs[0], 0.8)),
+               threading.Thread(target=writer, args=(grows[1], blobs[1], 0.3))]
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "slam_process_tpu.pipeline.cli",
+             "watch", "--logs", str(grows[pid]),
+             "--mapping", "/root/reference/beam_angle.xlsx",
+             "--outdir", str(tmp_path / f"out{pid}"),
+             "--engine", "device", "--paths",
+             "--events", str(tmp_path / f"events{pid}.jsonl"),
+             "--min-persist", "2", "--min-gone", "2", "--jump-deg", "2.0",
+             "--coordinator", coordinator, "--num-processes", "2",
+             "--process-id", str(pid), "--local-devices", "4",
+             "--poll-interval", "0.2", "--idle-timeout", "4.0"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    for t in threads:
+        t.start()
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=580)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+    for t in threads:
+        t.join()
+
+    total = 0
+    for pid, blob in enumerate(blobs):
+        feed = tmp_path / f"events{pid}.jsonl"
+        lines = [json.loads(x) for x in feed.read_text().splitlines()
+                 if x.strip()]
+        keys = [(e["sweep"], e["kind"], e["track"]) for e in lines]
+        assert len(keys) == len(set(keys)), f"duplicates, process {pid}"
+        s = replay_log(tokenize_hex(blob),
+                       collect_paths=make_paths_spec(
+                           "/root/reference/beam_angle.xlsx"))
+        tracks, times, _ = s.path_tracks()
+        ev = scene_change_events(
+            detect_scene_changes_np(tracks, min_persist=2, min_gone=2,
+                                    jump_deg=2.0), tracks, times)
+        want = {(int(r[0]), EVENT_KINDS[int(r[2])], int(r[3]))
+                for r in ev}
+        assert set(keys) == want, f"process {pid}"
+        total += len(keys)
+    assert total > 0, "vacuous: no events at these thresholds"
