@@ -478,3 +478,49 @@ def test_watch_multi_live_events_feed(tmp_path):
                 for r in ev}
         got = {k for k in keys if k[0] == name}
         assert got == want, name
+
+
+def test_watch_multihost_flag_validation(tmp_path):
+    """The multi-host watch flags fail loudly when misused (no cluster is
+    ever contacted for these)."""
+    from slam_process_tpu.pipeline.cli import main
+
+    log = tmp_path / "x.txt"
+    log.write_bytes(b"")
+    base = ["cli", "watch", "--mapping", MAPPING,
+            "--outdir", str(tmp_path)]
+
+    def run(extra):
+        argv, sys.argv = sys.argv, base + extra
+        try:
+            with pytest.raises(SystemExit) as e:
+                main()
+            return str(e.value)
+        finally:
+            sys.argv = argv
+
+    # --num-processes/--process-id without --coordinator
+    msg = run(["--log", str(log), "--num-processes", "2"])
+    assert "--coordinator" in msg
+    # coordinator requires --logs (not --log)
+    msg = run(["--log", str(log), "--coordinator", "h:1",
+               "--num-processes", "2", "--process-id", "0"])
+    assert "--logs" in msg
+    # coordinator requires the full process topology
+    msg = run(["--logs", str(log), "--engine", "device",
+               "--coordinator", "h:1"])
+    assert "--num-processes" in msg
+    # device engine required
+    msg = run(["--logs", str(log), "--coordinator", "h:1",
+               "--num-processes", "2", "--process-id", "0"])
+    assert "device" in msg
+    # checkpoint unsupported on the cluster
+    msg = run(["--logs", str(log), "--engine", "device",
+               "--coordinator", "h:1", "--num-processes", "2",
+               "--process-id", "0", "--checkpoint", str(tmp_path / "c")])
+    assert "--checkpoint" in msg
+    # events require paths (same rule as single-host)
+    msg = run(["--logs", str(log), "--engine", "device",
+               "--coordinator", "h:1", "--num-processes", "2",
+               "--process-id", "0", "--events", str(tmp_path / "e.jsonl")])
+    assert "--paths" in msg
