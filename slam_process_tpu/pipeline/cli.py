@@ -637,6 +637,38 @@ def _make_multi_event_emitter(args, session, names, seeded: bool = False):
     return poll
 
 
+def _dedup_export_names(paths, prefix: str = "") -> list:
+    """Per-stream export names from capture stems/timestamps,
+    deduplicated — two captures named live.txt in different directories
+    must not overwrite each other's outputs.  ``prefix`` namespaces a
+    cluster process's exports (shared --outdir across hosts)."""
+    from slam_process_tpu.utils import extract_timestamp
+
+    names = [prefix + (extract_timestamp(str(p)) or p.stem)
+             for p in paths]
+    seen: dict = {}
+    for i, nm in enumerate(names):
+        if nm in seen:
+            seen[nm] += 1
+            names[i] = f"{nm}_{seen[nm]}"
+        else:
+            seen[nm] = 0
+    return names
+
+
+def _split_text_carry(buf: bytes):
+    """Split a growing capture's buffer at the last whitespace:
+    ``(tokenizable_prefix | None, carry)`` — the capture may have
+    written half a token ("1A 2" of "1A 2B "), which must wait for more
+    bytes.  The ONE definition behind every watch loop's incremental
+    tokenization."""
+    cut = max(buf.rfind(b" "), buf.rfind(b"\n"), buf.rfind(b"\r"),
+              buf.rfind(b"\t"))
+    if cut < 0:
+        return None, buf
+    return bytes(buf[: cut + 1]), buf[cut + 1:]
+
+
 def _reconcile_paths_flag(args, s) -> bool:
     """Align --paths with what a restored checkpoint actually carries.
 
@@ -774,16 +806,20 @@ def _run_watch(args):
 
     if (args.log is None) == (args.logs is None):
         raise SystemExit("watch needs exactly one of --log / --logs")
-    if args.coordinator is not None:
-        return _run_watch_multihost(args)
-    if args.num_processes is not None or args.process_id is not None:
-        raise SystemExit("--num-processes/--process-id require "
-                         "--coordinator (multi-host watch mode)")
+    # Shared flag validation BEFORE the multi-host dispatch: these
+    # errors must fire identically in cluster mode (an invalid
+    # --emit-capacity would otherwise surface as an obscure compile
+    # error after the cluster already rendezvoused).
     if args.checkpoint_every and not args.checkpoint:
         raise SystemExit("--checkpoint-every requires --checkpoint "
                          "(no state file to write to)")
     if args.emit_capacity is not None and args.emit_capacity <= 0:
         raise SystemExit("--emit-capacity must be a positive row count")
+    if args.coordinator is not None:
+        return _run_watch_multihost(args)
+    if args.num_processes is not None or args.process_id is not None:
+        raise SystemExit("--num-processes/--process-id require "
+                         "--coordinator (multi-host watch mode)")
     if args.logs is not None:
         if len(args.logs) == 1:
             args.log = args.logs[0]
@@ -943,21 +979,14 @@ def _run_watch(args):
                     time.sleep(args.poll_interval)
                     continue
                 pos = size
-                buf = text_carry + data
-                # Feed only up to the last whitespace: the capture may
-                # have written half a token ("1A 2" of "1A 2B ").
-                cut = max(buf.rfind(b" "), buf.rfind(b"\n"),
-                          buf.rfind(b"\r"), buf.rfind(b"\t"))
-                if cut >= 0:
-                    tokens = tokenize_hex(bytes(buf[: cut + 1]))
-                    text_carry = buf[cut + 1:]
+                prefix, text_carry = _split_text_carry(text_carry + data)
+                if prefix is not None:
+                    tokens = tokenize_hex(prefix)
                     if len(tokens):
                         s.feed(tokens)
                         fed_tokens += len(tokens)
                         if emitter:
                             events_written += emitter()
-                else:
-                    text_carry = buf
                 last_growth = now
             elif args.idle_timeout and now - last_growth > args.idle_timeout:
                 break
@@ -1065,14 +1094,10 @@ def _run_watch_multihost(args):
 
     logs = list(args.logs)
     n = len(logs)
-    names = [extract_timestamp(str(p)) or p.stem for p in logs]
-    seen: dict = {}
-    for i, nm in enumerate(names):
-        if nm in seen:
-            seen[nm] += 1
-            names[i] = f"{nm}_{seen[nm]}"
-        else:
-            seen[nm] = 0
+    # p<id>_ prefix: hosts may share an --outdir (network filesystem);
+    # same-stem captures on different hosts must not overwrite each
+    # other's exports.
+    names = _dedup_export_names(logs, prefix=f"p{args.process_id}_")
     lut = load_angle_lut(args.mapping)
     args.outdir.mkdir(parents=True, exist_ok=True)
     ecap = args.emit_capacity if args.emit_capacity else 1 << 18
@@ -1119,100 +1144,107 @@ def _run_watch_multihost(args):
     last_render = now0
     force = False
     while True:
-        try:
-            now = time.monotonic()
-            chunks = [b""] * n
-            to_finalize = []
-            for i in range(n):
-                if done[i]:
-                    continue
+        now = time.monotonic()
+        chunks = [b""] * n
+        to_finalize = []
+        for i in range(n):
+            if done[i]:
+                continue
+            try:
+                size = os.path.getsize(logs[i])
+            except OSError:
+                size = pos[i]
+            if size > pos[i] and not force:
                 try:
-                    size = os.path.getsize(logs[i])
+                    with open(logs[i], "rb") as f:
+                        f.seek(pos[i])
+                        data = f.read(size - pos[i])
                 except OSError:
-                    size = pos[i]
-                if size > pos[i] and not force:
-                    try:
-                        with open(logs[i], "rb") as f:
-                            f.seek(pos[i])
-                            data = f.read(size - pos[i])
-                    except OSError:
-                        continue
-                    pos[i] = size
-                    buf = carry[i] + data
-                    cut = max(buf.rfind(b" "), buf.rfind(b"\n"),
-                              buf.rfind(b"\r"), buf.rfind(b"\t"))
-                    if cut >= 0:
-                        chunks[i] = tokenize_hex(bytes(buf[: cut + 1]))
-                        carry[i] = buf[cut + 1:]
-                    else:
-                        carry[i] = buf
-                    last_growth[i] = now
-                elif force or (args.idle_timeout
-                               and now - last_growth[i]
-                               > args.idle_timeout):
-                    chunks[i] = tokenize_hex(bytes(carry[i]))
-                    carry[i] = b""
-                    to_finalize.append(i)
-            will_all_be_done = bool(done.all()) or (
-                len(to_finalize) + int(done.sum()) == n)
-            # The tick's ONE coordination point: who needs a flush, who
-            # is finished.  Every later branch keys off this shared
-            # result, so the collective sequence is identical everywhere.
-            sync = multihost_utils.process_allgather(np.asarray(
-                [int(bool(to_finalize)), int(will_all_be_done)],
-                np.int32))
-            sync = np.asarray(sync).reshape(-1, 2)
-            s.feed(chunks)
-            if bool(sync[:, 0].any()):
-                s.finalize_streams(to_finalize)
-                if to_finalize:
-                    done[to_finalize] = True
-                    print(f"stream(s) {to_finalize} finalized "
-                          f"({(~done).sum()} still live)",
-                          file=sys.stderr)
-            if emitter:
-                events_written += emitter()
-            if bool(sync[:, 1].all()):
-                break
-            if (args.render_every
-                    and now - last_render >= args.render_every):
-                render_local()
-                last_render = now
+                    continue
+                pos[i] = size
+                prefix, carry[i] = _split_text_carry(carry[i] + data)
+                if prefix is not None:
+                    chunks[i] = tokenize_hex(prefix)
+                last_growth[i] = now
+            elif force or (args.idle_timeout
+                           and now - last_growth[i]
+                           > args.idle_timeout):
+                chunks[i] = tokenize_hex(bytes(carry[i]))
+                carry[i] = b""
+                to_finalize.append(i)
+        will_all_be_done = bool(done.all()) or (
+            len(to_finalize) + int(done.sum()) == n)
+        # The tick's ONE coordination point: who needs a flush, who
+        # is finished.  Every later branch keys off this shared
+        # result, so the collective sequence is identical everywhere.
+        sync = multihost_utils.process_allgather(np.asarray(
+            [int(bool(to_finalize)), int(will_all_be_done)],
+            np.int32))
+        sync = np.asarray(sync).reshape(-1, 2)
+        s.feed(chunks)
+        if bool(sync[:, 0].any()):
+            s.finalize_streams(to_finalize)
+            if to_finalize:
+                done[to_finalize] = True
+                print(f"stream(s) {to_finalize} finalized "
+                      f"({(~done).sum()} still live)",
+                      file=sys.stderr)
+        if emitter:
+            events_written += emitter()
+        if bool(sync[:, 1].all()):
+            break
+        if (args.render_every
+                and now - last_render >= args.render_every):
+            render_local()
+            last_render = now
+        try:
+            # Ctrl-C is handled ONLY here, where the process is idle: an
+            # interrupt inside the collective sequence above would abort
+            # a tick partway and desync the cluster (peers would wait in
+            # a mismatched collective).  The sleep is where a watch
+            # spends almost all its wall time, so a cluster-wide SIGINT
+            # lands here in practice; the next tick then drains and
+            # finalizes this host's streams while it keeps participating
+            # until every host finishes.
             time.sleep(args.poll_interval)
         except KeyboardInterrupt:
             force = True
 
-    s.finalize()   # no-op (everything flushed); keeps the state closed
-    if emitter:
-        events_written += emitter()   # the finalize-closed final sweeps
-    nf, nk, ng, _sums, _counts, _ovf = s.local_results()
-    pngs = render_local()
-    stats = []
-    for i in range(n):
-        write_filtered_table(args.outdir / f"{names[i]}_filtered.xlsx",
-                             s.local_stream_filtered(i))
-        if args.paths:
-            _export_tracks(*s.local_stream_tracks(i), names[i], args)
-        stats.append({"session": names[i], "process": args.process_id,
-                      "bytes_seen": pos[i], "frames": int(nf[i]),
-                      "kept": int(nk[i]), "sweeps": int(ng[i]),
-                      "png": str(pngs[i])})
-        print(json.dumps(stats[-1]))
-    totals = {"process": args.process_id, "local_streams": n,
-              "global_streams": s.n_streams_real,
-              "total_frames": int(sum(x["frames"] for x in stats))}
-    if emitter:
-        totals["events"] = events_written
-    print(json.dumps(totals))
-    # Hold the cluster together until every process finished its local
-    # exports: per-host export time varies by minutes on CPU, and a
-    # process that exits early trips the distributed runtime's shutdown
-    # barrier timeout on the laggards (observed: the whole cluster
-    # terminated with BarrierError after one host's exports outlasted
-    # the 5-minute shutdown window).
-    from jax.experimental import multihost_utils as _mhu
-
-    _mhu.sync_global_devices("multihost-watch-exit")
+    try:
+        s.finalize()   # no-op (everything flushed); keeps state closed
+        if emitter:
+            events_written += emitter()   # finalize-closed final sweeps
+        nf, nk, ng, _sums, _counts, _ovf = s.local_results()
+        pngs = render_local()
+        stats = []
+        for i in range(n):
+            write_filtered_table(
+                args.outdir / f"{names[i]}_filtered.xlsx",
+                s.local_stream_filtered(i))
+            if args.paths:
+                _export_tracks(*s.local_stream_tracks(i), names[i], args)
+            stats.append({"session": names[i],
+                          "process": args.process_id,
+                          "bytes_seen": pos[i], "frames": int(nf[i]),
+                          "kept": int(nk[i]), "sweeps": int(ng[i]),
+                          "png": str(pngs[i])})
+            print(json.dumps(stats[-1]))
+        totals = {"process": args.process_id, "local_streams": n,
+                  "global_streams": s.n_streams_real,
+                  "total_frames": int(sum(x["frames"] for x in stats))}
+        if emitter:
+            totals["events"] = events_written
+        print(json.dumps(totals))
+    finally:
+        # ALWAYS reached — even when a local export fails (e.g. an
+        # emit-ring overflow), so healthy peers are not stranded.  Holds
+        # the cluster together until every process finished its local
+        # exports: per-host export time varies by minutes on CPU, and a
+        # process that exits early trips the distributed runtime's
+        # shutdown barrier timeout on the laggards (observed: the whole
+        # cluster terminated with BarrierError after one host's exports
+        # outlasted the shutdown window).
+        multihost_utils.sync_global_devices("multihost-watch-exit")
 
 
 def _run_watch_multi(args):
@@ -1255,17 +1287,7 @@ def _run_watch_multi(args):
                          "from the online tracks)")
     logs = list(args.logs)
     n = len(logs)
-    # Per-stream export names: filename stem/timestamp, deduplicated —
-    # two captures named live.txt in different directories must not
-    # overwrite each other's outputs.
-    names = [extract_timestamp(str(p)) or p.stem for p in logs]
-    seen: dict = {}
-    for i, nm in enumerate(names):
-        if nm in seen:
-            seen[nm] += 1
-            names[i] = f"{nm}_{seen[nm]}"
-        else:
-            seen[nm] = 0
+    names = _dedup_export_names(logs)
     lut = load_angle_lut(args.mapping)
     args.outdir.mkdir(parents=True, exist_ok=True)
     ecap = args.emit_capacity if args.emit_capacity else 1 << 18
@@ -1365,14 +1387,9 @@ def _run_watch_multi(args):
                     except OSError:
                         continue
                     pos[i] = size
-                    buf = carry[i] + data
-                    cut = max(buf.rfind(b" "), buf.rfind(b"\n"),
-                              buf.rfind(b"\r"), buf.rfind(b"\t"))
-                    if cut >= 0:
-                        chunks[i] = tokenize_hex(bytes(buf[: cut + 1]))
-                        carry[i] = buf[cut + 1:]
-                    else:
-                        carry[i] = buf
+                    prefix, carry[i] = _split_text_carry(carry[i] + data)
+                    if prefix is not None:
+                        chunks[i] = tokenize_hex(prefix)
                     last_growth[i] = now
                 elif (args.idle_timeout
                       and now - last_growth[i] > args.idle_timeout):

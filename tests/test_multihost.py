@@ -146,11 +146,9 @@ def test_two_process_cli_watch_multihost(tmp_path):
     import threading
     import time as _time
 
-    from slam_process_tpu.io import read_hex_log
     from slam_process_tpu.io.schemas import read_filtered_table
     from slam_process_tpu.pipeline.session import Session
 
-    np_random = np.random.default_rng(17)
     blobs = [LOGS[1].read_bytes(), LOGS[2].read_bytes()[: 400000]]
     grows = [tmp_path / "host_a.txt", tmp_path / "host_b.txt"]
     for g in grows:
@@ -223,7 +221,6 @@ def test_two_process_cli_watch_multihost_events(tmp_path):
     import threading
     import time as _time
 
-    from slam_process_tpu.io import read_hex_log
     from slam_process_tpu.io.hexlog import tokenize_hex
     from slam_process_tpu.models.change_detection import (
         EVENT_KINDS,
