@@ -224,6 +224,7 @@ def _paths_substep(
     dict_args,                 # (phi_rx, phi_tx, aoa_grid, aod_grid) jnp f32
     close_all: bool,
     sums_engine: str = "auto",
+    tracker_engine: str = "auto",
 ):
     """Advance the online-estimation state by one step's kept rows.
 
@@ -359,48 +360,82 @@ def _paths_substep(
             lambda st: st[0] < m_eff_c, est_body,
             (jnp.int32(0), p.est_rings, p.valid_ring) + zeros_l)
 
-        # Tracker: advance the carry over exactly the closed sweeps —
-        # identical step ops in identical order to the offline scan, but
-        # bounded by m_eff with a while_loop instead of scanning all s1
-        # lanes (lanes >= m_eff are provably carry no-ops — all-invalid
-        # inputs can never pass gating or create tracks — yet each
-        # skipped lane saves the step's ~30 serialized small ops, which
-        # the collect_paths profile measured as a dominant cost at the
-        # default s_step=64 with ~15 sweeps closing per chunk).  The
-        # per-lane track outputs write straight into the rings at
-        # n_closed + i; lanes never executed leave stale ring rows
-        # beyond the final n_closed, which no consumer reads.
-        closed_lane = jnp.arange(s1) < m_eff
-        trk_valid = val_l & closed_lane[:, None]
-        step_fn = make_track_sweep_step(
-            k_n, spec.max_tracks, spec.gate_deg)
-        xs = (aoa_l, aod_l, pow_l, trk_valid)
-
-        def trk_body(st):
-            i, pos, created, count, r_aoa, r_aod, r_pow, r_obs = st
-            inp = tuple(
-                jax.lax.dynamic_index_in_dim(x, i, 0, False) for x in xs)
-            (pos, created, count), (ya, yd, yp, yo) = step_fn(
-                (pos, created, count), inp)
-            j = jnp.minimum(off + i, r_aoa.shape[0] - 1)
-            r_aoa = jax.lax.dynamic_update_index_in_dim(r_aoa, ya, j, 0)
-            r_aod = jax.lax.dynamic_update_index_in_dim(r_aod, yd, j, 0)
-            r_pow = jax.lax.dynamic_update_index_in_dim(r_pow, yp, j, 0)
-            r_obs = jax.lax.dynamic_update_index_in_dim(r_obs, yo, j, 0)
-            return i + 1, pos, created, count, r_aoa, r_aod, r_pow, r_obs
-
-        (_, pos, created, count, trk_aoa, trk_aod, trk_pow,
-         trk_obs) = jax.lax.while_loop(
-            lambda st: st[0] < m_eff_c, trk_body,
-            (jnp.int32(0), p.trk_pos, p.trk_created, p.trk_count,
-             p.trk_aoa, p.trk_aod, p.trk_pow, p.trk_obs))
-
-        # time_ring still writes one s1-row block at offset n_closed
-        # (one block of slack is allocated; junk lanes beyond m_eff are
-        # overwritten by later blocks — the emit-ring pattern).
+        # Ring block writer (the time_ring pattern): one s1-row
+        # dynamic_update_slice at offset n_closed; one block of slack is
+        # allocated, and junk lanes beyond m_eff are overwritten by
+        # later blocks / never read past the final n_closed.
         def write(ring, block):
             idx = (off,) + (jnp.int32(0),) * (block.ndim - 1)
             return jax.lax.dynamic_update_slice(ring, block, idx)
+
+        # Tracker: advance the carry over exactly the closed sweeps —
+        # identical step ops in identical order to the offline scan.
+        # Two engines ship (both bounded by m_eff; lanes >= m_eff are
+        # provably carry no-ops — all-invalid inputs can never pass
+        # gating or create tracks):
+        #
+        #   * "pallas" (auto on TPU): ONE kernel launch runs the whole
+        #     block scan with the carry in VMEM/SMEM scratch and writes
+        #     [s1, T] output columns — 105 us/step vs the while_loop's
+        #     625 us at the production shape (meff=15, TPU v5e), whose
+        #     ~30 serialized sub-tile ops per sweep were a measured
+        #     dispatch floor (~16 ms over a dataset replay).  Ring rows
+        #     land as ONE s1-row block write at n_closed (the time_ring
+        #     pattern: junk lanes beyond m_eff are overwritten by later
+        #     blocks and never read past the final n_closed).
+        #   * "xla": the while_loop formulation — the vmapped
+        #     multi-stream step (a batch axis would break the kernel's
+        #     sequential grid) and CPU tests.
+        if tracker_engine == "auto":
+            use_pallas_tracker = jax.default_backend() == "tpu"
+        else:
+            use_pallas_tracker = tracker_engine == "pallas"
+        if use_pallas_tracker:
+            from slam_process_tpu.ops.pallas_tracker import (
+                track_block_pallas,
+            )
+
+            (blk_a, blk_d, blk_p, blk_o, pos, created,
+             count) = track_block_pallas(
+                aoa_l, aod_l, pow_l, val_l.astype(jnp.int32), m_eff_c,
+                p.trk_pos, p.trk_created, p.trk_count,
+                gate_deg=spec.gate_deg,
+                interpret=jax.default_backend() != "tpu")
+            trk_aoa = write(p.trk_aoa, blk_a)
+            trk_aod = write(p.trk_aod, blk_d)
+            trk_pow = write(p.trk_pow, blk_p)
+            trk_obs = write(p.trk_obs, blk_o)
+        else:
+            closed_lane = jnp.arange(s1) < m_eff
+            trk_valid = val_l & closed_lane[:, None]
+            step_fn = make_track_sweep_step(
+                k_n, spec.max_tracks, spec.gate_deg)
+            xs = (aoa_l, aod_l, pow_l, trk_valid)
+
+            def trk_body(st):
+                i, pos, created, count, r_aoa, r_aod, r_pow, r_obs = st
+                inp = tuple(
+                    jax.lax.dynamic_index_in_dim(x, i, 0, False)
+                    for x in xs)
+                (pos, created, count), (ya, yd, yp, yo) = step_fn(
+                    (pos, created, count), inp)
+                j = jnp.minimum(off + i, r_aoa.shape[0] - 1)
+                r_aoa = jax.lax.dynamic_update_index_in_dim(
+                    r_aoa, ya, j, 0)
+                r_aod = jax.lax.dynamic_update_index_in_dim(
+                    r_aod, yd, j, 0)
+                r_pow = jax.lax.dynamic_update_index_in_dim(
+                    r_pow, yp, j, 0)
+                r_obs = jax.lax.dynamic_update_index_in_dim(
+                    r_obs, yo, j, 0)
+                return (i + 1, pos, created, count, r_aoa, r_aod, r_pow,
+                        r_obs)
+
+            (_, pos, created, count, trk_aoa, trk_aod, trk_pow,
+             trk_obs) = jax.lax.while_loop(
+                lambda st: st[0] < m_eff_c, trk_body,
+                (jnp.int32(0), p.trk_pos, p.trk_created, p.trk_count,
+                 p.trk_aoa, p.trk_aod, p.trk_pow, p.trk_obs))
 
         overflow = (p.overflow | (m_eff > spec.s_step)
                     | (p.n_closed + m_eff > spec.capacity))
@@ -459,6 +494,7 @@ def _step_body(
     paths_spec: Optional[StreamPathsSpec] = None,
     compact_engine: str = "auto",
     sums_engine: str = "auto",
+    tracker_engine: str = "auto",
 ):
     import jax
     import jax.numpy as jnp
@@ -581,7 +617,8 @@ def _step_body(
     if paths_spec is not None:
         new_paths = _paths_substep(state.paths, combined, corrected, keep,
                                    paths_spec, dict_args, close_all=False,
-                                   sums_engine=sums_engine)
+                                   sums_engine=sums_engine,
+                                   tracker_engine=tracker_engine)
     else:
         new_paths = state.paths
 
@@ -611,6 +648,7 @@ def _flush_body(
     emit_capacity: int,
     paths_spec: Optional[StreamPathsSpec] = None,
     sums_engine: str = "auto",
+    tracker_engine: str = "auto",
 ):
     """Close the final open group at end of stream."""
     import jax.numpy as jnp
@@ -635,7 +673,8 @@ def _flush_body(
     if paths_spec is not None:
         new_paths = _paths_substep(state.paths, state.carry_frames, corrected,
                                    keep, paths_spec, dict_args,
-                                   close_all=True, sums_engine=sums_engine)
+                                   close_all=True, sums_engine=sums_engine,
+                                   tracker_engine=tracker_engine)
     else:
         new_paths = state.paths
     return DeviceStreamState(
@@ -656,7 +695,8 @@ def _flush_body(
 
 @functools.lru_cache(maxsize=16)
 def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_capacity,
-                paths_spec=None):
+                paths_spec=None, compact_engine="auto", sums_engine="auto",
+                tracker_engine="auto"):
     """Shared jitted step per static configuration (the config dataclasses
     are frozen/hashable), so many sessions reuse one compiled executable."""
     import jax
@@ -668,6 +708,8 @@ def _build_step(cap, gcap, max_groups, max_bpg, cfg, decoder, emit_capacity,
             _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
             max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
             emit_capacity=emit_capacity, paths_spec=paths_spec,
+            compact_engine=compact_engine, sums_engine=sums_engine,
+            tracker_engine=tracker_engine,
         ),
         donate_argnums=0,
     )
@@ -763,7 +805,8 @@ def _build_emit_grow(old_alloc: int, new_alloc: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _build_flush(max_groups, max_bpg, cfg, emit_capacity, paths_spec=None):
+def _build_flush(max_groups, max_bpg, cfg, emit_capacity, paths_spec=None,
+                 sums_engine="auto", tracker_engine="auto"):
     import jax
 
     return jax.jit(
@@ -771,6 +814,7 @@ def _build_flush(max_groups, max_bpg, cfg, emit_capacity, paths_spec=None):
             _flush_body, max_groups=max_groups,
             max_baselines_per_group=max_bpg, cfg=cfg,
             emit_capacity=emit_capacity, paths_spec=paths_spec,
+            sums_engine=sums_engine, tracker_engine=tracker_engine,
         ),
         donate_argnums=0,
     )
@@ -810,6 +854,12 @@ class DeviceStreamingSession:
         n_beams: int = 64,
         emit_capacity: Optional[int] = None,
         collect_paths=None,   # (spec, dict_args) from make_paths_spec
+        # Per-op engine overrides ("auto" picks the adjudicated winner
+        # per backend — the Pallas kernels on TPU, XLA elsewhere).
+        # Exposed for A/B device-plane measurement and tests.
+        compact_engine: str = "auto",
+        sums_engine: str = "auto",
+        tracker_engine: str = "auto",
     ):
         self.config = config or PipelineConfig()
         self.chunk_bytes = int(chunk_bytes)
@@ -858,6 +908,9 @@ class DeviceStreamingSession:
         self._mg = max_groups
         self._mbpg = max_baselines_per_group
         self._decoder = decoder
+        self._compact_engine = compact_engine
+        self._sums_engine = sums_engine
+        self._tracker_engine = tracker_engine
         self._n_beams = int(n_beams)
         # Ring allocation = logical capacity + one block of slack
         # (gcap + chunk rows): the emit block write is a fixed t-row
@@ -881,9 +934,11 @@ class DeviceStreamingSession:
         self._step = _build_step(
             self._cap, self._gcap, self._mg, self._mbpg,
             self.config, self._decoder, self._ecap, self._paths_spec,
+            self._compact_engine, self._sums_engine, self._tracker_engine,
         )
         self._flush = _build_flush(
             self._mg, self._mbpg, self.config, self._ecap, self._paths_spec,
+            self._sums_engine, self._tracker_engine,
         )
 
     def _maybe_grow_emit(self, rows_next: int) -> None:
@@ -1330,10 +1385,10 @@ def _build_multi_step(cap, gcap, max_groups, max_bpg, cfg, decoder,
         _step_body, cap=cap, group_capacity=gcap, max_groups=max_groups,
         max_baselines_per_group=max_bpg, cfg=cfg, decoder=decoder,
         emit_capacity=emit_capacity, paths_spec=paths_spec,
-        # XLA formulations under vmap: the Pallas carry-compaction and
-        # sweep-sums kernels rely on a sequential grid + running
-        # accumulators, which a batching axis would break.
-        compact_engine="xla", sums_engine="scan",
+        # XLA formulations under vmap: the Pallas carry-compaction,
+        # sweep-sums, and tracker kernels rely on a sequential grid +
+        # running accumulators, which a batching axis would break.
+        compact_engine="xla", sums_engine="scan", tracker_engine="xla",
     )
     return jax.jit(
         jax.vmap(lambda st, ch, nb, da: body(st, ch, nb, da),
@@ -1355,7 +1410,7 @@ def _build_multi_flush(max_groups, max_bpg, cfg, paths_spec=None,
     body = functools.partial(
         _flush_body, max_groups=max_groups, max_baselines_per_group=max_bpg,
         cfg=cfg, emit_capacity=emit_capacity, paths_spec=paths_spec,
-        sums_engine="scan",
+        sums_engine="scan", tracker_engine="xla",
     )
 
     def run(st, mask, da):
