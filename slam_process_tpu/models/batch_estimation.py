@@ -121,33 +121,67 @@ def pack_scenes(
 
 
 @functools.lru_cache(maxsize=16)
-def _batched_nn_omp_fn(cfg: OmpConfig, keep_rule: str, stop_np: bool):
-    """ONE compiled program: vmap(nn_omp_jax) over the leading axis.
+def _batched_nn_omp_fn(cfg: OmpConfig, keep_rule: str, stop_np: bool,
+                       form: str = "vmap"):
+    """ONE compiled program over the session axis — the PRODUCTION
+    whole-dataset formulation.
 
-    The PRODUCTION whole-dataset formulation.  Adjudicated on the DEVICE
-    plane (tools/diag_est_dispatch.py, TPU v5e, 19 real sessions at the
-    v1-7 config): this one-program path runs the dataset in 49.5 ms
-    device time (384 sessions/s) vs 83 ms (229/s) for async per-session
-    dispatch, selections exactly equal.  Round 2 had concluded the
+    ``form`` picks the per-session estimator body.  Adjudicated on the
+    DEVICE plane by tools/diag_session_est.py (TPU v5e, 19 real sessions
+    at the v1-7 config; selection sequences AND coefficients of every
+    form exactly equal the float64 scipy oracle on all 19 logs):
+
+    * ``"vmap"`` — vmap(nn_omp_jax) with the Gauss-Jordan NNLS
+      subproblem solve (ops/nnls.py ``solver="auto"``): **26.9 ms
+      device for the dataset (705.6 sessions/s)** — the production
+      default.  The same body with LU solves (round 4's production)
+      measures 49.5 ms: ``jnp.linalg.solve``'s general LU lowers to
+      hundreds of tiny serialized ops inside both nested NNLS
+      while-loops, a pure dispatch floor the pivot-free GJ fori_loop
+      removes (1.84x whole-pass win).
+    * ``"gram"`` — vmap of the gram-domain body
+      (:func:`~slam_process_tpu.models.nn_omp.nn_omp_gram_batch_jax`,
+      one scene per lane): pays the [Ga,U]x[U,B]x[B,Gd] correlation
+      chain once up front, but materializes the [Ga,Gd] correlation
+      surface (~103 MB at the flagship grid) and re-reads it every
+      selection iteration — 69.6 ms, LOSES to recomputing the chain
+      from the small factors in VMEM-friendly matmuls.  Kept as the
+      adjudication comparator.
+
+    Earlier adjudication vs ASYNC dispatch (tools/diag_est_dispatch.py,
+    TPU v5e): one-program 49.5 ms vs 83 ms for async per-session
+    dispatch at the then-shared LU solver.  Round 2 had concluded the
     opposite ("async ~19x faster") from WALL numbers — which on this
     relay transport only measure the dispatch acknowledgement, not
-    device execution (docs/STATUS.md "Measurement model").  It is also
-    the only formulation that shards over a mesh
-    (:func:`nn_omp_sessions_sharded`).
+    device execution (docs/STATUS.md "Measurement model").
     """
     import jax
 
-    from slam_process_tpu.models.nn_omp import nn_omp_jax
+    from slam_process_tpu.models.nn_omp import (
+        nn_omp_gram_batch_jax,
+        nn_omp_jax,
+    )
     from slam_process_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    est = functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
-                            stop_nonpositive=stop_np)
+    if form == "gram":
+        est = functools.partial(nn_omp_gram_batch_jax, cfg=cfg,
+                                keep_rule=keep_rule,
+                                stop_nonpositive=stop_np)
 
-    def run(mats, phi_rx, phi_tx, aoa_g, aod_g):
-        return jax.vmap(
-            lambda m, rx, tx, a, d: est(rx, tx, a, d, m)
-        )(mats, phi_rx, phi_tx, aoa_g, aod_g)
+        def run(mats, phi_rx, phi_tx, aoa_g, aod_g):
+            out = jax.vmap(
+                lambda m, rx, tx, a, d: est(rx, tx, a, d, m[None])
+            )(mats, phi_rx, phi_tx, aoa_g, aod_g)
+            return jax.tree.map(lambda x: x[:, 0], out)
+    else:
+        est = functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
+                                stop_nonpositive=stop_np)
+
+        def run(mats, phi_rx, phi_tx, aoa_g, aod_g):
+            return jax.vmap(
+                lambda m, rx, tx, a, d: est(rx, tx, a, d, m)
+            )(mats, phi_rx, phi_tx, aoa_g, aod_g)
 
     from slam_process_tpu.utils.precision import jit_highest
 
@@ -245,8 +279,9 @@ def nn_omp_sessions_device(
     NOT the production dataset path: on the DEVICE plane
     (tools/diag_est_dispatch.py, TPU v5e, 19 real sessions, v1-7 config)
     this runs the dataset in 83 ms (229 sessions/s) vs 49.5 ms (384/s)
-    for the vmapped one-program path (:func:`_batched_nn_omp_fn`) —
-    per-session while_loop early exit does NOT beat the batched GEMMs'
+    for the vmapped one-program path (:func:`_batched_nn_omp_fn`; 26.9 ms
+    after the Gauss-Jordan NNLS solve landed — tools/diag_session_est.py)
+    — per-session while_loop early exit does NOT beat the batched GEMMs'
     utilization.  (Round 2's "~19x faster" claim for this path came from
     wall clocks, which on the relay transport measure only dispatch
     acknowledgement.)  Kept for per-session incremental use and as the

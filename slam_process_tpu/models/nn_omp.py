@@ -154,6 +154,7 @@ def nn_omp_batch_jax(
     cfg: OmpConfig = OmpConfig(),
     keep_rule: str = "ratio",
     stop_nonpositive: bool = True,
+    nnls_solver: str = "auto",
 ):
     """NN-OMP over S scenes sharing one dictionary, batched-GEMM form.
 
@@ -210,7 +211,8 @@ def nn_omp_batch_jax(
         G = jnp.einsum("smk,sml->skl", A, A)
         b = jnp.einsum("smk,sm->sk", A, Y)
         coeffs2, _ = jax.vmap(
-            lambda g, v: nnls_gram(g, v, max_outer=cfg.nnls_max_iter))(G, b)
+            lambda g, v: nnls_gram(g, v, max_outer=cfg.nnls_max_iter,
+                                   solver=nnls_solver))(G, b)
         R2 = Y - jnp.einsum("smk,sk->sm", A, coeffs2)
 
         coeffs_out = jnp.where(stop[:, None], coeffs, coeffs2)
@@ -254,6 +256,7 @@ def nn_omp_gram_batch_jax(
     cfg: OmpConfig = OmpConfig(),
     keep_rule: str = "ratio",
     stop_nonpositive: bool = True,
+    nnls_solver: str = "auto",
 ):
     """Gram-domain NN-OMP: the heavy correlation chain runs ONCE, not K times.
 
@@ -339,7 +342,8 @@ def nn_omp_gram_batch_jax(
         Gk = Gk * active[:, :, None] * active[:, None, :]
         bk = corr_y[jnp.arange(S)[:, None], sel_r2, sel_t2] * active
         coeffs2, _ = jax.vmap(
-            lambda g, v: nnls_gram(g, v, max_outer=cfg.nnls_max_iter))(Gk, bk)
+            lambda g, v: nnls_gram(g, v, max_outer=cfg.nnls_max_iter,
+                                   solver=nnls_solver))(Gk, bk)
 
         coeffs_out = jnp.where(stop[:, None], coeffs, coeffs2)
         return (sel_r2, sel_t2, coeffs_out, nsel2, stop), None
@@ -380,6 +384,7 @@ def nn_omp_jax(
     cfg: OmpConfig = OmpConfig(),
     keep_rule: str = "ratio",
     stop_nonpositive: bool = True,
+    nnls_solver: str = "auto",
 ):
     """Jittable NN-OMP with static max_paths slots.
 
@@ -419,7 +424,8 @@ def nn_omp_jax(
         A = (cols_rx[:, None, :] * cols_tx[None, :, :]).reshape(U * B, K)
         G = A.T @ A
         b = A.T @ y
-        coeffs2, _ = nnls_gram(G, b, max_outer=cfg.nnls_max_iter)
+        coeffs2, _ = nnls_gram(G, b, max_outer=cfg.nnls_max_iter,
+                               solver=nnls_solver)
         residual2 = y - A @ coeffs2
 
         coeffs_out = jnp.where(stop, coeffs, coeffs2)

@@ -22,11 +22,17 @@ from typing import Tuple
 
 
 def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16,
-              tol: float = 1e-10, tol_rel: float = 3e-7):
+              tol: float = 1e-10, tol_rel: float = 3e-7,
+              solver: str = "auto"):
     """Solve min ||A x - y||, x >= 0 given G = A^T A and b = A^T y.
 
     Returns (x, passive_mask).  ``max_outer`` bounds active-set additions
     (>= K suffices for exact termination in exact arithmetic).
+
+    ``solver`` picks the masked subproblem solve: "auto" = closed-form
+    adjugate at K=3, Gauss-Jordan fori_loop for K>3; "lu" forces
+    ``jnp.linalg.solve`` (kept for A/B adjudication —
+    tools/diag_session_est.py).
 
     The convergence tolerance is ``tol + tol_rel * max|b|``: a purely
     absolute 1e-10 is float64 thinking — in float32 the gradient
@@ -51,6 +57,34 @@ def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16,
         Pf = P.astype(G.dtype)
         Gp = G * (Pf[:, None] * Pf[None, :]) + jnp.diag(1.0 - Pf)
         bp = b * Pf
+        if k > 3 and solver != "lu":
+            # Gauss-Jordan elimination without pivoting, as one fori_loop
+            # over an augmented [K, K+1] tile.  Gp is SPD on the passive
+            # set and identity on its complement (diagonal >= 1 there), so
+            # pivoting is unnecessary; ``jnp.linalg.solve``'s general LU
+            # lowers to hundreds of tiny serialized ops (row-pivot argmax +
+            # swaps per column + two triangular solves) and this solve sits
+            # inside BOTH nested NNLS while-loops of the K=20 session
+            # estimator (adjudicated on the device plane by
+            # tools/diag_session_est.py).  GJ is K steps of pure
+            # elementwise work on one VPU tile.  A zero pivot (degenerate
+            # passive Gram from near-collinear atoms) zeroes that row's
+            # contribution instead of laundering inf/NaN — same guard
+            # policy as the k==3 adjugate branch below.
+            import jax as _jax
+
+            aug = jnp.concatenate([Gp, bp[:, None]], axis=1)   # [K, K+1]
+
+            def gj_step(i, m):
+                piv = m[i, i]
+                inv_piv = jnp.where(jnp.abs(piv) > 1e-30, 1.0 / piv, 0.0)
+                row = m[i] * inv_piv
+                col = m[:, i]
+                m2 = m - col[:, None] * row[None, :]
+                return m2.at[i].set(row)
+
+            aug = _jax.lax.fori_loop(0, k, gj_step, aug)
+            return aug[:, k]
         if k == 3:
             # Closed-form adjugate solve: jnp.linalg.solve's batched LU is
             # dozens of tiny ops per while-loop iteration, and this solve

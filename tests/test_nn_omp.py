@@ -43,6 +43,40 @@ def test_nnls_matches_scipy_f32():
                                    atol=2e-3)
 
 
+def test_nnls_gram_gauss_jordan_matches_lu_k20():
+    """The K>3 Gauss-Jordan subproblem solve (ops/nnls.py, the session
+    estimator's hot path) reaches the same NNLS optimum as the forced-LU
+    path and scipy, including near-collinear atom pairs (the degenerate
+    regime the zero-pivot guard covers)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import nnls as scipy_nnls
+
+    from slam_process_tpu.ops.nnls import nnls_gram
+
+    K, M = 20, 256
+    f_gj = jax.jit(functools.partial(nnls_gram, solver="auto"))
+    f_lu = jax.jit(functools.partial(nnls_gram, solver="lu"))
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        A = np.abs(rng.normal(size=(M, K))) + 0.01
+        if trial % 2 == 0:   # near-collinear pair
+            A[:, 1] = A[:, 0] * (1 + 1e-6 * rng.normal(size=M))
+        y = np.abs(rng.normal(size=M))
+        G = jnp.asarray((A.T @ A), jnp.float32)
+        b = jnp.asarray(A.T @ y, jnp.float32)
+        x_ref, _ = scipy_nnls(A, y)
+        f_ref = np.linalg.norm(A @ x_ref - y)
+        for fn in (f_gj, f_lu):
+            x = np.asarray(fn(G, b)[0])
+            assert np.all(x >= 0)
+            # Unique optimum => compare objective values, not coordinates
+            # (collinear columns make x non-unique).
+            assert np.linalg.norm(A @ x - y) <= f_ref * (1 + 1e-5)
+
+
 def test_synthetic_two_path_recovery():
     # Plant two Gaussian path blobs; NN-OMP must recover both angle pairs.
     ue_ang = np.linspace(-40, 40, 32)
