@@ -118,14 +118,21 @@ def test_vmapped_batch_matches_dispatch(two_sessions):
     packed = pack_scenes(mats, dicts)
 
     disp = jax.device_get(nn_omp_sessions_device(packed, cfg, "ratio", True))
-    vm = jax.device_get(_batched_nn_omp_fn(cfg, "ratio", True)(
-        jnp.asarray(packed.matrices), jnp.asarray(packed.phi_rx),
-        jnp.asarray(packed.phi_tx), jnp.asarray(packed.aoa_grid),
-        jnp.asarray(packed.aod_grid)))
+    args = (jnp.asarray(packed.matrices), jnp.asarray(packed.phi_rx),
+            jnp.asarray(packed.phi_tx), jnp.asarray(packed.aoa_grid),
+            jnp.asarray(packed.aod_grid))
+    vm = jax.device_get(_batched_nn_omp_fn(cfg, "ratio", True)(*args))
+    # The gram-domain comparator form (kept for device-plane adjudication,
+    # tools/diag_session_est.py) must select identically too.
+    gram = jax.device_get(_batched_nn_omp_fn(cfg, "ratio", True,
+                                             form="gram")(*args))
     for i in range(len(mats)):
         n = int(disp[i].n_iters)
-        assert int(vm.n_iters[i]) == n
-        np.testing.assert_array_equal(vm.aoa_idx[i][:n], disp[i].aoa_idx[:n])
-        np.testing.assert_array_equal(vm.aod_idx[i][:n], disp[i].aod_idx[:n])
-        np.testing.assert_allclose(vm.power[i][:n], disp[i].power[:n],
-                                   rtol=1e-4, atol=1e-6)
+        for got in (vm, gram):
+            assert int(got.n_iters[i]) == n
+            np.testing.assert_array_equal(got.aoa_idx[i][:n],
+                                          disp[i].aoa_idx[:n])
+            np.testing.assert_array_equal(got.aod_idx[i][:n],
+                                          disp[i].aod_idx[:n])
+            np.testing.assert_allclose(got.power[i][:n], disp[i].power[:n],
+                                       rtol=1e-4, atol=1e-6)
