@@ -244,8 +244,9 @@ def main() -> None:
     packed = pack_scenes(est_mats, est_dicts)
     single_fn = _jitted_nn_omp(est_cfg, "ratio", True)
     # Async per-session dispatch (adjudication baseline) AND the vmapped
-    # one-program path — the device-plane WINNER (49.5 ms vs 83 ms;
-    # tools/diag_est_dispatch.py) and the production formulation.
+    # one-program path — the device-plane WINNER (26.9 ms with the
+    # Gauss-Jordan NNLS solve vs 83 ms async; tools/diag_est_dispatch.py,
+    # tools/diag_session_est.py) and the production formulation.
     from slam_process_tpu.models.batch_estimation import (
         _batched_nn_omp_fn,
         nn_omp_sessions_sharded,

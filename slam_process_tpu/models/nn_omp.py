@@ -105,7 +105,15 @@ import functools as _functools
 
 @_functools.lru_cache(maxsize=32)
 def _jitted_nn_omp(cfg: OmpConfig, keep_rule: str, stop_nonpositive: bool):
-    """Compiled NN-OMP shared across calls (configs are frozen/hashable)."""
+    """Compiled NN-OMP shared across calls (configs are frozen/hashable).
+
+    Forces the LU NNLS subproblem solve: the Gauss-Jordan fori_loop that
+    wins 1.84x in the vmapped dataset program LOSES 3.4x here (TPU v5e
+    device plane, biggest session: LU 4.36 ms vs GJ 14.74 ms) — unbatched,
+    each of its K sequential [K, K+1] row updates is a tiny op paying the
+    serialization floor that only a batch axis amortizes.  Both solvers
+    reach the identical optimum (tests/test_nn_omp.py).
+    """
     import functools
 
     import jax
@@ -115,7 +123,8 @@ def _jitted_nn_omp(cfg: OmpConfig, keep_rule: str, stop_nonpositive: bool):
     from slam_process_tpu.utils.precision import jit_highest
 
     return jit_highest(functools.partial(nn_omp_jax, cfg=cfg, keep_rule=keep_rule,
-                                         stop_nonpositive=stop_nonpositive))
+                                         stop_nonpositive=stop_nonpositive,
+                                         nnls_solver="lu"))
 
 
 def run_nn_omp(

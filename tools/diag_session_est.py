@@ -13,6 +13,15 @@ parity of each against the float64 scipy oracle:
   vmap_gj   vmap(nn_omp_jax)  + Gauss-Jordan fori_loop solves
   gram_gj   vmap(gram-domain) + GJ — correlation chain paid once, not K times
 
+plus the SINGLE-SESSION (unbatched) program under both solvers.
+
+Adjudicated result (TPU v5e, 2026-08-19): vmap_gj 26.9 ms (705.6
+sessions/s) vs vmap_lu 49.5 ms vs gram_gj 69.6 ms — GJ+vmap is the
+production dataset path.  Single-session REVERSES: LU 4.36 ms vs GJ
+14.74 ms — unbatched, GJ's K sequential tiny row updates pay the
+serialization floor that only a batch axis amortizes, so
+models/nn_omp._jitted_nn_omp pins solver="lu".
+
 Run:  python tools/diag_session_est.py
 """
 
@@ -129,6 +138,21 @@ def main() -> None:
     for name, r in results.items():
         r["speedup_vs_vmap_lu"] = round(base / r["device_s"], 2)
     print(json.dumps(results, indent=1))
+
+    # Single-session (unbatched) program, both solvers, biggest session.
+    big = int(np.argmax([m.size for m in mats]))
+    sargs = jax.device_put((packed.phi_rx[big], packed.phi_tx[big],
+                            packed.aoa_grid[big], packed.aod_grid[big],
+                            packed.matrices[big]))
+    for solver in ("lu", "auto"):
+        fn = jit_highest(functools.partial(
+            nn_omp_jax, cfg=cfg, keep_rule="ratio", stop_nonpositive=True,
+            nnls_solver=solver))
+        out = fn(*sargs)
+        jax.block_until_ready(out.power)
+        t = measure_device_time(lambda i: fn(*sargs).power, n=3)
+        print(json.dumps({"single_session_solver": solver,
+                          "device_s": round(t.total / 3, 5)}))
 
 
 if __name__ == "__main__":
