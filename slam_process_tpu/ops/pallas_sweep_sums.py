@@ -40,6 +40,16 @@ __all__ = ["sweep_sums_pallas"]
 BLOCK_F = 1024   # 1-D i32 inputs carry XLA's T(1024) layout; smaller
                  # blocks fail Mosaic's operand-layout verification
 
+LOCAL_WINDOW = 512   # block-local one-hot width (8 sweeps x 64 beams):
+                     # kept-row p streams are nondecreasing (gid is a
+                     # boundary cumsum), so a 1024-row block spans few
+                     # sweeps; the narrow window cuts the dominant MXU
+                     # contraction ~width/LOCAL_WINDOW x vs the full-
+                     # width one-hot (28.5 -> ~4 ms over a dataset
+                     # collect_paths replay).  Blocks that DO span more
+                     # sweeps raise the kernel's spill flag and the
+                     # wrapper re-runs the exact full-width kernel.
+
 
 def _kernel(p_ref, bs_ref, val_ref, out_ref, *, width: int):
     import jax
@@ -81,6 +91,106 @@ def _kernel(p_ref, bs_ref, val_ref, out_ref, *, width: int):
         preferred_element_type=jnp.float32)                   # [W, 256]
 
 
+def _kernel_local(p_ref, bs_ref, val_ref, out_ref, spill_ref, *,
+                  width: int, wl: int):
+    """Block-local variant: one-hot only over a ``wl``-column window
+    anchored at the block's min kept p (64-aligned), accumulated into
+    the full-width VMEM output at a dynamic sublane offset.  Exact for
+    any block whose kept p span fits the window; otherwise sets the
+    spill flag (the wrapper falls back to the full-width kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        spill_ref[:] = jnp.zeros_like(spill_ref)
+
+    p = p_ref[:]                          # [R] i32, -1 for dropped rows
+    bs = bs_ref[:]                        # [R] i32 in [0, 64)
+    val = val_ref[:]                      # [R] i32 RSS < 2^18
+
+    kept = p >= 0
+    big = jnp.int32(1 << 30)
+    pmin = jnp.min(jnp.where(kept, p, big))
+    # 64-aligned window base (sweep-aligned => 8-sublane aligned for the
+    # f32 out tile); clamp so the window stays inside [0, width).
+    base = jnp.minimum((pmin // 64) * 64, jnp.int32(width - wl))
+    base = jnp.maximum(base, jnp.int32(0))
+    local = p - base                      # dropped rows go negative
+    spill = jnp.any(kept & (local >= wl))
+    spill_ref[:] = spill_ref[:] | (
+        jnp.zeros((8, 128), jnp.int32) + spill.astype(jnp.int32))
+
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+    oh_p = jnp.where(local[:, None] == l_iota, jnp.float32(1),
+                     jnp.float32(0)).astype(jnp.bfloat16)       # [R, wl]
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+    oh_b = jnp.where(bs[:, None] == b_iota, jnp.float32(1), jnp.float32(0))
+    hi = (val >> 16).astype(jnp.float32)
+    mid = ((val >> 8) & 255).astype(jnp.float32)
+    lo = (val & 255).astype(jnp.float32)
+    y = jnp.concatenate(
+        [oh_b * hi[:, None], oh_b * mid[:, None], oh_b * lo[:, None],
+         oh_b], axis=1).astype(jnp.bfloat16)                    # [R, 256]
+
+    acc = jax.lax.dot_general(
+        oh_p, y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [wl, 256]
+    # base is 64-aligned by construction (sweep-aligned window, and the
+    # clamp operands width - wl / 0 are 128- and 64-multiples); Mosaic
+    # needs the alignment stated to allow the dynamic sublane offset.
+    idx = (pl.ds(pl.multiple_of(base, 64), wl), slice(None))
+    out_ref[idx] = out_ref[idx] + acc
+
+
+def _call_local(p, bs, val, *, width: int, interpret: bool, block_f: int,
+                wl: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    f = p.shape[0]
+    assert f % block_f == 0, f
+    kernel = functools.partial(_kernel_local, width=width, wl=wl)
+    return pl.pallas_call(
+        kernel,
+        grid=(f // block_f,),
+        in_specs=[
+            pl.BlockSpec((block_f,), lambda i: (i,)),
+            pl.BlockSpec((block_f,), lambda i: (i,)),
+            pl.BlockSpec((block_f,), lambda i: (i,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((width, 256), lambda i: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((width, 256), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(p, bs, val)
+
+
+def _call_auto(p, bs, val, *, width: int, interpret: bool, block_f: int,
+               wl: int):
+    """Narrow kernel first; exact full-width fallback iff any block's
+    kept p span exceeded the local window (lax.cond executes only the
+    taken branch, so the wide contraction costs nothing on the sorted
+    streams every production caller feeds)."""
+    import jax
+
+    out, spill = _call_local(p, bs, val, width=width, interpret=interpret,
+                             block_f=block_f, wl=wl)
+    return jax.lax.cond(
+        spill[0, 0] > 0,
+        lambda: _call(p, bs, val, width=width, interpret=interpret,
+                      block_f=block_f),
+        lambda: out)
+
+
 @functools.lru_cache(maxsize=32)
 def _build(width: int, interpret: bool, block_f: int):
     import jax
@@ -88,6 +198,10 @@ def _build(width: int, interpret: bool, block_f: int):
     from slam_process_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if width > LOCAL_WINDOW:
+        return jax.jit(functools.partial(
+            _call_auto, width=width, interpret=interpret, block_f=block_f,
+            wl=LOCAL_WINDOW))
     return jax.jit(functools.partial(
         _call, width=width, interpret=interpret, block_f=block_f))
 

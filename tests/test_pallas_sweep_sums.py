@@ -113,3 +113,73 @@ def test_engine_pallas_guards():
             ue, bs, rss, gid, valid, big_s, cfg, engine="auto")
         assert float(sums[0, 0, 0]) == 7.0 * f
         assert float(counts[0, 0, 0]) == f
+
+
+def test_local_window_narrow_path_exact():
+    """The block-local kernel (no spill) is bit-exact vs the scan on a
+    production-shaped sorted stream: many 1024-row blocks, each spanning
+    only a few sweeps — the path every streaming/offline caller takes."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.pallas_sweep_sums import BLOCK_F, _call_local
+
+    rng = np.random.default_rng(7)
+    f, s = 8192, 65
+    # ~10 rows/sweep-lane => ~819 rows/sweep: blocks span <= 3 sweeps.
+    gid = np.sort(rng.integers(0, 10, f)).astype(np.int32)
+    # force usage of high lanes too (clamp edge at width - wl)
+    gid[-1024:] = np.sort(rng.integers(s - 3, s, 1024)).astype(np.int32)
+    ue = rng.integers(0, 64, f).astype(np.int32)
+    bs = rng.integers(0, 64, f).astype(np.int32)
+    rss = rng.integers(0, 1 << 18, f).astype(np.int32)
+    valid = rng.random(f) < 0.9
+
+    sums_ref, counts_ref = _scan_ref(ue, bs, rss, gid, valid, s)
+    keep = valid
+    p = np.where(keep, gid * 64 + ue, -1).astype(np.int32)
+    width = ((s * 64 + 127) // 128) * 128
+    out, spill = _call_local(
+        jnp.asarray(p), jnp.asarray(bs), jnp.asarray(rss),
+        width=width, interpret=True, block_f=BLOCK_F, wl=512)
+    assert int(np.asarray(spill)[0, 0]) == 0, "expected the narrow path"
+    out = np.asarray(out)[: s * 64]
+    sums = (out[:, :64] * 65536.0 + out[:, 64:128] * 256.0
+            + out[:, 128:192]).reshape(s, 64, 64)
+    counts = out[:, 192:].reshape(s, 64, 64)
+    np.testing.assert_array_equal(sums, np.asarray(sums_ref))
+    np.testing.assert_array_equal(counts, np.asarray(counts_ref))
+
+
+def test_local_window_spill_fallback_exact():
+    """A block whose kept p span exceeds the local window must raise the
+    spill flag, and the public wrapper's fallback stays exact."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.pallas_sweep_sums import (
+        BLOCK_F,
+        _call_local,
+        sweep_sums_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    f, s = 2048, 65
+    # one sweep per ~32 rows: a 1024-row block spans ~32 sweeps >> 8.
+    gid = np.sort(rng.integers(0, s, f)).astype(np.int32)
+    ue = rng.integers(0, 64, f).astype(np.int32)
+    bs = rng.integers(0, 64, f).astype(np.int32)
+    rss = rng.integers(0, 1 << 18, f).astype(np.int32)
+    valid = np.ones(f, bool)
+
+    p = (gid * 64 + ue).astype(np.int32)
+    width = ((s * 64 + 127) // 128) * 128
+    _, spill = _call_local(
+        jnp.asarray(p), jnp.asarray(bs), jnp.asarray(rss),
+        width=width, interpret=True, block_f=BLOCK_F, wl=512)
+    assert int(np.asarray(spill)[0, 0]) == 1, "expected a spill"
+
+    sums_ref, counts_ref = _scan_ref(ue, bs, rss, gid, valid, s)
+    sums, counts = sweep_sums_pallas(
+        jnp.asarray(p), jnp.asarray(bs), jnp.asarray(rss),
+        max_sweeps=s, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sums), np.asarray(sums_ref))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts_ref))
