@@ -132,21 +132,24 @@ def _batched_nn_omp_fn(cfg: OmpConfig, keep_rule: str, stop_np: bool,
     form exactly equal the float64 scipy oracle on all 19 logs):
 
     * ``"vmap"`` — vmap(nn_omp_jax) with the Gauss-Jordan NNLS
-      subproblem solve (ops/nnls.py ``solver="auto"``): **26.9 ms
-      device for the dataset (705.6 sessions/s)** — the production
-      default.  The same body with LU solves (round 4's production)
-      measures 49.5 ms: ``jnp.linalg.solve``'s general LU lowers to
-      hundreds of tiny serialized ops inside both nested NNLS
-      while-loops, a pure dispatch floor the pivot-free GJ fori_loop
-      removes (1.84x whole-pass win).
+      subproblem solve (ops/nnls.py ``solver="auto"``) and the
+      warm-started Lawson-Hanson refit (each OMP iteration resumes the
+      previous (x, passive) instead of re-adding every atom — ~K outer
+      iterations per session instead of ~K^2/2): **13.7 ms device for
+      the dataset (1,387 sessions/s)** — the production default.
+      Pre-warm-start the same body measured 26.9 ms; with LU solves
+      (round 4's earlier production) 49.5 ms: ``jnp.linalg.solve``'s
+      general LU lowers to hundreds of tiny serialized ops inside both
+      nested NNLS while-loops, a pure dispatch floor the pivot-free GJ
+      fori_loop removes.
     * ``"gram"`` — vmap of the gram-domain body
       (:func:`~slam_process_tpu.models.nn_omp.nn_omp_gram_batch_jax`,
       one scene per lane): pays the [Ga,U]x[U,B]x[B,Gd] correlation
       chain once up front, but materializes the [Ga,Gd] correlation
       surface (~103 MB at the flagship grid) and re-reads it every
-      selection iteration — 69.6 ms, LOSES to recomputing the chain
-      from the small factors in VMEM-friendly matmuls.  Kept as the
-      adjudication comparator.
+      selection iteration — 56.2 ms warm-started (69.6 pre), LOSES to
+      recomputing the chain from the small factors in VMEM-friendly
+      matmuls.  Kept as the adjudication comparator.
 
     Earlier adjudication vs ASYNC dispatch (tools/diag_est_dispatch.py,
     TPU v5e): one-program 49.5 ms vs 83 ms for async per-session
@@ -279,8 +282,9 @@ def nn_omp_sessions_device(
     NOT the production dataset path: on the DEVICE plane
     (tools/diag_est_dispatch.py, TPU v5e, 19 real sessions, v1-7 config)
     this runs the dataset in 83 ms (229 sessions/s) vs 49.5 ms (384/s)
-    for the vmapped one-program path (:func:`_batched_nn_omp_fn`; 26.9 ms
-    after the Gauss-Jordan NNLS solve landed — tools/diag_session_est.py)
+    for the vmapped one-program path (:func:`_batched_nn_omp_fn`; 13.7 ms
+    after the Gauss-Jordan solve + warm-started NNLS landed —
+    tools/diag_session_est.py)
     — per-session while_loop early exit does NOT beat the batched GEMMs'
     utilization.  (Round 2's "~19x faster" claim for this path came from
     wall clocks, which on the relay transport measure only dispatch

@@ -108,9 +108,10 @@ def _jitted_nn_omp(cfg: OmpConfig, keep_rule: str, stop_nonpositive: bool):
     """Compiled NN-OMP shared across calls (configs are frozen/hashable).
 
     Forces the LU NNLS subproblem solve: the Gauss-Jordan fori_loop that
-    wins 1.84x in the vmapped dataset program LOSES 3.4x here (TPU v5e
-    device plane, biggest session: LU 4.36 ms vs GJ 14.74 ms) — unbatched,
-    each of its K sequential [K, K+1] row updates is a tiny op paying the
+    wins in the vmapped dataset program LOSES 3.3x here (TPU v5e device
+    plane, biggest session, warm-started NNLS: LU 1.15 ms vs GJ 3.8 ms;
+    pre-warm-start it was 4.36 vs 14.74 ms) — unbatched, each of its K
+    sequential [K, K+1] row updates is a tiny op paying the
     serialization floor that only a batch axis amortizes.  Both solvers
     reach the identical optimum (tests/test_nn_omp.py).
     """
@@ -192,7 +193,7 @@ def nn_omp_batch_jax(
     slots = jnp.arange(K)
 
     def body(carry, _):
-        R, sel_r, sel_t, coeffs, nsel, done = carry
+        R, sel_r, sel_t, coeffs, passive, nsel, done = carry
         # Whole-batch correlation: two large GEMMs instead of S small ones.
         t1 = jnp.einsum("ug,sub->sgb", phi_rx, R.reshape(S, U, B))
         corr = jnp.einsum("sgb,bd->sgd", t1, phi_tx).reshape(S, Ga * Gd)
@@ -219,24 +220,29 @@ def nn_omp_batch_jax(
             S, U * B, K)
         G = jnp.einsum("smk,sml->skl", A, A)
         b = jnp.einsum("smk,sm->sk", A, Y)
-        coeffs2, _ = jax.vmap(
-            lambda g, v: nnls_gram(g, v, max_outer=cfg.nnls_max_iter,
-                                   solver=nnls_solver))(G, b)
+        # Warm-started Lawson-Hanson (see nn_omp_gram_batch_jax).
+        coeffs2, passive2 = jax.vmap(
+            lambda g, v, xw, pw: nnls_gram(
+                g, v, max_outer=cfg.nnls_max_iter, solver=nnls_solver,
+                x0=xw, P0=pw))(G, b, coeffs, passive)
         R2 = Y - jnp.einsum("smk,sk->sm", A, coeffs2)
 
         coeffs_out = jnp.where(stop[:, None], coeffs, coeffs2)
+        passive_out = jnp.where(stop[:, None], passive, passive2)
         R_out = jnp.where(stop[:, None], R, R2)
-        return (R_out, sel_r2, sel_t2, coeffs_out, nsel2, stop), None
+        return (R_out, sel_r2, sel_t2, coeffs_out, passive_out, nsel2,
+                stop), None
 
     init = (
         Y,
         jnp.zeros((S, K), jnp.int32),
         jnp.zeros((S, K), jnp.int32),
         jnp.zeros((S, K), jnp.float32),
+        jnp.zeros((S, K), bool),
         jnp.zeros(S, jnp.int32),
         jnp.zeros(S, bool),
     )
-    (R, sel_r, sel_t, coeffs, nsel, _), _ = jax.lax.scan(
+    (R, sel_r, sel_t, coeffs, _, nsel, _), _ = jax.lax.scan(
         body, init, None, length=K)
 
     in_sel = slots[None, :] < nsel[:, None]
@@ -301,7 +307,7 @@ def nn_omp_gram_batch_jax(
     corr_y = jnp.einsum("ug,sub,bd->sgd", phi_rx, Y, phi_tx)  # ONCE
 
     def body(carry, _):
-        sel_r, sel_t, coeffs, nsel, done = carry
+        sel_r, sel_t, coeffs, passive, nsel, done = carry
         # Residual correlation = corr_y minus the selected atoms' rank-K
         # Gram outer products (zero for inactive slots via zero coeffs).
         active_c = coeffs * (slots[None, :] < nsel[:, None])   # [S, K]
@@ -350,22 +356,29 @@ def nn_omp_gram_batch_jax(
               * gtx[sel_t2[:, :, None], sel_t2[:, None, :]])
         Gk = Gk * active[:, :, None] * active[:, None, :]
         bk = corr_y[jnp.arange(S)[:, None], sel_r2, sel_t2] * active
-        coeffs2, _ = jax.vmap(
-            lambda g, v: nnls_gram(g, v, max_outer=cfg.nnls_max_iter,
-                                   solver=nnls_solver))(Gk, bk)
+        # Warm-started NNLS: old Gram rows/cols and b entries are
+        # unchanged when one atom joins, so the previous (coeffs,
+        # passive) is a valid Lawson-Hanson resume point — ~2 outer
+        # iterations per refit instead of re-adding all nsel atoms.
+        coeffs2, passive2 = jax.vmap(
+            lambda g, v, xw, pw: nnls_gram(
+                g, v, max_outer=cfg.nnls_max_iter, solver=nnls_solver,
+                x0=xw, P0=pw))(Gk, bk, coeffs, passive)
 
         coeffs_out = jnp.where(stop[:, None], coeffs, coeffs2)
-        return (sel_r2, sel_t2, coeffs_out, nsel2, stop), None
+        passive_out = jnp.where(stop[:, None], passive, passive2)
+        return (sel_r2, sel_t2, coeffs_out, passive_out, nsel2, stop), None
 
     init = (
         jnp.zeros((S, K), jnp.int32),
         jnp.zeros((S, K), jnp.int32),
         jnp.zeros((S, K), jnp.float32),
+        jnp.zeros((S, K), bool),
         jnp.zeros(S, jnp.int32),
         jnp.zeros(S, bool),
     )
-    (sel_r, sel_t, coeffs, nsel, _), _ = jax.lax.scan(body, init, None,
-                                                      length=K)
+    (sel_r, sel_t, coeffs, _, nsel, _), _ = jax.lax.scan(body, init, None,
+                                                         length=K)
 
     in_sel = slots[None, :] < nsel[:, None]
     max_coeff = jnp.max(jnp.where(in_sel, coeffs, -jnp.inf), axis=1)
@@ -412,7 +425,7 @@ def nn_omp_jax(
     y = rss_matrix.reshape(-1)
 
     def body(carry, _):
-        residual, sel_r, sel_t, coeffs, nsel, done = carry
+        residual, sel_r, sel_t, coeffs, passive, nsel, done = carry
         corr = phi_rx.T @ residual.reshape(U, B) @ phi_tx
         max_corr = jnp.max(corr)
         flat_idx = jnp.argmax(corr)
@@ -433,23 +446,28 @@ def nn_omp_jax(
         A = (cols_rx[:, None, :] * cols_tx[None, :, :]).reshape(U * B, K)
         G = A.T @ A
         b = A.T @ y
-        coeffs2, _ = nnls_gram(G, b, max_outer=cfg.nnls_max_iter,
-                               solver=nnls_solver)
+        # Warm-started Lawson-Hanson (see nn_omp_gram_batch_jax).
+        coeffs2, passive2 = nnls_gram(G, b, max_outer=cfg.nnls_max_iter,
+                                      solver=nnls_solver, x0=coeffs,
+                                      P0=passive)
         residual2 = y - A @ coeffs2
 
         coeffs_out = jnp.where(stop, coeffs, coeffs2)
+        passive_out = jnp.where(stop, passive, passive2)
         residual_out = jnp.where(stop, residual, residual2)
-        return (residual_out, sel_r2, sel_t2, coeffs_out, nsel2, stop), None
+        return (residual_out, sel_r2, sel_t2, coeffs_out, passive_out,
+                nsel2, stop), None
 
     init = (
         y,
         jnp.zeros(K, dtype=jnp.int32),
         jnp.zeros(K, dtype=jnp.int32),
         jnp.zeros(K, dtype=y.dtype),
+        jnp.zeros(K, dtype=bool),
         jnp.int32(0),
         jnp.bool_(False),
     )
-    (residual, sel_r, sel_t, coeffs, nsel, _), _ = jax.lax.scan(
+    (residual, sel_r, sel_t, coeffs, _, nsel, _), _ = jax.lax.scan(
         body, init, None, length=K
     )
 

@@ -23,7 +23,7 @@ from typing import Tuple
 
 def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16,
               tol: float = 1e-10, tol_rel: float = 3e-7,
-              solver: str = "auto"):
+              solver: str = "auto", x0=None, P0=None):
     """Solve min ||A x - y||, x >= 0 given G = A^T A and b = A^T y.
 
     Returns (x, passive_mask).  ``max_outer`` bounds active-set additions
@@ -33,6 +33,17 @@ def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16,
     adjugate at K=3, Gauss-Jordan fori_loop for K>3; "lu" forces
     ``jnp.linalg.solve`` (kept for A/B adjudication —
     tools/diag_session_est.py).
+
+    ``x0``/``P0`` warm-start the active set: pass the previous solution
+    when G/b grew by one atom (the OMP refit pattern — old rows/cols of
+    the Gram and old b entries are unchanged, so x0 is still optimal on
+    P0 and Lawson-Hanson resumes instead of re-adding every atom from
+    scratch).  The NNLS optimum is unique (G SPD on the atom span), so
+    warm and cold starts converge to the same x up to f32 rounding —
+    the same robustness class as the LU/GJ/adjugate solver swaps, gated
+    by the same selection-sequence parity tests.  Invariant required:
+    x0 >= 0, x0 zero outside P0, and x0 optimal for the subproblem
+    restricted to P0 (all hold for a previous nnls_gram result).
 
     The convergence tolerance is ``tol + tol_rel * max|b|``: a purely
     absolute 1e-10 is float64 thinking — in float32 the gradient
@@ -161,8 +172,10 @@ def nnls_gram(G, b, max_outer: int = 64, max_inner: int = 16,
         P_out = jnp.where(can_add, P_upd, P)
         return x_out, P_out, it + 1, ~can_add
 
-    x0 = jnp.zeros(k, dtype=G.dtype)
-    P0 = jnp.zeros(k, dtype=bool)
+    if x0 is None:
+        x0 = jnp.zeros(k, dtype=G.dtype)
+    if P0 is None:
+        P0 = jnp.zeros(k, dtype=bool)
     x, P, _, _ = jax.lax.while_loop(outer_cond, outer_body, (x0, P0, 0, False))
     return x, P
 

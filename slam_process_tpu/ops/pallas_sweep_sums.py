@@ -43,9 +43,10 @@ BLOCK_F = 1024   # 1-D i32 inputs carry XLA's T(1024) layout; smaller
 LOCAL_WINDOW = 512   # block-local one-hot width (8 sweeps x 64 beams):
                      # kept-row p streams are nondecreasing (gid is a
                      # boundary cumsum), so a 1024-row block spans few
-                     # sweeps; the narrow window cuts the dominant MXU
-                     # contraction ~width/LOCAL_WINDOW x vs the full-
-                     # width one-hot (28.5 -> ~4 ms over a dataset
+                     # sweeps; the narrow window cuts the kernel 2.7x
+                     # on chip (496 vs 1353 us at [104448]/width 4224 —
+                     # the one-hot builds bound it now, not the MXU
+                     # contraction; 28.5 -> 10.3 ms over the dataset
                      # collect_paths replay).  Blocks that DO span more
                      # sweeps raise the kernel's spill flag and the
                      # wrapper re-runs the exact full-width kernel.

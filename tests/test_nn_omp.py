@@ -77,6 +77,48 @@ def test_nnls_gram_gauss_jordan_matches_lu_k20():
             assert np.linalg.norm(A @ x - y) <= f_ref * (1 + 1e-5)
 
 
+def test_nnls_gram_warm_start_matches_cold():
+    """Warm-started Lawson-Hanson (the OMP refit pattern: G/b grow by one
+    atom, previous (x, passive) resumes) reaches the same optimum as a
+    cold start and scipy — the equivalence the warm-started estimator
+    scan carries rest on."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import nnls as scipy_nnls
+
+    from slam_process_tpu.ops.nnls import nnls_gram
+
+    K, M = 12, 256
+    f = jax.jit(functools.partial(nnls_gram, solver="auto"))
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        A = np.abs(rng.normal(size=(M, K))) + 0.01
+        y = np.abs(rng.normal(size=M))
+        # Simulate the OMP growth pattern: atoms arrive one at a time
+        # (zero columns for future slots), each refit warm-started from
+        # the previous solution.
+        x_warm = jnp.zeros(K, jnp.float32)
+        p_warm = jnp.zeros(K, bool)
+        order = rng.permutation(K)
+        for n in range(1, K + 1):
+            sel = order[:n]
+            An = np.zeros_like(A)
+            An[:, sel] = A[:, sel]
+            G = jnp.asarray(An.T @ An, jnp.float32)
+            b = jnp.asarray(An.T @ y, jnp.float32)
+            x_warm, p_warm = f(G, b, x0=x_warm, P0=p_warm)
+            x_cold = np.asarray(f(G, b)[0])
+            x_ref, _ = scipy_nnls(An[:, sel], y)
+            f_ref = np.linalg.norm(An[:, sel] @ x_ref - y)
+            xw = np.asarray(x_warm)
+            assert np.all(xw >= 0)
+            assert np.linalg.norm(An @ xw - y) <= f_ref * (1 + 1e-5)
+            assert np.linalg.norm(An @ x_cold - y) <= f_ref * (1 + 1e-5)
+            np.testing.assert_allclose(xw, x_cold, rtol=5e-4, atol=5e-4)
+
+
 def test_synthetic_two_path_recovery():
     # Plant two Gaussian path blobs; NN-OMP must recover both angle pairs.
     ue_ang = np.linspace(-40, 40, 32)
