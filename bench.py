@@ -2,7 +2,7 @@
 
 Runs the fused on-device session pipeline (bytes -> frames -> corrected ->
 intensity -> raster) over every serial log in the reference dataset and
-prints ONE JSON line:
+prints a JSON result line:
 
     {"metric": "frames_per_sec_decode_correct_render", "value": N,
      "unit": "frames/s", "vs_baseline": N, ...}
@@ -23,18 +23,62 @@ tools/diag_roofline.py) — which is how round 2 reported throughputs above
 the chip's HBM roofline.  Wall-clock numbers are still reported as
 ``*_wall_s`` extras (they are the user-visible dispatch latencies), but
 every ``*_device_*`` key and the headline come from the device plane.
+
+SURVIVABILITY MODEL (round 5 — after BENCH_r04 rc=124/empty): the driver
+captures whatever this process printed before its timeout and parses the
+LAST valid JSON line, so bench must keep a valid result line on stdout at
+all times and never block forever.  Four layers:
+
+1. **Data-plane probe**: before touching the default backend, a subprocess
+   runs a real jitted dispatch + D2H read under a timeout
+   (utils/transport.probe_device_dispatch).  Round 4 proved registration
+   alone is not enough — the relay's control plane can come up with a dead
+   data plane, and the first dispatch then blocks in ``tcp_recvmsg``
+   forever.  On probe failure, bench restarts itself on the CPU backend
+   and says so in the JSON ("backend_fallback").
+2. **Incremental emission**: the result line is (re)printed after EVERY
+   completed lane, each line a superset of the previous — the last line on
+   stdout is always the most complete valid result at that moment.
+3. **Wall-clock budget** (env ``BENCH_BUDGET_S``, default 480): once
+   exceeded, remaining lanes are skipped and the final line carries
+   ``"truncated": true`` plus the skipped-lane list.
+4. **Stall watchdog** (env ``BENCH_STALL_S``, default 240): a daemon
+   thread that aborts — printing the last result dict with
+   ``"watchdog_abort": true`` and hard-exiting 0 so the driver's capture
+   ends with a valid line — when either (a) no lane progress has been
+   signalled for STALL_S **and** the process burned almost no CPU over
+   that window (a data-plane hang blocks in ``recvfrom`` at ~0% CPU —
+   the judge's round-4 repro measured 11 s CPU over 17 min — whereas a
+   long XLA compile burns ~100%, so compiles are not mistaken for
+   hangs), or (b) total wall time exceeds ``BENCH_BUDGET_S`` plus a
+   grace period (env ``BENCH_HARD_GRACE_S``, default 180) — the ceiling
+   that guarantees bench never outlives the driver timeout silently,
+   even if a lane spins.
+
+Per-lane one-line markers go to stderr so a timed-out capture's tail
+localizes any stall.  All package INFO logging is routed to stderr too;
+stdout carries only JSON result lines.
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import logging
+import os
+import sys
+import threading
 import time
 from pathlib import Path
 
 import numpy as np
 
 DEBUGDOC = Path("/root/reference/debugDoc")
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+STALL_S = float(os.environ.get("BENCH_STALL_S", "240"))
+PROBE_S = float(os.environ.get("BENCH_PROBE_S", "180"))
+HARD_GRACE_S = float(os.environ.get("BENCH_HARD_GRACE_S", "180"))
 
 
 def _oracle_norm_raster(filtered: np.ndarray) -> np.ndarray:
@@ -57,547 +101,808 @@ def _oracle_norm_raster(filtered: np.ndarray) -> np.ndarray:
     return np.asarray(shifted_log_norm(blur_nan_aware_np(matrix, 1.0)))
 
 
-_FALLBACK_REASON = None   # set when the default backend cannot initialize
+class Reporter:
+    """Keeps the result dict and re-prints it as a JSON line after every
+    lane, so the driver's tail always ends in the most complete valid
+    result.  Also hosts the stall watchdog."""
+
+    def __init__(self) -> None:
+        self.t0 = time.perf_counter()
+        self.result = {
+            "metric": "frames_per_sec_decode_correct_render",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "stage": "init",
+        }
+        self.lane_seconds: dict = {}
+        self.skipped: list = []
+        self.errors: dict = {}
+        self._lock = threading.Lock()
+        self._last_beat = time.perf_counter()
+        t = threading.Thread(target=self._watchdog, daemon=True,
+                             name="bench-watchdog")
+        t.start()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0
+
+    def beat(self) -> None:
+        self._last_beat = time.perf_counter()
+
+    def over_budget(self) -> bool:
+        return self.elapsed() > BUDGET_S
+
+    def note(self, msg: str) -> None:
+        print(f"bench: [t={self.elapsed():7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+        self.beat()
+
+    def emit(self, stage: str) -> None:
+        with self._lock:
+            self.result["stage"] = stage
+            self.result["elapsed_wall_s"] = round(self.elapsed(), 1)
+            if self.lane_seconds:
+                self.result["lane_seconds"] = {
+                    k: round(v, 2) for k, v in self.lane_seconds.items()}
+            if self.skipped:
+                self.result["truncated"] = True
+                self.result["skipped_lanes"] = list(self.skipped)
+            if self.errors:
+                self.result["lane_errors"] = dict(self.errors)
+            print(json.dumps(self.result), flush=True)
+
+    def beat_cpu(self) -> float:
+        """Process CPU seconds (all threads, user+system)."""
+        t = os.times()
+        return t.user + t.system
+
+    def _watchdog(self) -> None:
+        cpu_at_beat = self.beat_cpu()
+        beat_seen = self._last_beat
+        while True:
+            time.sleep(5.0)
+            if self._last_beat != beat_seen:
+                beat_seen = self._last_beat
+                cpu_at_beat = self.beat_cpu()
+            stalled = time.perf_counter() - self._last_beat
+            cpu_burned = self.beat_cpu() - cpu_at_beat
+            # A data-plane hang blocks in a syscall at ~0% CPU; a long XLA
+            # compile burns ~100%.  Only the former is a stall.
+            hang = stalled > STALL_S and cpu_burned < 0.05 * stalled
+            hard_cap = self.elapsed() > BUDGET_S + HARD_GRACE_S
+            if hang or hard_cap:
+                why = ("hang" if hang else "hard-cap")
+                with self._lock:
+                    self.result["watchdog_abort"] = why
+                    self.result["watchdog_stalled_s"] = round(stalled, 1)
+                    self.result["watchdog_cpu_burned_s"] = round(cpu_burned, 1)
+                    self.result["elapsed_wall_s"] = round(self.elapsed(), 1)
+                    print(json.dumps(self.result), flush=True)
+                print(f"bench: WATCHDOG ({why}) — stalled {stalled:.0f}s, "
+                      f"cpu burned {cpu_burned:.1f}s, elapsed "
+                      f"{self.elapsed():.0f}s; emitting last result and "
+                      "exiting", file=sys.stderr, flush=True)
+                sys.stderr.flush()
+                sys.stdout.flush()
+                os._exit(0)
+
+
+class Bench:
+    """The lane runner.  Lanes execute in order; each is budget-gated,
+    exception-isolated, and followed by a fresh result emission."""
+
+    def __init__(self, rep: Reporter) -> None:
+        self.rep = rep
+        self.r = rep.result
+
+    # ------------------------------------------------------------------
+    # Lane 0: backend selection + dataset load + host frame count.
+    # ------------------------------------------------------------------
+    def lane_setup(self) -> None:
+        import jax
+
+        from slam_process_tpu.utils.transport import probe_device_dispatch
+
+        from slam_process_tpu.utils.cache import ensure_portable_cpu_isa
+
+        if os.environ.get("BENCH_FORCE_CPU"):
+            ensure_portable_cpu_isa()
+            jax.config.update("jax_platforms", "cpu")
+            self.r["backend_fallback"] = "BENCH_FORCE_CPU=1 (manual override)"
+        elif not probe_device_dispatch(timeout_s=PROBE_S):
+            self.rep.note("default backend failed the DISPATCH probe "
+                          "(relay control or data plane down); CPU fallback")
+            ensure_portable_cpu_isa()
+            jax.config.update("jax_platforms", "cpu")
+            self.r["backend_fallback"] = (
+                "default backend failed a real-dispatch probe (accelerator "
+                "transport down); CPU numbers — NOT comparable to TPU rounds")
+
+        # Persistent compilation cache, fingerprint-scoped per backend and
+        # (for CPU) host CPU features — a foreign machine's XLA:CPU AOT
+        # entries must never load here (MULTICHIP_r04 SIGILL-risk warning).
+        from slam_process_tpu.utils.cache import enable_persistent_cache
+
+        cache_base = Path(__file__).parent / "build" / "jax_cache"
+        enable_persistent_cache(str(cache_base))
+
+        from slam_process_tpu.io import read_hex_log
+        from slam_process_tpu.ops.decode import decode_frames_np
+        from slam_process_tpu.pipeline.device import run_session_on_device as _run
+
+        self.logs = sorted(glob.glob(str(DEBUGDOC / "*.txt")))
+        if not self.logs:
+            raise RuntimeError("no logs found under " + str(DEBUGDOC))
+        self.raw = [read_hex_log(p) for p in self.logs]
+        # Host-side decode once: frames reused by the estimator-prep and
+        # parity lanes, and the count anchors the provisional headline.
+        self.host_frames = {}
+        total = 0
+        for i in range(len(self.raw)):
+            self.host_frames[i] = decode_frames_np(self.raw[i]).frames
+            total += len(self.host_frames[i])
+            self.rep.beat()
+        self.total_frames = total
+        self.r["total_frames"] = total
+        self.r["n_logs"] = len(self.logs)
+        self.r["backend"] = jax.default_backend()
+
+        # Dataset-tight corrector bounds (58 groups / 93 baselines max
+        # across the 19 logs): the corrector's [F, Bmax] score planes scale
+        # with the static bounds, and the generous 256/256 default wastes
+        # ~2.7x plane traffic here.  Matches the batched config below.
+        self.run_session_on_device = (
+            lambda r: _run(r, max_groups=64, max_baselines_per_group=96))
+
+        from slam_process_tpu.parallel.mesh import make_mesh
+
+        self.mesh = make_mesh((1, 1), ("data", "model"))
+
+    # ------------------------------------------------------------------
+    # Lane 1: warmup — compile every per-session bucket once.
+    # ------------------------------------------------------------------
+    def lane_warmup(self) -> None:
+        import jax
+
+        warm = []
+        for i, r in enumerate(self.raw):
+            warm.append(self.run_session_on_device(r))
+            self.rep.beat()
+        jax.block_until_ready([o.rgba for o in warm])
+        del warm
+        self.r["device"] = str(jax.devices()[0])
+
+    # ------------------------------------------------------------------
+    # Phase 1 — WALL lanes (dispatch latency extras).  No D2H reads here:
+    # the FIRST read of any device buffer flips the relay transport into a
+    # persistent degraded mode (tools/diag_reads.py, diag_bisect.py), so
+    # every wall number is taken before the first device read below.
+    # ------------------------------------------------------------------
+    def lane_wall_headline(self) -> None:
+        import jax
+
+        t0 = time.perf_counter()
+        outs = [self.run_session_on_device(r) for r in self.raw]
+        jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
+        self.headline_wall_s = time.perf_counter() - t0
+        self.r["headline_wall_s"] = round(self.headline_wall_s, 4)
+        # Provisional headline until the device plane is measured: wall on
+        # this relay can under-count (dispatch-ack), so it is clearly
+        # flagged and superseded by lane_dev_headline.
+        self.r["value"] = round(self.total_frames / self.headline_wall_s, 1)
+        self.r["vs_baseline"] = round(self.r["value"] / 10_000.0, 3)
+        self.r["provisional_wall_based"] = True
+        # Keep two sessions for pixel parity; keep tiny per-session scalars
+        # for the overflow guard (separate buffers — does not pin siblings).
+        self.parity_outs = {i: outs[i] for i in (0, len(self.logs) - 1)}
+        self.overflow_flags = [o.correct_overflow for o in outs]
+
+    def lane_wall_e2e(self) -> None:
+        import jax
+
+        from slam_process_tpu.io import read_hex_log
+
+        # Fully end-to-end, host-tokenize config: file read + native
+        # AVX-512 hexscan (runtime/hexscan.c, ~3.9 GB/s on this core) +
+        # H2D of the token bytes + device pipeline.  Single host core
+        # (nproc=1): sequential ingest is the honest number.
+        t1 = time.perf_counter()
+        outs2 = [self.run_session_on_device(read_hex_log(p)) for p in self.logs]
+        jax.block_until_ready([o.rgba for o in outs2])
+        self.e2e_wall_s = time.perf_counter() - t1
+        del outs2
+        self.r["e2e_frames_per_sec_with_host_tokenize"] = round(
+            self.total_frames / self.e2e_wall_s, 1)
+
+    def lane_wall_e2e_devtok(self) -> None:
+        import jax
+
+        # Fully end-to-end, device-tokenize config: file read + stride-3
+        # text prep + H2D of the RAW TEXT + fused tokenize+decode+correct+
+        # render program (ops/tokenize.py).  3x the H2D bytes buys zero
+        # host tokenize time — which path wins depends on the transport's
+        # H2D rate (~550 MB/s on this relay).
+        from slam_process_tpu.pipeline.device import run_session_from_text
+
+        self.run_session_from_text = run_session_from_text
+
+        def text_pass():
+            return [run_session_from_text(open(p, "rb").read(), max_groups=64,
+                                          max_baselines_per_group=96,
+                                          check=False) for p in self.logs]
+
+        import jax.numpy as jnp
+
+        outs3 = text_pass()   # warm: compile every text bucket
+        jax.block_until_ready([o.out.rgba for o in outs3])
+        # Aggregate the stride-proof flags on device; read in Phase 2.
+        self.tokenize_regular_dev = jax.jit(lambda *xs: sum(xs))(
+            *[o.tokenize_regular.astype("int32") for o in outs3])
+        t1 = time.perf_counter()
+        outs3 = text_pass()
+        jax.block_until_ready([o.out.rgba for o in outs3])
+        e2e_devtok_wall_s = time.perf_counter() - t1
+        del outs3
+        self.r["e2e_frames_per_sec_device_tokenize"] = round(
+            self.total_frames / e2e_devtok_wall_s, 1)
+        self.r["e2e_wall_s_device_tokenize"] = round(e2e_devtok_wall_s, 4)
+        self.r["e2e_frames_per_sec"] = round(
+            self.total_frames / min(self.e2e_wall_s, e2e_devtok_wall_s), 1)
+
+    def lane_wall_batched(self) -> None:
+        import gc
+
+        import jax
+        import jax.numpy as jnp
+
+        from slam_process_tpu.ops.raster import colormap_lut
+        from slam_process_tpu.parallel.batch import (
+            batched_session_pipeline,
+            stack_sessions,
+        )
+
+        gc.collect()
+        # Batched-session config: ONE jitted program over the stacked
+        # [S, Nmax] byte batch (the multi-chip layout, on a single chip).
+        n_padded = max(len(r) for r in self.raw)
+        n_padded = ((n_padded + (1 << 20) - 1) >> 20) << 20
+        batch, lengths = stack_sessions(self.raw, n_padded)
+        self.bfn = batched_session_pipeline(self.mesh, n_padded, max_groups=64,
+                                            max_baselines_per_group=96,
+                                            outputs="summary")
+        self.lut_j = jnp.asarray(colormap_lut("viridis"))
+        with self.mesh:
+            self.batch_dev = jax.device_put(batch)
+            self.len_dev = jax.device_put(lengths)
+            bout = self.bfn(self.batch_dev, self.len_dev, self.lut_j)  # warm
+            jax.block_until_ready(bout.rgba)
+            t3 = time.perf_counter()
+            bout = self.bfn(self.batch_dev, self.len_dev, self.lut_j)
+            jax.block_until_ready((bout.rgba, bout.n_kept, bout.counts))
+            self.r["batched_wall_s"] = round(time.perf_counter() - t3, 4)
+            del bout
+
+    def lane_wall_streaming_host(self) -> None:
+        # Streaming replay config (BASELINE config 5): chunked ingest with
+        # alignment carry + sweep-granular correction, host state machine
+        # (pure numpy — a genuine wall measurement, no device work).
+        from slam_process_tpu.parallel.streaming import replay_log
+
+        t2 = time.perf_counter()
+        frames = sum(replay_log(r, chunk_bytes=1 << 16).n_frames
+                     for r in self.raw)
+        self.r["streaming_frames_per_sec"] = round(
+            frames / (time.perf_counter() - t2), 1)
+
+    def lane_warm_streaming_device(self) -> None:
+        # Device streaming warm (compile all variants before their windows).
+        from slam_process_tpu.parallel.streaming_device import (
+            make_paths_spec,
+            replay_log_device,
+        )
+
+        self.replay_log_device = replay_log_device
+        replay_log_device(self.raw[0], chunk_bytes=1 << 20).block_until_ready()
+        self.rep.beat()
+        replay_log_device(self.raw[0], chunk_bytes=1 << 20,
+                          collect_filtered=True).block_until_ready()
+        self.rep.beat()
+        # Online estimation + tracking inside the stream (collect_paths).
+        self.paths_cfg = make_paths_spec(DEBUGDOC.parent / "beam_angle.xlsx")
+        replay_log_device(self.raw[0], chunk_bytes=1 << 20,
+                          collect_paths=self.paths_cfg).block_until_ready()
+
+    def lane_est_prep(self) -> None:
+        import jax
+
+        # Flagship estimation (the reference's single heaviest compute):
+        # v1-7 NN-OMP at the 0.1-degree grid (heatmap_gemini_v1-7.py:657-728).
+        from slam_process_tpu.config import DictionaryConfig, OmpConfig
+        from slam_process_tpu.models.batch_estimation import (
+            _batched_nn_omp_fn,
+            nn_omp_sessions_sharded,
+            pack_scenes,
+        )
+        from slam_process_tpu.models.dictionary import make_dictionary
+        from slam_process_tpu.models.nn_omp import _jitted_nn_omp
+        from slam_process_tpu.models.registry import build_scene
+        from slam_process_tpu.pipeline.session import Session
+
+        self.mapping = DEBUGDOC.parent / "beam_angle.xlsx"
+        self.est_cfg = OmpConfig(max_paths=20, min_power_ratio=0.0003)
+        dict_cfg = DictionaryConfig(grid_res=0.1, beam_width=1.4,
+                                    grid_kind="linspace")
+        self.est_sessions, self.est_mats, self.est_dicts = [], [], []
+        for i, p in enumerate(self.logs):
+            s = Session(Path(p).stem)
+            s.frames = self.host_frames[i]
+            matrix, ue_ang, bs_ang = build_scene(s, self.mapping, True)
+            self.est_mats.append(matrix)
+            self.est_dicts.append(make_dictionary(ue_ang, bs_ang, dict_cfg))
+            self.est_sessions.append(s)
+            self.rep.beat()
+        self.packed = pack_scenes(self.est_mats, self.est_dicts)
+        self.single_fn = _jitted_nn_omp(self.est_cfg, "ratio", True)
+        self.nn_omp_sessions_sharded = nn_omp_sessions_sharded
+
+        # Async per-session dispatch (adjudication baseline) AND the
+        # vmapped one-program path — the device-plane WINNER (26.9 ms with
+        # the Gauss-Jordan NNLS solve vs 83 ms async; tools/
+        # diag_est_dispatch.py) and the production formulation.
+        self.per_dev = [jax.device_put((self.packed.phi_rx[i],
+                                        self.packed.phi_tx[i],
+                                        self.packed.aoa_grid[i],
+                                        self.packed.aod_grid[i],
+                                        self.packed.matrices[i]))
+                        for i in range(len(self.logs))]
+        self.est_out = [self.single_fn(*a) for a in self.per_dev]  # warm
+        jax.block_until_ready([o.power for o in self.est_out])
+        self.rep.beat()
+        self.vm_fn = _batched_nn_omp_fn(self.est_cfg, "ratio", True)
+        self.vm_args = jax.device_put((self.packed.matrices, self.packed.phi_rx,
+                                       self.packed.phi_tx, self.packed.aoa_grid,
+                                       self.packed.aod_grid))
+        vm_warm = self.vm_fn(*self.vm_args)
+        jax.block_until_ready(vm_warm.power)
+        del vm_warm
+        self.rep.beat()
+        # Sharded formulation on this chip's (1, 1) mesh: same program XLA
+        # compiles for the multi-chip layout (virtual-mesh parity tested).
+        sh_warm = nn_omp_sessions_sharded(self.packed, self.est_cfg, self.mesh)
+        jax.block_until_ready(sh_warm.power)
+        del sh_warm
+
+    def lane_wall_est(self) -> None:
+        import jax
+
+        t8 = time.perf_counter()
+        outs_e = self.vm_fn(*self.vm_args)
+        jax.block_until_ready(outs_e.power)
+        self.r["estimate_wall_s_dataset"] = round(time.perf_counter() - t8, 4)
+        del outs_e
+
+    def lane_host_est(self) -> None:
+        from slam_process_tpu.models.nn_omp import nn_omp_np
+
+        # The reference-shaped float64 host path on the biggest session
+        # (scipy NNLS loop — the 0.285 s/session baseline this must beat).
+        self.big_idx = int(np.argmax([len(r) for r in self.raw]))
+        host_times = []
+        for _ in range(3):   # min of 3: the host path inherits CPU noise
+            t9 = time.perf_counter()
+            self.est_host_paths = nn_omp_np(
+                self.est_dicts[self.big_idx], self.est_mats[self.big_idx],
+                self.est_cfg, keep_rule="ratio", stop_nonpositive=True)
+            host_times.append(time.perf_counter() - t9)
+            self.rep.beat()
+        self.est_host_s = min(host_times)
+        self.r["estimate_host_session_seconds"] = round(self.est_host_s, 4)
+
+    # ------------------------------------------------------------------
+    # Phase 2 — DEVICE-plane lanes (the authoritative numbers).  Each
+    # window performs one D2H read to close it, so these run after every
+    # wall section.  Device-plane durations are immune to the transport.
+    # ------------------------------------------------------------------
+    def lane_dev_headline(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from slam_process_tpu.utils.device_timing import measure_device_time
+
+        self.measure_device_time = measure_device_time
+        # One real D2H read BEFORE the first window: block_until_ready only
+        # acks dispatch on this transport, so Phase 1's queued device work
+        # must be forced to complete (a read synchronizes).  The fence is a
+        # FRESH trivial program dispatched after everything above —
+        # programs execute in dispatch order, so its completion implies the
+        # backlog's.
+        jax.device_get(jax.jit(lambda: jnp.zeros(()))())
+        self.rep.beat()
+
+        # Headline: per-session pipeline over the whole dataset (19
+        # dispatches of per-bucket executables).  3 passes; per-pass total.
+        def pass_all(_i):
+            outs = [self.run_session_on_device(r) for r in self.raw]
+            return outs[-1].n_kept
+
+        dt_head = measure_device_time(pass_all, n=3)
+        headline_device_s = sum(
+            sum(v) for v in dt_head.all_modules.values()) / 3
+        fps = self.total_frames / headline_device_s
+        self.r["value"] = round(fps, 1)
+        self.r["vs_baseline"] = round(fps / 10_000.0, 3)
+        self.r.pop("provisional_wall_based", None)
+        self.r["measurement"] = ("device-plane (xplane) seconds; "
+                                 "*_wall_s = dispatch wall")
+        self.r["headline_device_seconds_per_pass"] = round(headline_device_s, 4)
+        self.r["headline_device_runs"] = len(dt_head.runs)
+
+        # The tight 64/96 corrector bounds are only valid while the dataset
+        # fits them: one aggregated read of the Phase-1 overflow flags
+        # guards the whole run's numbers (reads are safe in this phase).
+        if hasattr(self, "overflow_flags"):
+            any_overflow = bool(jax.device_get(jax.jit(
+                lambda *xs: sum(x.astype("int32") for x in xs))(
+                    *self.overflow_flags)))
+            if any_overflow:
+                raise RuntimeError(
+                    "corrector capacity bounds (64 groups / 96 baselines) "
+                    "exceeded by the dataset; bench numbers would be invalid")
+
+    def lane_dev_text(self) -> None:
+        import jax
+
+        # Fused text pipeline (device tokenize): device seconds per pass,
+        # and the stride-proof audit (all 19 logs take the device path).
+        datas_text = [open(p, "rb").read() for p in self.logs]
+
+        def text_pass_mem(_i):
+            outs = [self.run_session_from_text(d, max_groups=64,
+                                               max_baselines_per_group=96,
+                                               check=False) for d in datas_text]
+            return outs[-1].out.n_kept
+
+        dt_text = self.measure_device_time(text_pass_mem, n=3)
+        text_device_s = sum(sum(v) for v in dt_text.all_modules.values()) / 3
+        self.r["text_pipeline_device_seconds_per_pass"] = round(text_device_s, 4)
+        self.r["text_pipeline_device_frames_per_sec"] = round(
+            self.total_frames / text_device_s, 1)
+        self.r["tokenize_all_regular"] = (
+            int(jax.device_get(self.tokenize_regular_dev)) == len(self.logs))
+
+    def lane_dev_batched(self) -> None:
+        with self.mesh:
+            dt_batched = self.measure_device_time(
+                lambda i: self.bfn(self.batch_dev, self.len_dev,
+                                   self.lut_j).n_kept, n=3, module="batched")
+        self.r["batched_device_seconds_full_dataset"] = round(
+            dt_batched.median, 4)
+        self.r["batched_device_frames_per_sec"] = round(
+            self.total_frames / dt_batched.median, 1)
+        self.r["batched_device_trials_s"] = [
+            round(t, 4) for t in dt_batched.runs]
+
+    def lane_dev_grouped(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        # Grouped batched (the same multi-chip layout, per-bucket programs
+        # — no uniform-padding waste).  Device seconds = sum over the
+        # per-bucket programs of one pass.
+        from slam_process_tpu.parallel.batch import run_dataset_batched_grouped
+
+        with self.mesh:
+            warm_g = run_dataset_batched_grouped(self.mesh, self.raw,
+                                                 max_groups=64,
+                                                 max_baselines_per_group=96)
+            jax.block_until_ready([o.n_kept for _, o in warm_g])
+            jax.device_get(jax.jit(lambda: jnp.zeros(()))())   # fence
+            self.rep.beat()
+            dt_grouped = self.measure_device_time(
+                lambda i: run_dataset_batched_grouped(
+                    self.mesh, self.raw, max_groups=64,
+                    max_baselines_per_group=96)[-1][1].n_kept, n=3)
+        grouped_device_s = sum(
+            sum(v) for v in dt_grouped.all_modules.values()) / 3
+        self.r["batched_grouped_device_seconds_full_dataset"] = round(
+            grouped_device_s, 4)
+        self.r["batched_grouped_device_frames_per_sec"] = round(
+            self.total_frames / grouped_device_s, 1)
+
+    def lane_dev_multistream(self) -> None:
+        # Multi-stream vmapped ingest (the §5.8 many-concurrent-feeds
+        # shape): the 19 logs round-robined over 8 live streams, every step
+        # ONE vmapped program over the [S, ...] state (single chip here; on
+        # a mesh the S axis shards over 'data' with no cross-chip traffic).
+        # Per-stream parity vs independent sessions is tests/
+        # test_multidevice.py's job — this measures aggregate throughput.
+        from slam_process_tpu.parallel.streaming_device import (
+            MultiStreamingSession,
+        )
+
+        n_ms_streams = 8
+        ms_feeds = [
+            np.concatenate(
+                [r for j, r in enumerate(self.raw) if j % n_ms_streams == i]
+                or [np.zeros(0, np.uint8)])
+            for i in range(n_ms_streams)
+        ]
+
+        def multistream_all(_i):
+            ms = MultiStreamingSession(n_ms_streams, chunk_bytes=1 << 20)
+            ms.feed(ms_feeds)
+            ms.finalize()
+            return ms, ms._state.n_frames
+
+        ms_warm, _ = multistream_all(0)                   # warm/compile
+        self.rep.beat()
+        multistream_frames = int(ms_warm.results()[0].sum())
+        assert multistream_frames == self.total_frames, \
+            "multistream lost frames"
+        dt_ms = self.measure_device_time(lambda i: multistream_all(i)[1], n=1)
+        ms_device_s = sum(sum(v) for v in dt_ms.all_modules.values())
+        self.r["multistream_n_streams"] = n_ms_streams
+        self.r["multistream_frames"] = multistream_frames
+        self.r["multistream_device_seconds_full_dataset"] = round(
+            ms_device_s, 4)
+        self.r["multistream_device_frames_per_sec"] = round(
+            multistream_frames / ms_device_s, 1)
+
+    def lane_dev_streaming(self) -> None:
+        # Device-resident streaming (no-emit and emit modes): total device
+        # seconds across the full dataset replay (many step dispatches).
+        def stream_all(_i):
+            ss = [self.replay_log_device(r, chunk_bytes=1 << 20)
+                  for r in self.raw]
+            return ss[-1]._state.n_frames
+
+        dt_stream = self.measure_device_time(stream_all, n=1)
+        stream_device_s = sum(sum(v) for v in dt_stream.all_modules.values())
+        self.r["streaming_device_seconds_full_dataset"] = round(
+            stream_device_s, 4)
+        self.r["streaming_device_frames_per_sec"] = round(
+            self.total_frames / stream_device_s, 1)
+
+    def lane_dev_streaming_emit(self) -> None:
+        def stream_emit_all(_i):
+            ss = [self.replay_log_device(r, chunk_bytes=1 << 20,
+                                         collect_filtered=True)
+                  for r in self.raw]
+            return ss[-1]._state.n_frames
+
+        dt_emit = self.measure_device_time(stream_emit_all, n=1)
+        emit_device_s = sum(sum(v) for v in dt_emit.all_modules.values())
+        self.r["streaming_device_emit_seconds_full_dataset"] = round(
+            emit_device_s, 4)
+        self.r["streaming_device_emit_frames_per_sec"] = round(
+            self.total_frames / emit_device_s, 1)
+
+    def lane_dev_streaming_paths(self) -> None:
+        # Streaming with ONLINE per-sweep estimation + tracking: the
+        # offline flagship produced in-stream as sweeps close (exact-parity
+        # tested against Session.sweep_paths/path_tracks on every log).
+        def stream_paths_all(_i):
+            ss = [self.replay_log_device(r, chunk_bytes=1 << 20,
+                                         collect_paths=self.paths_cfg)
+                  for r in self.raw]
+            return ss[-1]._state.n_frames
+
+        dt_spaths = self.measure_device_time(stream_paths_all, n=1)
+        spaths_device_s = sum(sum(v) for v in dt_spaths.all_modules.values())
+        self.r["streaming_with_estimation_seconds_full_dataset"] = round(
+            spaths_device_s, 4)
+        self.r["streaming_with_estimation_frames_per_sec"] = round(
+            self.total_frames / spaths_device_s, 1)
+
+    def lane_dev_estimate(self) -> None:
+        # Flagship estimation, three formulations on the device plane:
+        # vmapped one-program (production), async per-session (baseline),
+        # mesh-sharded (the multi-chip program, here at (1, 1)).
+        dt_vm = self.measure_device_time(
+            lambda i: self.vm_fn(*self.vm_args).power, n=3)
+        est_vm_device_s = sum(sum(v) for v in dt_vm.all_modules.values()) / 3
+        self.r["estimate_device_seconds_dataset"] = round(est_vm_device_s, 4)
+        self.r["estimate_sessions_per_sec_device"] = round(
+            len(self.logs) / est_vm_device_s, 1)
+
+        with self.mesh:
+            dt_sh = self.measure_device_time(
+                lambda i: self.nn_omp_sessions_sharded(
+                    self.packed, self.est_cfg, self.mesh).power, n=3)
+        est_sh_device_s = sum(sum(v) for v in dt_sh.all_modules.values()) / 3
+        self.r["estimate_sharded_device_seconds_dataset"] = round(
+            est_sh_device_s, 4)
+        self.r["estimate_sharded_sessions_per_sec_device"] = round(
+            len(self.logs) / est_sh_device_s, 1)
+
+    def lane_dev_estimate_async(self) -> None:
+        def est_all(_i):
+            outs_e = [self.single_fn(*a) for a in self.per_dev]
+            return outs_e[-1].power
+
+        dt_est = self.measure_device_time(est_all, n=3)
+        est_device_s = sum(sum(v) for v in dt_est.all_modules.values()) / 3
+        self.r["estimate_async_device_seconds_dataset"] = round(est_device_s, 4)
+        self.r["estimate_async_sessions_per_sec_device"] = round(
+            len(self.logs) / est_device_s, 1)
+        # The big session's own executions (dispatch order preserved per
+        # pass), so the host-vs-device speedup compares the SAME session on
+        # both sides; median-across-sessions would understate it.
+        n_per_pass = len(dt_est.runs) // 3
+        fallback = n_per_pass != len(self.logs)
+        if fallback:   # trace dropped/added an event: say so loudly
+            self.rep.note(f"WARNING: estimator trace had {len(dt_est.runs)} "
+                          f"runs, expected {3 * len(self.logs)}; single-"
+                          "session device time falls back to the median")
+        big_runs = (sorted(dt_est.runs) if fallback
+                    else sorted(dt_est.runs[self.big_idx::n_per_pass]))
+        est_single_device_s = big_runs[len(big_runs) // 2]
+        self.r["estimate_single_session_device_seconds"] = round(
+            est_single_device_s, 5)
+        self.r["estimate_single_session_is_fallback_median"] = fallback
+        if hasattr(self, "est_host_s"):
+            self.r["estimate_speedup_vs_host"] = round(
+                self.est_host_s / est_single_device_s, 1)
+
+    # ------------------------------------------------------------------
+    # Phase 3 — per-sweep estimation (reads internally), parity, reference.
+    # ------------------------------------------------------------------
+    def lane_sweep_est(self) -> None:
+        import jax.numpy as jnp
+
+        from slam_process_tpu.pipeline.session import sweep_paths_dataset
+
+        for s in self.est_sessions:
+            s.correct()
+        sweep_paths_dataset(self.est_sessions, self.mapping)   # warm + memo
+        self.rep.beat()
+        times = []
+        for _ in range(3):
+            t6 = time.perf_counter()
+            ds_results = sweep_paths_dataset(self.est_sessions, self.mapping)
+            times.append(time.perf_counter() - t6)
+            self.rep.beat()
+        ds_sweep_s = sorted(times)[1]
+        ds_n_sweeps = sum(len(v) for _, v in ds_results)
+        self.r["sweep_estimation_sweeps_per_sec"] = round(
+            ds_n_sweeps / ds_sweep_s, 1)
+        self.r["sweep_estimation_n_sweeps"] = ds_n_sweeps
+
+        # Device-plane seconds for the same section (the wall number above
+        # includes host prep, 19 dispatches, and the stacked read).
+        dt_sweep = self.measure_device_time(
+            lambda i: sweep_paths_dataset(self.est_sessions, self.mapping)
+            and jnp.zeros(()), n=2)
+        ds_sweep_device_s = sum(
+            sum(v) for v in dt_sweep.all_modules.values()) / 2
+        self.r["sweep_estimation_device_seconds"] = round(ds_sweep_device_s, 4)
+        self.r["sweep_estimation_sweeps_per_sec_device"] = round(
+            ds_n_sweeps / ds_sweep_device_s, 1)
+
+    def lane_parity(self) -> None:
+        from slam_process_tpu.ops.correct import correct_frames_np
+
+        # Pixel parity: device normalized raster vs float64 host oracle,
+        # plus colormap LUT-bin agreement.
+        t_deltas, bin_flips = [], 0
+        for idx in (0, len(self.logs) - 1):
+            filtered = correct_frames_np(self.host_frames[idx]).filtered
+            oracle_t = _oracle_norm_raster(filtered)
+            ours_t = np.asarray(self.parity_outs[idx].norm_t, dtype=np.float64)
+            both = np.isfinite(oracle_t) & np.isfinite(ours_t)
+            t_deltas.append(float(np.max(np.abs(ours_t[both] - oracle_t[both]))))
+            bin_flips += int(
+                (np.clip((ours_t[both] * 256).astype(int), 0, 255)
+                 != np.clip((oracle_t[both] * 256).astype(int), 0, 255)).sum())
+            self.rep.beat()
+        self.r["max_pixel_delta_norm_raster"] = max(t_deltas)
+        self.r["lut_bin_flips"] = bin_flips
+
+    def lane_est_parity(self) -> None:
+        import jax
+
+        # Flagship estimation parity: one batched pytree read, then the
+        # biggest session's selection sequence must match the float64 host
+        # oracle.
+        est_host_out = jax.device_get(self.est_out)[self.big_idx]
+        n_it = int(self.est_host_paths.n_iters)
+        self.r["estimate_parity_ok"] = bool(
+            int(est_host_out.n_iters) == n_it
+            and np.array_equal(est_host_out.aoa_idx[:n_it],
+                               self.est_host_paths.aoa_idx[:n_it])
+            and np.array_equal(est_host_out.aod_idx[:n_it],
+                               self.est_host_paths.aod_idx[:n_it])
+            and np.allclose(est_host_out.power[:n_it],
+                            self.est_host_paths.power[:n_it],
+                            rtol=2e-3, atol=1e-5))
+
+    def lane_reference(self) -> None:
+        # Reference pipeline throughput on this host (tokenize + parse
+        # measured on the smallest log; the iterrows correct stage measured
+        # on a 4000-row subsample — it dominates; the reference publishes
+        # no numbers of its own).
+        ref_fps = _reference_pipeline_fps(self.raw[0])
+        self.r["reference_frames_per_sec"] = round(ref_fps, 1)
+        if not self.r.get("provisional_wall_based"):
+            self.r["speedup_vs_reference"] = round(
+                self.r["value"] / max(ref_fps, 1e-9), 1)
+
+    LANES = [
+        ("setup", lane_setup),
+        ("warmup", lane_warmup),
+        ("wall_headline", lane_wall_headline),
+        ("wall_e2e", lane_wall_e2e),
+        ("wall_e2e_devtok", lane_wall_e2e_devtok),
+        ("wall_batched", lane_wall_batched),
+        ("wall_streaming_host", lane_wall_streaming_host),
+        ("warm_streaming_device", lane_warm_streaming_device),
+        ("est_prep", lane_est_prep),
+        ("wall_est", lane_wall_est),
+        ("host_est", lane_host_est),
+        # Order under truncation: parity + estimator lanes are cheap and
+        # feed the most-tracked metrics, so they run before the streaming
+        # lanes (which cost minutes on the CPU-fallback backend).
+        ("dev_headline", lane_dev_headline),
+        ("dev_text", lane_dev_text),
+        ("dev_grouped", lane_dev_grouped),
+        ("dev_batched", lane_dev_batched),
+        ("dev_estimate", lane_dev_estimate),
+        ("dev_estimate_async", lane_dev_estimate_async),
+        ("parity", lane_parity),
+        ("est_parity", lane_est_parity),
+        ("reference", lane_reference),
+        ("sweep_est", lane_sweep_est),
+        ("dev_multistream", lane_dev_multistream),
+        ("dev_streaming", lane_dev_streaming),
+        ("dev_streaming_emit", lane_dev_streaming_emit),
+        ("dev_streaming_paths", lane_dev_streaming_paths),
+    ]
+
+    # Lanes that later lanes cannot run without; an error or budget-skip
+    # here aborts the rest (recorded, never raised out of run()).
+    REQUIRED = {"setup", "warmup"}
+
+    # The giant uniformly-padded batch program is compile-hostile on the
+    # CPU fallback backend (a single >33M-element fused program; >240 s of
+    # XLA:CPU compile measured) and only exists to exercise the multi-chip
+    # layout — skip it and its dependents when the relay is down.
+    CPU_SKIP = {"wall_batched", "dev_batched", "dev_grouped"}
+
+    def run(self) -> None:
+        aborted = False
+        for name, fn in self.LANES:
+            if (name in self.CPU_SKIP
+                    and self.r.get("backend_fallback") is not None):
+                self.r.setdefault("skipped_cpu_fallback", []).append(name)
+                continue
+            if aborted or self.rep.over_budget():
+                self.rep.skipped.append(name)
+                continue
+            self.rep.note(f"lane={name} start")
+            t0 = time.perf_counter()
+            try:
+                fn(self)
+                self.rep.lane_seconds[name] = time.perf_counter() - t0
+                self.rep.note(f"lane={name} done in "
+                              f"{self.rep.lane_seconds[name]:.1f}s")
+            except Exception as e:   # noqa: BLE001 — lane isolation
+                self.rep.lane_seconds[name] = time.perf_counter() - t0
+                self.rep.errors[name] = f"{type(e).__name__}: {e}"[:300]
+                self.rep.note(f"lane={name} FAILED: {e!r}")
+                if name in self.REQUIRED:
+                    aborted = True
+            self.rep.emit(name)
+        self.rep.emit("final")
 
 
 def main() -> None:
-    import jax
-
-    from slam_process_tpu.utils.transport import probe_default_backend
-
-    # A down relay hangs backend registration forever; probe in a
-    # subprocess and fall back to a valid CPU JSON line instead.
-    global _FALLBACK_REASON
-    if not probe_default_backend():
-        print("bench: default backend unavailable (relay down?); "
-              "falling back to CPU", flush=True)
-        jax.config.update("jax_platforms", "cpu")
-        _FALLBACK_REASON = ("default backend failed to initialize "
-                            "(accelerator transport down); CPU numbers — "
-                            "NOT comparable to TPU rounds")
-
-    # Persistent compilation cache: the driver re-runs bench each round;
-    # warm compiles dominate otherwise.
-    try:
-        cache_dir = Path(__file__).parent / "build" / "jax_cache"
-        cache_dir.mkdir(parents=True, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
-    from slam_process_tpu.io import read_hex_log
-    from slam_process_tpu.ops.correct import correct_frames_np
-    from slam_process_tpu.ops.decode import decode_frames_np
-    from slam_process_tpu.pipeline.device import run_session_on_device as _run_dev
-    from slam_process_tpu.utils.device_timing import measure_device_time
-
-    # Dataset-tight corrector bounds (58 groups / 93 baselines max across
-    # the 19 logs): the corrector's [F, Bmax] score planes scale with the
-    # static bounds, and the generous 256/256 default wastes ~2.7x plane
-    # traffic here.  Matches the batched config below.
-    def run_session_on_device(r):
-        return _run_dev(r, max_groups=64, max_baselines_per_group=96)
-
-    logs = sorted(glob.glob(str(DEBUGDOC / "*.txt")))
-    if not logs:
-        print(json.dumps({"metric": "frames_per_sec_decode_correct_render",
-                          "value": 0, "unit": "frames/s", "vs_baseline": 0,
-                          "error": "no logs found"}))
-        return
-
-    raw = [read_hex_log(p) for p in logs]
-
-    # Warmup: compile every bucket once; drain the queue before timing.
-    warm = [run_session_on_device(r) for r in raw]
-    jax.block_until_ready([o.rgba for o in warm])
-    del warm
-
-    # ------------------------------------------------------------------
-    # Phase 1: WALL timings (dispatch latency extras).  No D2H reads here:
-    # the FIRST read of any device buffer flips the relay transport into a
-    # persistent degraded mode (tools/diag_reads.py, diag_bisect.py), so
-    # every wall number is taken before the first trace window below.
-    # ------------------------------------------------------------------
-    t0 = time.perf_counter()
-    outs = [run_session_on_device(r) for r in raw]
-    jax.block_until_ready([(o.rgba, o.n_frames) for o in outs])
-    headline_wall_s = time.perf_counter() - t0
-
-    import jax.numpy as jnp
-
-    total_frames_dev = jax.jit(lambda *xs: sum(xs))(
-        *[o.n_frames for o in outs])   # read in the report phase below
-
-    # Fully end-to-end, host-tokenize config: file read + native AVX-512
-    # hexscan (runtime/hexscan.c, ~3.9 GB/s on this core) + H2D of the
-    # token bytes + device pipeline.  Single host core (nproc=1): thread
-    # overlap is not available, sequential ingest is the honest number.
-    t1 = time.perf_counter()
-    outs2 = [run_session_on_device(read_hex_log(p)) for p in logs]
-    jax.block_until_ready([o.rgba for o in outs2])
-    e2e_wall_s = time.perf_counter() - t1
-
-    # Fully end-to-end, device-tokenize config: file read + stride-3 text
-    # prep + H2D of the RAW TEXT + fused tokenize+decode+correct+render
-    # program (ops/tokenize.py).  3x the H2D bytes buys zero host tokenize
-    # time — which path wins depends on the transport's H2D rate (~550
-    # MB/s on this relay; PCIe-class hosts favor the text path).
-    from slam_process_tpu.pipeline.device import run_session_from_text
-
-    def text_pass():
-        return [run_session_from_text(open(p, "rb").read(), max_groups=64,
-                                      max_baselines_per_group=96,
-                                      check=False) for p in logs]
-
-    outs3 = text_pass()   # warm: compile every text bucket
-    jax.block_until_ready([o.out.rgba for o in outs3])
-    # Aggregate the stride-proof flags on device; read in Phase 2.
-    tokenize_regular_dev = jax.jit(lambda *xs: sum(xs))(
-        *[o.tokenize_regular.astype("int32") for o in outs3])
-    t1 = time.perf_counter()
-    outs3 = text_pass()
-    jax.block_until_ready([o.out.rgba for o in outs3])
-    e2e_devtok_wall_s = time.perf_counter() - t1
-    del outs3
-
-    # Pixel parity needs one sequential output; keep it, free the rest.
-    import gc
-
-    parity_outs = {idx: outs[idx] for idx in (0, len(logs) - 1)}
-    # Tiny per-session scalars for the Phase-2 overflow guard (keeping
-    # them alive does not pin the big sibling outputs — separate buffers).
-    overflow_flags = [o.correct_overflow for o in outs]
-    del outs, outs2
-    gc.collect()
-
-    # Batched-session config: ONE jitted program over the stacked [S, Nmax]
-    # byte batch (the multi-chip layout, here on a single chip).
-    from slam_process_tpu.ops.raster import colormap_lut
-    from slam_process_tpu.parallel.batch import batched_session_pipeline, stack_sessions
-    from slam_process_tpu.parallel.mesh import make_mesh
-
-    n_padded = max(len(r) for r in raw)
-    n_padded = ((n_padded + (1 << 20) - 1) >> 20) << 20
-    batch, lengths = stack_sessions(raw, n_padded)
-    mesh = make_mesh((1, 1), ("data", "model"))
-    # Static bounds sized to the dataset (58 groups / 93 baselines max).
-    bfn = batched_session_pipeline(mesh, n_padded, max_groups=64,
-                                   max_baselines_per_group=96,
-                                   outputs="summary")
-    lut_j = jnp.asarray(colormap_lut("viridis"))
-    with mesh:
-        batch_dev = jax.device_put(batch)
-        len_dev = jax.device_put(lengths)
-        bout = bfn(batch_dev, len_dev, lut_j)   # compile + warm
-        jax.block_until_ready(bout.rgba)
-        t3 = time.perf_counter()
-        bout = bfn(batch_dev, len_dev, lut_j)
-        jax.block_until_ready((bout.rgba, bout.n_kept, bout.counts))
-        batched_wall_s = time.perf_counter() - t3
-        del bout
-
-    # Streaming replay config (BASELINE config 5): chunked ingest with
-    # alignment carry + sweep-granular correction, host state machine
-    # (pure numpy — a genuine wall measurement, no device work).
-    from slam_process_tpu.parallel.streaming import replay_log
-
-    t2 = time.perf_counter()
-    stream_frames = sum(replay_log(r, chunk_bytes=1 << 16).n_frames for r in raw)
-    stream_fps = stream_frames / (time.perf_counter() - t2)
-
-    # Device streaming warm (compile both variants before their windows).
-    from slam_process_tpu.parallel.streaming_device import replay_log_device
-
-    replay_log_device(raw[0], chunk_bytes=1 << 20).block_until_ready()
-    replay_log_device(raw[0], chunk_bytes=1 << 20,
-                      collect_filtered=True).block_until_ready()
-    # Online estimation + tracking inside the stream (collect_paths).
-    from slam_process_tpu.parallel.streaming_device import make_paths_spec
-
-    paths_cfg = make_paths_spec(DEBUGDOC.parent / "beam_angle.xlsx")
-    replay_log_device(raw[0], chunk_bytes=1 << 20,
-                      collect_paths=paths_cfg).block_until_ready()
-
-    # Flagship estimation (the reference's single heaviest compute): v1-7
-    # NN-OMP at the 0.1-degree grid (heatmap_gemini_v1-7.py:657-728).
-    from slam_process_tpu.config import DictionaryConfig, OmpConfig
-    from slam_process_tpu.models.batch_estimation import pack_scenes
-    from slam_process_tpu.models.dictionary import make_dictionary
-    from slam_process_tpu.models.nn_omp import _jitted_nn_omp, nn_omp_np
-    from slam_process_tpu.models.registry import build_scene
-    from slam_process_tpu.pipeline.session import Session
-
-    mapping = DEBUGDOC.parent / "beam_angle.xlsx"
-    est_cfg = OmpConfig(max_paths=20, min_power_ratio=0.0003)
-    est_dict_cfg = DictionaryConfig(grid_res=0.1, beam_width=1.4,
-                                    grid_kind="linspace")
-    est_sessions = []
-    est_mats, est_dicts = [], []
-    for i, p in enumerate(logs):
-        s = Session(Path(p).stem)
-        s.frames = decode_frames_np(raw[i]).frames
-        matrix, ue_ang, bs_ang = build_scene(s, mapping, True)
-        est_mats.append(matrix)
-        est_dicts.append(make_dictionary(ue_ang, bs_ang, est_dict_cfg))
-        est_sessions.append(s)
-    packed = pack_scenes(est_mats, est_dicts)
-    single_fn = _jitted_nn_omp(est_cfg, "ratio", True)
-    # Async per-session dispatch (adjudication baseline) AND the vmapped
-    # one-program path — the device-plane WINNER (26.9 ms with the
-    # Gauss-Jordan NNLS solve vs 83 ms async; tools/diag_est_dispatch.py,
-    # tools/diag_session_est.py) and the production formulation.
-    from slam_process_tpu.models.batch_estimation import (
-        _batched_nn_omp_fn,
-        nn_omp_sessions_sharded,
-    )
-
-    per_dev = [jax.device_put((packed.phi_rx[i], packed.phi_tx[i],
-                               packed.aoa_grid[i], packed.aod_grid[i],
-                               packed.matrices[i]))
-               for i in range(len(logs))]
-    est_out = [single_fn(*a) for a in per_dev]          # compile + warm
-    jax.block_until_ready([o.power for o in est_out])
-    vm_fn = _batched_nn_omp_fn(est_cfg, "ratio", True)
-    vm_args = jax.device_put((packed.matrices, packed.phi_rx,
-                              packed.phi_tx, packed.aoa_grid,
-                              packed.aod_grid))
-    vm_warm = vm_fn(*vm_args)
-    jax.block_until_ready(vm_warm.power)
-    del vm_warm
-    # Sharded formulation on this chip's (1, 1) mesh: same program XLA
-    # compiles for the multi-chip layout (virtual-mesh parity tested).
-    sh_warm = nn_omp_sessions_sharded(packed, est_cfg, mesh)
-    jax.block_until_ready(sh_warm.power)
-    del sh_warm
-    t8 = time.perf_counter()
-    outs_e = vm_fn(*vm_args)
-    jax.block_until_ready(outs_e.power)
-    est_wall_s = time.perf_counter() - t8
-    del outs_e
-
-    # The reference-shaped float64 host path on the biggest session (scipy
-    # NNLS loop — the 0.285 s/session baseline this must beat).
-    big_idx = int(np.argmax([len(r) for r in raw]))
-    host_times = []
-    for _ in range(3):   # min of 3: the host path inherits box CPU noise
-        t9 = time.perf_counter()
-        est_host_paths = nn_omp_np(est_dicts[big_idx], est_mats[big_idx],
-                                   est_cfg, keep_rule="ratio",
-                                   stop_nonpositive=True)
-        host_times.append(time.perf_counter() - t9)
-    est_host_s = min(host_times)
-
-    # ------------------------------------------------------------------
-    # Phase 2: DEVICE-plane timings (the authoritative numbers).  Each
-    # window performs one D2H read to close it, so these run after every
-    # wall section.  Device-plane durations are immune to the transport.
-    #
-    # One real D2H read BEFORE the first window: block_until_ready only
-    # acks dispatch on this transport, so Phase 1's queued device work
-    # must be forced to complete (a read synchronizes) or it would execute
-    # inside the first trace window and inflate its totals.  The fence is
-    # a FRESH trivial program dispatched after everything above — programs
-    # execute in dispatch order, so its completion implies the backlog's
-    # (reading an earlier value would only fence up to its own producer).
-    # ------------------------------------------------------------------
-    jax.device_get(jax.jit(lambda: jnp.zeros(()))())
-    total_frames = int(total_frames_dev)
-
-    # Headline: per-session pipeline over the whole dataset (19 dispatches
-    # of per-bucket executables).  3 passes; report per-pass device total.
-    def pass_all(_i):
-        outs = [run_session_on_device(r) for r in raw]
-        return outs[-1].n_kept
-
-    dt_head = measure_device_time(pass_all, n=3)
-    headline_runs = len(dt_head.runs)
-    headline_device_s = sum(sum(v) for v in dt_head.all_modules.values()) / 3
-
-    # The tight 64/96 corrector bounds are only valid while the dataset
-    # fits them: one aggregated read of the Phase-1 overflow flags guards
-    # the whole run's numbers (reads are safe in this phase).
-    any_overflow = bool(jax.device_get(jax.jit(
-        lambda *xs: sum(x.astype("int32") for x in xs))(*overflow_flags)))
-    if any_overflow:
-        raise RuntimeError(
-            "corrector capacity bounds (64 groups / 96 baselines) exceeded "
-            "by the dataset; bench numbers would be invalid")
-
-    # Fused text pipeline (device tokenize): device seconds per pass, and
-    # the stride-proof audit (all 19 logs must take the device path).
-    datas_text = [open(p, "rb").read() for p in logs]
-
-    def text_pass_mem(_i):
-        outs = [run_session_from_text(d, max_groups=64,
-                                      max_baselines_per_group=96,
-                                      check=False) for d in datas_text]
-        return outs[-1].out.n_kept
-
-    dt_text = measure_device_time(text_pass_mem, n=3)
-    text_device_s = sum(sum(v) for v in dt_text.all_modules.values()) / 3
-    tokenize_all_regular = int(jax.device_get(tokenize_regular_dev)) == len(logs)
-    del datas_text
-
-    # Batched one-program whole dataset.
-    with mesh:
-        dt_batched = measure_device_time(
-            lambda i: bfn(batch_dev, len_dev, lut_j).n_kept, n=3,
-            module="batched")
-    batched_device_s = dt_batched.median
-
-    # Grouped batched (the same multi-chip layout, per-bucket programs —
-    # no uniform-padding waste).  Device seconds = sum over the per-bucket
-    # programs of one pass.
-    from slam_process_tpu.parallel.batch import run_dataset_batched_grouped
-
-    with mesh:
-        warm_g = run_dataset_batched_grouped(mesh, raw, max_groups=64,
-                                             max_baselines_per_group=96)
-        jax.block_until_ready([o.n_kept for _, o in warm_g])
-        jax.device_get(jax.jit(lambda: jnp.zeros(()))())   # fence
-        dt_grouped = measure_device_time(
-            lambda i: run_dataset_batched_grouped(
-                mesh, raw, max_groups=64,
-                max_baselines_per_group=96)[-1][1].n_kept, n=3)
-    grouped_device_s = sum(
-        sum(v) for v in dt_grouped.all_modules.values()) / 3
-
-    # Device-resident streaming (no-emit and emit modes): total device
-    # seconds across the full dataset replay (many step dispatches).
-    def stream_all(_i):
-        ss = [replay_log_device(r, chunk_bytes=1 << 20) for r in raw]
-        return ss[-1]._state.n_frames
-
-    dt_stream = measure_device_time(stream_all, n=1)
-    stream_device_s = sum(sum(v) for v in dt_stream.all_modules.values())
-
-    def stream_emit_all(_i):
-        ss = [replay_log_device(r, chunk_bytes=1 << 20,
-                                collect_filtered=True) for r in raw]
-        return ss[-1]._state.n_frames
-
-    dt_emit = measure_device_time(stream_emit_all, n=1)
-    emit_device_s = sum(sum(v) for v in dt_emit.all_modules.values())
-
-    # Multi-stream vmapped ingest (the §5.8 many-concurrent-feeds shape):
-    # the 19 logs round-robined over 8 live streams, every step ONE
-    # vmapped program over the [S, ...] state (single chip here; on a
-    # mesh the S axis shards over 'data' with no cross-chip traffic).
-    # Per-stream parity vs independent sessions is tests/
-    # test_multidevice.py's job — this measures aggregate throughput.
-    from slam_process_tpu.parallel.streaming_device import (
-        MultiStreamingSession,
-    )
-
-    n_ms_streams = 8
-    ms_feeds = [
-        np.concatenate(
-            [r for j, r in enumerate(raw) if j % n_ms_streams == i]
-            or [np.zeros(0, np.uint8)])
-        for i in range(n_ms_streams)
-    ]
-
-    def multistream_all(_i):
-        ms = MultiStreamingSession(n_ms_streams, chunk_bytes=1 << 20)
-        ms.feed(ms_feeds)
-        ms.finalize()
-        return ms, ms._state.n_frames
-
-    ms_warm, _ = multistream_all(0)                   # warm/compile
-    multistream_frames = int(ms_warm.results()[0].sum())
-    assert multistream_frames == total_frames, "multistream lost frames"
-    dt_ms_fn = lambda i: multistream_all(i)[1]
-    dt_ms = measure_device_time(dt_ms_fn, n=1)
-    multistream_device_s = sum(sum(v) for v in dt_ms.all_modules.values())
-
-    # Streaming with ONLINE per-sweep estimation + tracking: the offline
-    # flagship produced in-stream as sweeps close (exact-parity tested
-    # against Session.sweep_paths/path_tracks on every log).
-    def stream_paths_all(_i):
-        ss = [replay_log_device(r, chunk_bytes=1 << 20,
-                                collect_paths=paths_cfg) for r in raw]
-        return ss[-1]._state.n_frames
-
-    dt_spaths = measure_device_time(stream_paths_all, n=1)
-    spaths_device_s = sum(sum(v) for v in dt_spaths.all_modules.values())
-
-    # Flagship estimation, three formulations on the device plane:
-    # vmapped one-program (production), async per-session (baseline),
-    # mesh-sharded (the multi-chip program, here at (1, 1)).
-    dt_vm = measure_device_time(lambda i: vm_fn(*vm_args).power, n=3)
-    est_vm_device_s = sum(sum(v) for v in dt_vm.all_modules.values()) / 3
-
-    with mesh:
-        dt_sh = measure_device_time(
-            lambda i: nn_omp_sessions_sharded(packed, est_cfg, mesh).power,
-            n=3)
-    est_sh_device_s = sum(sum(v) for v in dt_sh.all_modules.values()) / 3
-
-    def est_all(_i):
-        outs_e = [single_fn(*a) for a in per_dev]
-        return outs_e[-1].power
-
-    dt_est = measure_device_time(est_all, n=3)
-    est_device_s = sum(sum(v) for v in dt_est.all_modules.values()) / 3
-    # The big session's own executions (dispatch order preserved per pass),
-    # so the host-vs-device speedup compares the SAME session on both
-    # sides; median-across-sessions would understate the denominator.
-    n_per_pass = len(dt_est.runs) // 3
-    est_single_fallback = n_per_pass != len(logs)
-    if est_single_fallback:   # trace dropped/added an event: say so loudly
-        import sys
-        print(f"WARNING: estimator trace had {len(dt_est.runs)} runs, "
-              f"expected {3 * len(logs)}; single-session device time "
-              "falls back to the cross-session median", file=sys.stderr)
-    big_runs = (sorted(dt_est.runs)
-                if est_single_fallback
-                else sorted(dt_est.runs[big_idx::n_per_pass]))
-    est_single_device_s = big_runs[len(big_runs) // 2]
-
-    # ------------------------------------------------------------------
-    # Phase 3: per-sweep estimation (reads results internally) + report.
-    # ------------------------------------------------------------------
-    from slam_process_tpu.pipeline.session import sweep_paths_dataset
-
-    for s in est_sessions:
-        s.correct()
-    sweep_paths_dataset(est_sessions, mapping)       # compile + warm + memo
-    times = []
-    for _ in range(3):
-        t6 = time.perf_counter()
-        ds_results = sweep_paths_dataset(est_sessions, mapping)
-        times.append(time.perf_counter() - t6)
-    ds_sweep_s = sorted(times)[1]
-    ds_n_sweeps = sum(len(v) for _, v in ds_results)
-    ds_sweeps_per_sec = ds_n_sweeps / ds_sweep_s
-
-    # Device-plane seconds for the same section (the wall number above
-    # includes host prep, 19 dispatches, and the stacked read).
-    dt_sweep = measure_device_time(
-        lambda i: sweep_paths_dataset(est_sessions, mapping)
-        and jnp.zeros(()), n=2)
-    ds_sweep_device_s = sum(
-        sum(v) for v in dt_sweep.all_modules.values()) / 2
-
-    fps = total_frames / headline_device_s
-    e2e_fps = total_frames / e2e_wall_s
-
-    # Pixel parity: device normalized raster vs float64 host oracle, plus
-    # colormap LUT-bin agreement.
-    t_deltas, bin_flips = [], 0
-    for idx in (0, len(logs) - 1):
-        frames = decode_frames_np(raw[idx]).frames
-        filtered = correct_frames_np(frames).filtered
-        oracle_t = _oracle_norm_raster(filtered)
-        ours_t = np.asarray(parity_outs[idx].norm_t, dtype=np.float64)
-        both = np.isfinite(oracle_t) & np.isfinite(ours_t)
-        t_deltas.append(float(np.max(np.abs(ours_t[both] - oracle_t[both]))))
-        bin_flips += int(
-            (np.clip((ours_t[both] * 256).astype(int), 0, 255)
-             != np.clip((oracle_t[both] * 256).astype(int), 0, 255)).sum()
-        )
-    max_pixel_delta = max(t_deltas)
-
-    # Flagship estimation parity: one batched pytree read, then the biggest
-    # session's selection sequence must match the float64 host oracle.
-    est_host_out = jax.device_get(est_out)[big_idx]
-    n_it = int(est_host_paths.n_iters)
-    est_parity_ok = bool(
-        int(est_host_out.n_iters) == n_it
-        and np.array_equal(est_host_out.aoa_idx[:n_it],
-                           est_host_paths.aoa_idx[:n_it])
-        and np.array_equal(est_host_out.aod_idx[:n_it],
-                           est_host_paths.aod_idx[:n_it])
-        and np.allclose(est_host_out.power[:n_it],
-                        est_host_paths.power[:n_it], rtol=2e-3, atol=1e-5)
-    )
-
-    # Reference pipeline throughput on this host (tokenize + parse measured
-    # on the smallest log; the iterrows correct stage measured on a 4000-row
-    # subsample — it dominates, reference has no published numbers).
-    ref_fps = _reference_pipeline_fps(raw[0])
-
-    result = {
-        "metric": "frames_per_sec_decode_correct_render",
-        "value": round(fps, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 10_000.0, 3),
-        "measurement": "device-plane (xplane) seconds; *_wall_s = dispatch wall",
-        "total_frames": total_frames,
-        "n_logs": len(logs),
-        "headline_device_seconds_per_pass": round(headline_device_s, 4),
-        "headline_device_runs": headline_runs,
-        "headline_wall_s": round(headline_wall_s, 4),
-        "e2e_frames_per_sec_with_host_tokenize": round(e2e_fps, 1),
-        "e2e_frames_per_sec_device_tokenize": round(
-            total_frames / e2e_devtok_wall_s, 1),
-        "e2e_wall_s_device_tokenize": round(e2e_devtok_wall_s, 4),
-        "e2e_frames_per_sec": round(
-            total_frames / min(e2e_wall_s, e2e_devtok_wall_s), 1),
-        "text_pipeline_device_seconds_per_pass": round(text_device_s, 4),
-        "text_pipeline_device_frames_per_sec": round(
-            total_frames / text_device_s, 1),
-        "tokenize_all_regular": tokenize_all_regular,
-        "batched_device_seconds_full_dataset": round(batched_device_s, 4),
-        "batched_device_frames_per_sec": round(
-            total_frames / batched_device_s, 1),
-        "batched_device_trials_s": [round(t, 4) for t in dt_batched.runs],
-        "batched_grouped_device_seconds_full_dataset": round(
-            grouped_device_s, 4),
-        "batched_grouped_device_frames_per_sec": round(
-            total_frames / grouped_device_s, 1),
-        "batched_wall_s": round(batched_wall_s, 4),
-        "streaming_frames_per_sec": round(stream_fps, 1),
-        "streaming_device_seconds_full_dataset": round(stream_device_s, 4),
-        "streaming_device_frames_per_sec": round(
-            total_frames / stream_device_s, 1),
-        "streaming_device_emit_seconds_full_dataset": round(emit_device_s, 4),
-        "streaming_device_emit_frames_per_sec": round(
-            total_frames / emit_device_s, 1),
-        "streaming_with_estimation_seconds_full_dataset": round(
-            spaths_device_s, 4),
-        "streaming_with_estimation_frames_per_sec": round(
-            total_frames / spaths_device_s, 1),
-        "multistream_n_streams": n_ms_streams,
-        "multistream_frames": multistream_frames,
-        "multistream_device_seconds_full_dataset": round(
-            multistream_device_s, 4),
-        "multistream_device_frames_per_sec": round(
-            multistream_frames / multistream_device_s, 1),
-        "estimate_device_seconds_dataset": round(est_vm_device_s, 4),
-        "estimate_sessions_per_sec_device": round(
-            len(logs) / est_vm_device_s, 1),
-        "estimate_sharded_device_seconds_dataset": round(
-            est_sh_device_s, 4),
-        "estimate_sharded_sessions_per_sec_device": round(
-            len(logs) / est_sh_device_s, 1),
-        "estimate_async_device_seconds_dataset": round(est_device_s, 4),
-        "estimate_async_sessions_per_sec_device": round(
-            len(logs) / est_device_s, 1),
-        "estimate_single_session_device_seconds": round(
-            est_single_device_s, 5),
-        "estimate_single_session_is_fallback_median": est_single_fallback,
-        "estimate_wall_s_dataset": round(est_wall_s, 4),
-        "estimate_host_session_seconds": round(est_host_s, 4),
-        "estimate_speedup_vs_host": round(
-            est_host_s / est_single_device_s, 1),
-        "estimate_parity_ok": est_parity_ok,
-        "sweep_estimation_sweeps_per_sec": round(ds_sweeps_per_sec, 1),
-        "sweep_estimation_device_seconds": round(ds_sweep_device_s, 4),
-        "sweep_estimation_sweeps_per_sec_device": round(
-            ds_n_sweeps / ds_sweep_device_s, 1),
-        "sweep_estimation_n_sweeps": ds_n_sweeps,
-        "max_pixel_delta_norm_raster": max_pixel_delta,
-        "lut_bin_flips": bin_flips,
-        "reference_frames_per_sec": round(ref_fps, 1),
-        "speedup_vs_reference": round(fps / max(ref_fps, 1e-9), 1),
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-    }
-    if _FALLBACK_REASON is not None:
-        result["backend_fallback"] = _FALLBACK_REASON
-    print(json.dumps(result))
+    # Package INFO logging must not land on stdout between JSON emissions:
+    # stdout carries only result lines, everything else goes to stderr.
+    logging.basicConfig(stream=sys.stderr, level=logging.INFO)
+    rep = Reporter()
+    rep.emit("init")   # a valid (zero-value) line exists from second one
+    Bench(rep).run()
 
 
 def _reference_pipeline_fps(b: np.ndarray) -> float:

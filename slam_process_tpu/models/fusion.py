@@ -171,24 +171,13 @@ def _run_fusion(session, angle_file, output_path=None, **overrides):
         )
 
     if output_path is not None:
-        from slam_process_tpu.models.classifiers import (
-            ClassifiedPaths,
-            LOS,
-            NLOS,
-        )
-        from slam_process_tpu.render.estimation import estimation_plot
+        # The bespoke v4 fused-contour figure (v4.py:375-460): LoS circles
+        # with dashed cross reference lines + NLoS white X markers.
+        from slam_process_tpu.render.estimation import fusion_plot
 
-        aoa = ([los_aoa] if los_aoa is not None else []) + list(nlos_df.get("aoa", []))
-        aod = ([los_aod] if los_aod is not None else []) + list(nlos_df.get("aod", []))
-        pwr = ([los_power] if los_power is not None else []) + list(nlos_df.get("metric", []))
-        lab = ([LOS] if los_aoa is not None else []) + [NLOS] * len(nlos_df)
-        classified = ClassifiedPaths(
-            np.asarray(aoa), np.asarray(aod), np.asarray(pwr),
-            np.asarray(lab, dtype=np.int32), np.ones(len(aoa), dtype=bool),
-        )
-        estimation_plot(matrix, ue_ang, bs_ang, classified, output_path,
-                        style="v1-7",
-                        title="mmWave Fusion: v1 LoS + v3 SM-SIC NLoS\n")
+        los_pts = ([(los_aod, los_aoa)] if los_aoa is not None else [])
+        nlos_pts = list(zip(nlos_df.get("aod", []), nlos_df.get("aoa", [])))
+        fusion_plot(matrix, ue_ang, bs_ang, los_pts, nlos_pts, output_path)
 
     rows = []
     if los_aoa is not None:

@@ -7,7 +7,8 @@ Device replacements for the reference's scipy interpolation calls:
     A_ij = |x_i - x_j| with A -= s*I, nodes = solve(A, values), evaluation
     phi(dist(query, centers)) @ nodes.  At the reference's N = 4096 centers
     and 100x100 query grid this is one [N, N] solve + one [Q, N] matmul —
-    both MXU work.
+    both MXU work.  ``kernel='thin_plate'`` (phi = r^2 log r, phi(0)=0)
+    covers heatmap_gemini_v1-3.py:441's ``function='thin_plate'``.
   * ``RectBivariateSpline`` upsampling (heatmap_gemini_v2.py:81-85):
     separable not-a-knot cubic-spline interpolation on the rectilinear
     angle grid (equivalence tested numerically in tests/test_interp.py).
@@ -18,8 +19,18 @@ from __future__ import annotations
 import numpy as np
 
 
-def rbf_linear_fit(points: "np.ndarray", values, smooth: float = 0.0):
-    """Fit scipy-Rbf-equivalent linear-kernel weights.
+def _rbf_phi(xp, r, kernel: str):
+    if kernel == "linear":
+        return r
+    if kernel == "thin_plate":
+        # scipy uses xlogy(r^2, r): exactly 0 at r = 0.
+        return xp.where(r > 0, (r * r) * xp.log(xp.where(r > 0, r, 1.0)), 0.0)
+    raise ValueError(f"unknown RBF kernel {kernel!r}")
+
+
+def rbf_linear_fit(points: "np.ndarray", values, smooth: float = 0.0,
+                   kernel: str = "linear"):
+    """Fit scipy-Rbf-equivalent kernel weights.
 
     points: [N, D] node coordinates; values: [N].  Returns nodes [N].
     """
@@ -29,22 +40,23 @@ def rbf_linear_fit(points: "np.ndarray", values, smooth: float = 0.0):
     d = points[:, None, :] - points[None, :, :]
     r = xp.sqrt(xp.sum(d * d, axis=-1) + 1e-38)
     n = points.shape[0]
-    A = r - xp.eye(n, dtype=r.dtype) * smooth
+    A = _rbf_phi(xp, r, kernel) - xp.eye(n, dtype=r.dtype) * smooth
     return xp.linalg.solve(A, values)
 
 
-def rbf_linear_eval(points, nodes, queries):
+def rbf_linear_eval(points, nodes, queries, kernel: str = "linear"):
     """Evaluate the fitted RBF at query coordinates [Q, D] -> [Q]."""
     import jax.numpy as jnp
 
     xp = jnp if not isinstance(points, np.ndarray) else np
     d = queries[:, None, :] - points[None, :, :]
     r = xp.sqrt(xp.sum(d * d, axis=-1) + 1e-38)
-    return r @ nodes
+    return _rbf_phi(xp, r, kernel) @ nodes
 
 
 def rbf_interpolate_grid(
-    x_centers, y_centers, values_2d, grid_x, grid_y, smooth: float = 0.0
+    x_centers, y_centers, values_2d, grid_x, grid_y, smooth: float = 0.0,
+    kernel: str = "linear",
 ):
     """The reference's renderer pattern: RBF over a (bs, ue) angle mesh.
 
@@ -58,10 +70,10 @@ def rbf_interpolate_grid(
     xp = jnp if not isinstance(values_2d, np.ndarray) else np
     bs_mesh, ue_mesh = xp.meshgrid(xp.asarray(x_centers), xp.asarray(y_centers))
     pts = xp.stack([bs_mesh.ravel(), ue_mesh.ravel()], axis=1)
-    nodes = rbf_linear_fit(pts, xp.ravel(values_2d), smooth)
+    nodes = rbf_linear_fit(pts, xp.ravel(values_2d), smooth, kernel)
     gx, gy = xp.meshgrid(xp.asarray(grid_x), xp.asarray(grid_y))
     q = xp.stack([gx.ravel(), gy.ravel()], axis=1)
-    out = rbf_linear_eval(pts, nodes, q)
+    out = rbf_linear_eval(pts, nodes, q, kernel)
     return out.reshape(len(grid_y), len(grid_x))
 
 

@@ -83,6 +83,9 @@ def initialize_multihost(
         flags.append("--xla_force_host_platform_device_count="
                      f"{local_device_count}")
         os.environ["XLA_FLAGS"] = " ".join(flags)
+        from slam_process_tpu.utils.cache import ensure_portable_cpu_isa
+
+        ensure_portable_cpu_isa()
         # The environment's sitecustomize overrides JAX_PLATFORMS, so the
         # config update (effective until backend init) is the real pin.
         jax.config.update("jax_platforms", "cpu")

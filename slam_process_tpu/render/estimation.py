@@ -1,8 +1,9 @@
 """Estimation-result figures: RBF-interpolated background + path markers.
 
 Replaces classify_and_plot (heatmap_gemini_v1.py:226-293 — the producer of
-the 10 golden PNGs in pic/) and improved_plot (v1-7.py:539-652).  The
-100x100 background interpolation runs on device (ops/interp.rbf_
+the 10 golden PNGs in pic/), improved_plot (v1-7.py:539-652), and the
+fusion figure visualize_fusion_results (heatmap_gemini_v4.py:375-460).
+The 100x100 background interpolation runs on device (ops/interp.rbf_
 interpolate_grid == scipy.Rbf linear); matplotlib draws chrome + markers.
 """
 
@@ -130,6 +131,74 @@ def estimation_plot(
     output_path.parent.mkdir(parents=True, exist_ok=True)
     if style == "v1-7":
         fig.tight_layout()
+    fig.savefig(output_path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return output_path
+
+
+def fusion_plot(
+    rss_matrix: np.ndarray,    # [U, B] UE-major
+    ue_angles: np.ndarray,
+    bs_angles: np.ndarray,
+    los_paths,                 # iterable of (aod, aoa)
+    nlos_paths,                # iterable of (aod, aoa)
+    output_path: Union[str, Path],
+    grid_n: int = 100,
+    dpi: int = 300,
+) -> Path:
+    """The v4 fused-result figure (heatmap_gemini_v4.py:375-460).
+
+    100-level viridis contour over a linear-RBF 100x100 background; LoS
+    paths (from the v1 NN-OMP stage) as red circles (s=200, white edge)
+    with dashed red cross reference lines; NLoS paths (from the v3 SM-SIC
+    stage) as white X markers (s=150); deduplicated legend on a
+    translucent black panel with white labels.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from slam_process_tpu.render.fonts import setup_cjk_font
+
+    setup_cjk_font()
+    import matplotlib.pyplot as plt
+
+    grid_x, grid_y, heat = rbf_background(
+        rss_matrix, ue_angles, bs_angles, grid_n, smooth=0.0)
+    gx, gy = np.meshgrid(grid_x, grid_y)
+
+    fig, ax = plt.subplots(figsize=(12, 10))
+    contour = ax.contourf(gx, gy, heat, levels=100, cmap="viridis")
+    fig.colorbar(contour, ax=ax, label="Received Signal Strength (RSS)")
+
+    for aod, aoa in los_paths:
+        ax.scatter(aod, aoa, s=200, c="red", marker="o", edgecolors="white",
+                   linewidth=2, label="LoS Path (v1)", zorder=10)
+        ax.text(aod + 1, aoa + 1, f"LoS\n({aod:.1f}, {aoa:.1f})",
+                color="white", fontweight="bold")
+        ax.axvline(x=aod, color="red", linestyle="--", alpha=0.4)
+        ax.axhline(y=aoa, color="red", linestyle="--", alpha=0.4)
+
+    for aod, aoa in nlos_paths:
+        ax.scatter(aod, aoa, s=150, c="white", marker="x", linewidth=3,
+                   label="NLoS Path (v3)", zorder=10)
+        ax.text(aod + 1, aoa + 1, f"NLoS\n({aod:.1f}, {aoa:.1f})",
+                color="white", fontsize=9, fontweight="bold")
+
+    ax.set_xlabel("Angle of Departure (AoD) [deg]", fontsize=12)
+    ax.set_ylabel("Angle of Arrival (AoA) [deg]", fontsize=12)
+    ax.set_title("mmWave Multipath Heatmap - Fusion: LoS (v1) + NLoS (v3)",
+                 fontsize=14)
+    # Deduplicate repeated per-marker legend labels (v4.py:442-446).
+    handles, labels = ax.get_legend_handles_labels()
+    by_label = dict(zip(labels, handles))
+    if by_label:
+        ax.legend(by_label.values(), by_label.keys(), loc="upper right",
+                  frameon=True, facecolor="black", framealpha=0.6,
+                  labelcolor="white")
+    ax.grid(True, alpha=0.3)
+
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(output_path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
     return output_path

@@ -27,6 +27,12 @@ if not TPU_LANE:
         os.environ["XLA_FLAGS"] = (
             xla_flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # Portable XLA:CPU codegen (AVX2 cap): persistent-cache entries load
+    # warning-free on every machine that mounts this repo across rounds.
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from slam_process_tpu.utils.cache import ensure_portable_cpu_isa
+
+    ensure_portable_cpu_isa()
 
 import jax  # noqa: E402
 

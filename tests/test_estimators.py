@@ -273,6 +273,72 @@ def test_preprocess_modes():
     assert out.min() >= data.min() - 1e-9 and out.max() <= data.max() + 1e-9
 
 
+def test_preprocess_matches_reference(scene_plain_091211):
+    """All four modes value-exact vs the LIVE reference implementation
+    (heatmap_gemini_v1-3.py:119-197, ``_preprocess_power_data`` — a pure
+    function of its ``data`` argument, callable unbound)."""
+    from slam_process_tpu.models.preprocess import preprocess_power
+
+    ref = _load_reference("ref_v13", "/root/reference/heatmap_gemini_v1-3.py")
+    oracle = ref.BeamDataProcessor._preprocess_power_data
+
+    matrix = np.asarray(scene_plain_091211[0], dtype=np.float64)
+    rng = np.random.default_rng(7)
+    cases = [
+        matrix,                                       # the real 091211 scene
+        np.abs(rng.normal(size=(32, 48))) * 500 + 3,  # generic positive
+        rng.normal(size=(16, 16)) * 40 - 100,         # negative values
+        rng.integers(0, 5, size=(24, 24)).astype(float),  # heavy ties
+    ]
+    for data in cases:
+        for method in ("log", "power", "quantile", "adaptive"):
+            ours = preprocess_power(data, method)
+            want = oracle(None, data.copy(), method=method)
+            np.testing.assert_allclose(
+                ours, np.asarray(want, dtype=np.float64),
+                rtol=1e-12, atol=1e-12,
+                err_msg=f"method={method} shape={data.shape}")
+
+
+def test_v13_compare_figure(tmp_path, angle_lut64):
+    """nn_omp_v13 renders the compare_visualizations dual panel
+    (heatmap_gemini_v1-3.py:420-470): original vs optimized, side by side."""
+    from PIL import Image
+
+    from slam_process_tpu.models import run_estimator
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import BEAM_ANGLE, FILTERED_2026_02_06
+
+    s = Session.from_filtered_xlsx(FILTERED_2026_02_06)
+    out = tmp_path / "v13_comparison.png"
+    df = run_estimator("nn_omp_v13", s, BEAM_ANGLE, out, grid_res=0.5,
+                       max_paths=3)
+    assert out.exists() and out.stat().st_size > 10_000
+    assert len(df) >= 1
+    w, h = Image.open(out).size
+    # 1x2 panels on a 20x8 figure: distinctly wider than tall.
+    assert w > 1.8 * h, (w, h)
+
+
+def test_fusion_figure(tmp_path, angle_lut64):
+    """The fusion estimator renders v4's bespoke fused-contour figure
+    (heatmap_gemini_v4.py:375-460), not the generic v1-7 style."""
+    from PIL import Image
+
+    from slam_process_tpu.models import run_estimator
+    from slam_process_tpu.pipeline.session import Session
+    from tests.conftest import BEAM_ANGLE, FILTERED_2026_02_06
+
+    s = Session.from_filtered_xlsx(FILTERED_2026_02_06)
+    out = tmp_path / "fusion.png"
+    df = run_estimator("fusion", s, BEAM_ANGLE, out, grid_res=0.5)
+    assert out.exists() and out.stat().st_size > 10_000
+    assert (df["type"] == "LoS").sum() <= 1
+    w, h = Image.open(out).size
+    # Single 12x10 panel: near-square, slightly wider with the colorbar.
+    assert 0.9 < w / h < 1.6, (w, h)
+
+
 def test_estimator_device_engine(tmp_path):
     """engine='device' routes through the jitted estimators and agrees."""
     from slam_process_tpu.models import run_estimator

@@ -42,6 +42,45 @@ def test_rbf_linear_fit_eval_vs_scipy_small(smooth):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-9, atol=1e-9)
 
 
+def test_rbf_thin_plate_vs_scipy():
+    """thin_plate kernel (heatmap_gemini_v1-3.py:441's compare figure)."""
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-45.0, 45.0, size=(200, 2))
+    vals = rng.normal(size=200)
+    q = rng.uniform(-45.0, 45.0, size=(333, 2))
+
+    from slam_process_tpu.ops.interp import rbf_linear_eval, rbf_linear_fit
+
+    nodes = rbf_linear_fit(pts, vals, 0.0, kernel="thin_plate")
+    ours = rbf_linear_eval(pts, nodes, q, kernel="thin_plate")
+
+    rbf = scipy_interp.Rbf(pts[:, 0], pts[:, 1], vals, function="thin_plate")
+    ref = rbf(q[:, 0], q[:, 1])
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-7, atol=1e-7)
+
+
+def test_rbf_thin_plate_grid_vs_scipy():
+    """Compare-figure shape: 16x16 centers -> 150x150 grid, thin plate."""
+    rng = np.random.default_rng(4)
+    ue = np.sort(rng.uniform(-44.0, 45.0, size=16))
+    bs = np.sort(rng.uniform(-44.0, 45.0, size=16))
+    rss = rng.uniform(8.0, 12.0, size=(16, 16))
+
+    from slam_process_tpu.ops.interp import rbf_interpolate_grid
+
+    grid_x = np.linspace(bs.min(), bs.max(), 150)
+    grid_y = np.linspace(ue.min(), ue.max(), 150)
+    ours = np.asarray(rbf_interpolate_grid(bs, ue, rss, grid_x, grid_y,
+                                           kernel="thin_plate"))
+
+    bs_mesh, ue_mesh = np.meshgrid(bs, ue)
+    rbf = scipy_interp.Rbf(bs_mesh.flatten(), ue_mesh.flatten(), rss.flatten(),
+                           function="thin_plate")
+    gx, gy = np.meshgrid(grid_x, grid_y)
+    ref = rbf(gx, gy)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
 def test_rbf_interpolate_grid_vs_scipy_reference_shape():
     """Full reference shape: 64x64 centers -> 100x100 grid, smooth=0.1."""
     rng = np.random.default_rng(1)
