@@ -474,6 +474,8 @@ class Bench:
         del sh_warm
 
     def lane_wall_est(self) -> None:
+        # Runs after dev_headline's first D2H read: this wall is measured
+        # in the transport's degraded post-read mode (informational only).
         import jax
 
         t8 = time.perf_counter()
@@ -828,35 +830,41 @@ class Bench:
             self.r["speedup_vs_reference"] = round(
                 self.r["value"] / max(ref_fps, 1e-9), 1)
 
+    # Lane order is risk-ranked: the relay data plane can hang MID-RUN on
+    # this transport (observed live: probe + warmup + wall lanes all green,
+    # then the batched lane's ~630 MB device_put blocked in recvfrom at 0%
+    # CPU until the watchdog fired).  The headline, estimator, and parity
+    # lanes therefore run as early as the no-reads-before-walls rule
+    # allows; the giant-transfer batched lanes run LAST so a hang there
+    # costs only the batched extras.  Wall extras measured after
+    # dev_headline's first D2H read (wall_est) run in the transport's
+    # degraded post-read mode — informational only, like all *_wall_s.
     LANES = [
         ("setup", lane_setup),
         ("warmup", lane_warmup),
         ("wall_headline", lane_wall_headline),
         ("wall_e2e", lane_wall_e2e),
         ("wall_e2e_devtok", lane_wall_e2e_devtok),
-        ("wall_batched", lane_wall_batched),
-        ("wall_streaming_host", lane_wall_streaming_host),
-        ("warm_streaming_device", lane_warm_streaming_device),
-        ("est_prep", lane_est_prep),
-        ("wall_est", lane_wall_est),
-        ("host_est", lane_host_est),
-        # Order under truncation: parity + estimator lanes are cheap and
-        # feed the most-tracked metrics, so they run before the streaming
-        # lanes (which cost minutes on the CPU-fallback backend).
         ("dev_headline", lane_dev_headline),
         ("dev_text", lane_dev_text),
-        ("dev_grouped", lane_dev_grouped),
-        ("dev_batched", lane_dev_batched),
+        ("est_prep", lane_est_prep),
         ("dev_estimate", lane_dev_estimate),
         ("dev_estimate_async", lane_dev_estimate_async),
+        ("wall_est", lane_wall_est),
+        ("host_est", lane_host_est),
         ("parity", lane_parity),
         ("est_parity", lane_est_parity),
         ("reference", lane_reference),
         ("sweep_est", lane_sweep_est),
+        ("wall_streaming_host", lane_wall_streaming_host),
+        ("warm_streaming_device", lane_warm_streaming_device),
         ("dev_multistream", lane_dev_multistream),
         ("dev_streaming", lane_dev_streaming),
         ("dev_streaming_emit", lane_dev_streaming_emit),
         ("dev_streaming_paths", lane_dev_streaming_paths),
+        ("wall_batched", lane_wall_batched),
+        ("dev_grouped", lane_dev_grouped),
+        ("dev_batched", lane_dev_batched),
     ]
 
     # Lanes that later lanes cannot run without; an error or budget-skip

@@ -640,6 +640,7 @@ class Session:
         render_cfg: Optional[RenderConfig] = None,
         source: str = "filtered",
         title: Optional[str] = None,
+        axes_rect=None,
     ) -> RenderedHeatmap:
         scene_cfg = scene_cfg or SceneConfig(keep_nan=True, fill_with_min=False)
         render_cfg = render_cfg or self.config.render
@@ -651,7 +652,7 @@ class Session:
         if output_path is not None:
             save_heatmap(rendered, output_path,
                          title=title or f"BS-UE 波束对平均RSSI热力图 ({self.name})",
-                         render_cfg=render_cfg)
+                         render_cfg=render_cfg, axes_rect=axes_rect)
             self.logger.info("heatmap saved: %s", output_path)
         return rendered
 

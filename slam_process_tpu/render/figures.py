@@ -43,12 +43,22 @@ def save_heatmap_figure(
     xlabel: str = "AoA（UE侧，度）",
     ylabel: str = "AoD（BS侧，度）",
     cbar_label: Optional[str] = None,
+    axes_rect: Optional[Sequence[float]] = None,
 ) -> Path:
     """Draw the excel_heatmap-style pcolormesh PNG from device results.
 
     ``blurred_matrix`` must already carry the device blur; the shifted
     LogNorm parameters are recomputed identically to ops/raster.py so cell
     colors equal the device raster (tested in test_render.py).
+
+    ``axes_rect`` pins the axes to an explicit figure-fraction rect
+    ``(x0, y0, w, h)`` instead of ``tight_layout`` — reproducing a legacy
+    render's exact layout (tight_layout's box depends on the label font's
+    metrics, so a figure rendered with Windows SimHei has a slightly
+    different axes box than this environment's fallback font; the golden
+    parity tests pin to the golden's detected box and then compare the
+    plot interior pixel-for-pixel).  The colorbar is placed beside the
+    pinned axes.
     """
     import matplotlib
 
@@ -74,7 +84,11 @@ def save_heatmap_figure(
         plot_data = mat
         norm = None
 
-    fig, ax = plt.subplots(figsize=(10, 8), dpi=120)
+    if axes_rect is not None:
+        fig = plt.figure(figsize=(10, 8), dpi=120)
+        ax = fig.add_axes(list(axes_rect))
+    else:
+        fig, ax = plt.subplots(figsize=(10, 8), dpi=120)
     cmap = plt.get_cmap(colormap).copy()
     cmap.set_bad(color=(1, 1, 1, 0))
     im = ax.pcolormesh(
@@ -87,7 +101,12 @@ def save_heatmap_figure(
         vmax=None if use_log else vmax,
         shading="auto",
     )
-    cbar = fig.colorbar(im, ax=ax)
+    if axes_rect is not None:
+        x0, y0, w, h = axes_rect
+        cax = fig.add_axes([min(x0 + w + 0.02, 0.96), y0, 0.025, h])
+        cbar = fig.colorbar(im, cax=cax)
+    else:
+        cbar = fig.colorbar(im, ax=ax)
     cbar.set_label(
         cbar_label
         if cbar_label is not None
@@ -100,7 +119,8 @@ def save_heatmap_figure(
 
     output_path = Path(output_path)
     output_path.parent.mkdir(parents=True, exist_ok=True)
-    fig.tight_layout()
+    if axes_rect is None:
+        fig.tight_layout()
     fig.savefig(output_path, dpi=dpi)
     plt.close(fig)
     return output_path

@@ -61,6 +61,7 @@ def save_heatmap(
     output_path: Union[str, Path],
     title: str = "",
     render_cfg: RenderConfig = RenderConfig(),
+    axes_rect=None,
 ) -> Path:
     """Write the human-facing PNG (figure chrome around the device blur)."""
     return save_heatmap_figure(
@@ -74,4 +75,5 @@ def save_heatmap(
         vmin=render_cfg.vmin,
         vmax=render_cfg.vmax,
         dpi=render_cfg.dpi,
+        axes_rect=axes_rect,
     )
