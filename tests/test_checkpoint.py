@@ -58,7 +58,8 @@ def _assert_sessions_equal(a, b, *, paths=False, filtered=False):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-@pytest.mark.parametrize("split", [150_001, 37])
+@pytest.mark.parametrize("split", [
+    pytest.param(150_001, marks=pytest.mark.slow), 37])
 def test_checkpoint_resume_equals_uninterrupted(small_log_bytes, tmp_path,
                                                 split):
     """Interrupt at an arbitrary (non-chunk-aligned) byte position, with
@@ -89,6 +90,7 @@ def test_checkpoint_resume_equals_uninterrupted(small_log_bytes, tmp_path,
     _assert_sessions_equal(resumed, full, paths=True, filtered=True)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_across_emit_growth(small_log_bytes, tmp_path):
     """The auto-growing emit ring survives a checkpoint: growth state
     (current capacity + host-side bound) round-trips, and growth that
@@ -129,6 +131,7 @@ def test_checkpoint_resume_across_emit_growth(small_log_bytes, tmp_path):
     np.testing.assert_array_equal(resumed.filtered, res.filtered)
 
 
+@pytest.mark.slow
 def test_checkpoint_kind_mismatch_raises(small_log_bytes, tmp_path):
     single = DeviceStreamingSession(chunk_bytes=1 << 15)
     single.feed(small_log_bytes[: 1 << 15])
@@ -167,6 +170,7 @@ def test_checkpoint_leaf_mismatch_raises(small_log_bytes, tmp_path):
         DeviceStreamingSession.restore(ckpt)
 
 
+@pytest.mark.slow
 def test_multi_stream_checkpoint_resume(small_log_bytes, tmp_path):
     """Two live streams at different positions checkpoint and resume as
     one state; per-stream results equal the uninterrupted multi run."""

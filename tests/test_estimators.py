@@ -75,6 +75,7 @@ def test_sm_sic_jax_matches_np(scene_plain_091211):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_run_estimator_sm_sic_end_to_end(tmp_path, angle_lut64):
     from slam_process_tpu.models import run_estimator
     from slam_process_tpu.pipeline.session import Session
@@ -300,6 +301,33 @@ def test_preprocess_matches_reference(scene_plain_091211):
                 err_msg=f"method={method} shape={data.shape}")
 
 
+def test_v13_compare_plot_direct(tmp_path):
+    """Fast structural check of the compare_visualizations dual panel:
+    drives _compare_plot directly on a small synthetic scene (the full
+    estimator-driven render — a 4096-center thin-plate solve per panel —
+    is the slow-lane test below)."""
+    from PIL import Image
+
+    from slam_process_tpu.models.classifiers import LOS, ClassifiedPaths
+    from slam_process_tpu.models.nn_omp_v13 import _compare_plot
+    from slam_process_tpu.models.preprocess import preprocess_power
+
+    rng = np.random.default_rng(11)
+    ue = np.linspace(-40.0, 40.0, 12)
+    bs = np.linspace(-40.0, 40.0, 12)
+    mat = np.abs(rng.normal(size=(12, 12))) * 100 + 5
+    classified = ClassifiedPaths(
+        np.array([3.0]), np.array([-7.0]), np.array([1.0]),
+        np.array([LOS], dtype=np.int32), np.array([True]))
+    out = tmp_path / "cmp.png"
+    _compare_plot(mat, preprocess_power(mat, "adaptive"), ue, bs,
+                  classified, out, "adaptive")
+    assert out.exists() and out.stat().st_size > 10_000
+    w, h = Image.open(out).size
+    assert w > 1.8 * h, (w, h)
+
+
+@pytest.mark.slow
 def test_v13_compare_figure(tmp_path, angle_lut64):
     """nn_omp_v13 renders the compare_visualizations dual panel
     (heatmap_gemini_v1-3.py:420-470): original vs optimized, side by side."""
@@ -320,6 +348,27 @@ def test_v13_compare_figure(tmp_path, angle_lut64):
     assert w > 1.8 * h, (w, h)
 
 
+def test_fusion_plot_direct(tmp_path):
+    """Fast structural check of v4's fused-contour figure: drives
+    render.estimation.fusion_plot directly on a small synthetic scene
+    (the estimator-driven render is the slow-lane test below)."""
+    from PIL import Image
+
+    from slam_process_tpu.render.estimation import fusion_plot
+
+    rng = np.random.default_rng(12)
+    ue = np.linspace(-40.0, 40.0, 12)
+    bs = np.linspace(-40.0, 40.0, 12)
+    mat = np.abs(rng.normal(size=(12, 12))) * 100 + 5
+    out = tmp_path / "fusion.png"
+    fusion_plot(mat, ue, bs, [(-7.0, 3.0)], [(10.0, -12.0), (18.0, 6.0)],
+                out, grid_n=60, dpi=150)
+    assert out.exists() and out.stat().st_size > 10_000
+    w, h = Image.open(out).size
+    assert 0.9 < w / h < 1.6, (w, h)
+
+
+@pytest.mark.slow
 def test_fusion_figure(tmp_path, angle_lut64):
     """The fusion estimator renders v4's bespoke fused-contour figure
     (heatmap_gemini_v4.py:375-460), not the generic v1-7 style."""

@@ -81,6 +81,7 @@ def test_rbf_thin_plate_grid_vs_scipy():
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_rbf_interpolate_grid_vs_scipy_reference_shape():
     """Full reference shape: 64x64 centers -> 100x100 grid, smooth=0.1."""
     rng = np.random.default_rng(1)

@@ -63,7 +63,8 @@ def single_device_out(stacked):
     return _run_batched((1, 1), batch, lengths, lut)
 
 
-@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+@pytest.mark.parametrize("mesh_shape", [
+    (8, 1), pytest.param((4, 2), marks=pytest.mark.slow)])
 def test_sharded_batched_pipeline_bitwise_equals_single_device(
     mesh_shape, stacked, single_device_out
 ):
@@ -175,6 +176,7 @@ def test_model_parallel_estimator_matches_unsharded(single_device_out):
     np.testing.assert_array_equal(np.asarray(val_sh), np.asarray(val_ref))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inprocess():
     """The driver's dryrun body must pass on the conftest's 8-device mesh."""
     from __graft_entry__ import dryrun_multichip
@@ -182,6 +184,7 @@ def test_dryrun_multichip_inprocess():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_grouped_batched_matches_single_device(stacked):
     """run_dataset_batched_grouped (per-bucket programs, empty-session
     padding to the data-axis multiple) == the uniform-padded batched
@@ -283,6 +286,7 @@ def test_sharded_session_estimation_matches_async_and_vmap():
                                        o.power[:ni], rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_multi_stream_session_matches_independent_sessions():
     """8 live streams advanced as ONE vmapped program with the stream
     axis sharded over 'data' == 8 independent DeviceStreamingSessions,
@@ -313,6 +317,7 @@ def test_multi_stream_session_matches_independent_sessions():
         np.testing.assert_array_equal(np.asarray(s._state.counts), counts[i])
 
 
+@pytest.mark.slow
 def test_run_dataset_convenience_matches_per_session(two_logs):
     """run_dataset (the grouped layout's convenience consumer) returns
     per-session summaries in input order, equal to per-session runs."""
@@ -338,6 +343,7 @@ def test_run_dataset_convenience_matches_per_session(two_logs):
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_stream_emit_matches_single_stream_filtered():
     """Per-stream emit rings: MultiStreamingSession(emit_capacity=...)
     exports each stream's corrected rows exactly equal to the
@@ -361,6 +367,7 @@ def test_multi_stream_emit_matches_single_stream_filtered():
         np.testing.assert_array_equal(ms.stream_filtered(i), s.filtered)
 
 
+@pytest.mark.slow
 def test_multi_stream_ragged_finalize_matches_independent_sessions():
     """Live feeds end independently: stream 0 finalizes (its last sweep
     closes and its final ONLINE estimation step runs) while stream 1
@@ -429,6 +436,7 @@ def test_multi_stream_ragged_finalize_matches_independent_sessions():
                 np.asarray(getattr(tb, name)), err_msg=f"{name}[{i}]")
 
 
+@pytest.mark.slow
 def test_multi_stream_reset_attaches_new_feed():
     """The other half of the ragged lifecycle: after a stream finalizes
     (and its results are read), reset_streams returns the slot to the

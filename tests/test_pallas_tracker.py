@@ -47,7 +47,9 @@ def _run_blocks(aoa, aod, pw, val, t_n, gate, s1, splits, interpret):
     return out, np.asarray(pos), np.asarray(created), int(count)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [
+    0, pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(2, marks=pytest.mark.slow)])
 def test_kernel_matches_oracle_single_block(seed):
     rng = np.random.default_rng(seed)
     for _ in range(8):

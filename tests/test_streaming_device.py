@@ -22,7 +22,9 @@ def offline(small_log_bytes):
     return dec, res
 
 
-@pytest.mark.parametrize("chunk_bytes", [4097, 1 << 16, 1 << 20])
+@pytest.mark.parametrize("chunk_bytes", [
+    pytest.param(4097, marks=pytest.mark.slow), 1 << 16,
+    pytest.param(1 << 20, marks=pytest.mark.slow)])
 def test_device_streaming_matches_offline(small_log_bytes, offline, chunk_bytes):
     from slam_process_tpu.parallel.streaming_device import replay_log_device
 
@@ -56,6 +58,7 @@ def test_device_streaming_group_count_matches_offline(small_log_bytes, offline):
     assert s.n_groups == n_groups
 
 
+@pytest.mark.slow
 def test_device_streaming_log_transform(small_log_bytes, offline):
     """SceneConfig.log_transform folds ln(RSS) with the RSS<=0 drop rule."""
     from slam_process_tpu.ops.scene import intensity_grid_np
@@ -290,6 +293,7 @@ def test_decode_jax_n_valid_masks_nonzero_padding():
     assert int(count2) == 2                # unmasked: both decode
 
 
+@pytest.mark.slow
 def test_device_streaming_emit_ring_overflow_raises(small_log_bytes):
     """A too-small emit ring means the exported table would be silently
     truncated — reading `filtered` must raise, not return partial data;

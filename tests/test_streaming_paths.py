@@ -68,7 +68,8 @@ def _assert_stream_equals_offline(s, offline):
         np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_o))
 
 
-@pytest.mark.parametrize("chunk", [1 << 16, 1 << 20])
+@pytest.mark.parametrize("chunk", [
+    pytest.param(1 << 16, marks=pytest.mark.slow), 1 << 20])
 def test_online_paths_match_offline_small_log(chunk):
     raw = read_hex_log(SMALL_LOG)
     spec = make_paths_spec(BEAM_ANGLE)
@@ -76,6 +77,7 @@ def test_online_paths_match_offline_small_log(chunk):
     _assert_stream_equals_offline(s, _offline(raw, spec[0]))
 
 
+@pytest.mark.slow
 def test_online_paths_sm_sic_matches_offline():
     raw = read_hex_log(SMALL_LOG)
     spec = make_paths_spec(BEAM_ANGLE, estimator="sm_sic")
@@ -84,6 +86,7 @@ def test_online_paths_sm_sic_matches_offline():
         s, _offline(raw, spec[0], estimator="sm_sic"))
 
 
+@pytest.mark.slow
 def test_online_paths_estimator_overrides_flow():
     """v1-7-style overrides (keep_rule/stop_nonpositive/max_paths) reach
     the in-step estimator identically to the offline path."""
@@ -94,6 +97,7 @@ def test_online_paths_estimator_overrides_flow():
     _assert_stream_equals_offline(s, _offline(raw, spec[0], **kw))
 
 
+@pytest.mark.slow
 def test_capacity_overflow_raises_not_truncates():
     raw = read_hex_log(SMALL_LOG)
     spec, dicts = make_paths_spec(BEAM_ANGLE, capacity=2)
@@ -105,6 +109,7 @@ def test_capacity_overflow_raises_not_truncates():
         s.path_tracks()
 
 
+@pytest.mark.slow
 def test_s_step_overflow_raises():
     """More sweeps closing in one step than s_step allows must flag, not
     silently mis-estimate."""
@@ -146,6 +151,7 @@ def test_online_paths_match_offline_all_logs(path):
         _assert_stream_equals_offline(s, _offline(raw, spec[0]))
 
 
+@pytest.mark.slow
 def test_multi_stream_online_paths_match_single_stream():
     """MultiStreamingSession(collect_paths=...): S live streams with
     ONLINE estimation+tracking in ONE vmapped program == S independent

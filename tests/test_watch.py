@@ -21,7 +21,8 @@ MAPPING = "/root/reference/beam_angle.xlsx"
 import pytest
 
 
-@pytest.mark.parametrize("engine", ["host", "device"])
+@pytest.mark.parametrize("engine", [
+    "host", pytest.param("device", marks=pytest.mark.slow)])
 def test_watch_matches_offline(tmp_path, engine):
     from slam_process_tpu.pipeline.cli import main
     from slam_process_tpu.pipeline.session import Session
@@ -133,6 +134,7 @@ def test_watch_crash_resume_from_checkpoint(tmp_path):
         rows, np.asarray(off.filtered)[:, :rows.shape[1]])
 
 
+@pytest.mark.slow
 def test_watch_multi_ragged_idle_matches_offline(tmp_path):
     """watch --logs A B: two growing captures tailed as ONE vmapped
     multi-stream session.  A stops writing early and must finalize ALONE
@@ -402,6 +404,7 @@ def test_watch_events_resume_no_duplicates(tmp_path):
     assert set(keys) == want
 
 
+@pytest.mark.slow
 def test_watch_multi_live_events_feed(tmp_path):
     """watch --logs A B --events: ONE live JSONL feed across both
     streams, rows tagged with their stream's session name; per stream it
