@@ -400,3 +400,84 @@ def compact_filtered(frames: np.ndarray, corrected_bs, keep) -> np.ndarray:
         [frames[keep, 1], corrected_bs[keep], frames[keep, 3], frames[keep, 4]],
         axis=1,
     )
+
+
+def self_test(verbose: bool = True) -> bool:
+    """Drop-in port of the reference's embedded corrector self-tests.
+
+    ``bs_beam_correction.py --run-tests`` runs TestBSBeamCorrection
+    (:207-283); this runs the same five behavioral specs against the
+    production vectorized corrector so ``cli correct --run-tests`` is a
+    drop-in replacement.  One divergence is deliberate and documented:
+    the reference's ``test_filter_only_corrected_rows`` asserts 1
+    filtered row but its own IMPLEMENTATION emits 2 (running the
+    shipped ``--run-tests`` fails 2 != 1; docs/REFERENCE_NOTES.md §1) —
+    the spec here matches the implementation that produced the shipped
+    golden ``_filtered`` artifacts.  Returns True when every spec holds.
+    """
+    CYCLE, TOL, MOD = 61_000, 500, 64
+    clk0, rss = 1_000_000, 42
+    group = np.asarray(
+        [
+            (0, 0, 10, rss, clk0),
+            (1, 1, 12, rss, clk0 + 100),
+            (0, 2, 99, rss, clk0 + CYCLE + 50),
+            (0, 3, 99, rss, clk0 + 2 * CYCLE - 480),
+            (0, 4, 99, rss, clk0 + 3 * CYCLE + 600),
+            (0, 5, 99, rss, clk0 - CYCLE + 100),
+        ],
+        dtype=np.int64,
+    )
+    checks = []
+
+    def check(name, ok):
+        checks.append((name, bool(ok)))
+        if verbose:
+            print(f"  {name}: {'ok' if ok else 'FAIL'}")
+
+    # 1. baseline identification (FLAG 0->1 with equal RSS).
+    gid = detect_groups_np(group[:, 1])
+    b_gid, clk_b, bs_b = identify_baselines_np(
+        group[:, 0], group[:, 3], group[:, 2], group[:, 4], gid)
+    check("baseline_identification",
+          len(b_gid) == 1 and clk_b[0] == group[0, 4] and bs_b[0] == 12)
+
+    # 2. modular correction (bs_b + k) % 64.
+    res = correct_frames_np(group)
+    check("correction_logic",
+          res.corrected_bs[1] == 12
+          and res.corrected_bs[2] == (12 + 1) % MOD
+          and res.corrected_bs[3] == (12 + 2) % MOD)
+
+    # 3. tolerance boundary at exactly +-TOL and TOL+1.
+    c0 = 5_000_000
+    f = np.asarray([(0, 0, 3, 7, c0), (1, 1, 8, 7, c0 + 10),
+                    (0, 2, 0, 7, c0 + CYCLE + TOL),
+                    (0, 3, 0, 7, c0 + CYCLE + TOL + 1)], dtype=np.int64)
+    r = correct_frames_np(f)
+    check("boundary_tolerance",
+          r.corrected_bs[2] == (8 + 1) % MOD and r.corrected_bs[3] == f[3, 2])
+
+    # 4. negative clk diff -> (bs_b - 1) % 64.
+    c0 = 7_000_000
+    f = np.asarray([(0, 0, 60, 13, c0), (1, 1, 5, 13, c0 + 1),
+                    (0, 2, 0, 13, c0 - CYCLE + 10)], dtype=np.int64)
+    r = correct_frames_np(f)
+    check("negative_diff", r.corrected_bs[2] == (5 - 1) % MOD)
+
+    # 5. filtered output: only corrected rows, right column order.
+    c0 = 2_000_000
+    f = np.asarray([(0, 0, 10, 21, c0), (1, 1, 12, 21, c0 + 50),
+                    (0, 2, 99, 21, c0 + CYCLE + 20),
+                    (0, 3, 99, 21, c0 + CYCLE + TOL + 10)], dtype=np.int64)
+    r = correct_frames_np(f)
+    check("filter_only_corrected_rows",
+          r.filtered.shape == (2, 4)
+          and r.filtered[0].tolist() == [0, 12, 21, c0]
+          and r.filtered[1].tolist() == [2, 13, 21, c0 + CYCLE + 20])
+
+    ok = all(v for _, v in checks)
+    if verbose:
+        n = sum(v for _, v in checks)
+        print(f"corrector self-test: {n}/{len(checks)} specs ok")
+    return ok

@@ -89,15 +89,24 @@ def _run_decode_legacy(args, out):
 
 def _add_correct(sub):
     p = sub.add_parser("correct", help="Parsed xlsx -> _filtered xlsx (stage 2)")
-    p.add_argument("--input", type=Path, required=True)
+    p.add_argument("--input", type=Path, default=None)
     p.add_argument("--output", type=Path, default=None)
     p.add_argument("--in-place", action="store_true",
                    help="process_excel mode: rewrite the input with a "
                         "Corrected_BS_Beam column instead of filtering")
+    p.add_argument("--run-tests", action="store_true",
+                   help="run the embedded corrector self-tests and exit "
+                        "(drop-in for bs_beam_correction.py --run-tests)")
     p.set_defaults(fn=_run_correct)
 
 
 def _run_correct(args):
+    if args.run_tests:
+        from slam_process_tpu.ops.correct import self_test
+
+        raise SystemExit(0 if self_test() else 1)
+    if args.input is None:
+        raise SystemExit("correct: --input is required (or --run-tests)")
     if args.input.suffix == ".txt":
         s = Session.from_log(args.input)
     else:

@@ -388,3 +388,18 @@ def test_rows_layout_single_valid_row():
         max_baselines_per_group=4)
     assert not np.asarray(keep).any()
     assert not bool(overflow)
+
+
+def test_cli_run_tests_self_test(capsys):
+    """cli correct --run-tests is a drop-in for the reference's
+    bs_beam_correction.py --run-tests (whose own suite is stale —
+    REFERENCE_NOTES §1; ours matches the implementation semantics)."""
+    from slam_process_tpu.ops.correct import self_test
+
+    assert self_test(verbose=False) is True
+
+    from slam_process_tpu.pipeline.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["correct", "--run-tests"])
+    assert e.value.code == 0
