@@ -945,8 +945,14 @@ class Bench:
     # The giant uniformly-padded batch program is compile-hostile on the
     # CPU fallback backend (a single >33M-element fused program; >240 s of
     # XLA:CPU compile measured) and only exists to exercise the multi-chip
-    # layout — skip it and its dependents when the relay is down.
-    CPU_SKIP = {"wall_batched", "dev_batched", "dev_grouped"}
+    # layout — skip it and its dependents when the relay is down.  The
+    # heavy streaming variants are skipped there too (dev_streaming_paths
+    # alone is ~300 s of CPU for a number that is meaningless off-chip;
+    # dev_streaming stays as the representative streaming lane), keeping
+    # the whole fallback capture under ~10 minutes.
+    CPU_SKIP = {"wall_batched", "dev_batched", "dev_grouped",
+                "dev_multistream", "dev_streaming_emit",
+                "dev_streaming_paths"}
 
     def run(self) -> None:
         aborted = False
