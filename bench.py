@@ -206,11 +206,27 @@ class Bench:
 
         from slam_process_tpu.utils.cache import ensure_portable_cpu_isa
 
+        def probe_with_beats() -> bool:
+            # The probe blocks the main thread at ~0% CPU for up to
+            # PROBE_S; run it in a thread and beat while waiting so the
+            # stall watchdog cannot mistake a long (but bounded) probe
+            # for a data-plane hang when PROBE_S >= BENCH_STALL_S.
+            result = {}
+            th = threading.Thread(
+                target=lambda: result.update(
+                    ok=probe_device_dispatch(timeout_s=PROBE_S)),
+                daemon=True)
+            th.start()
+            while th.is_alive():
+                th.join(5.0)
+                self.rep.beat()
+            return bool(result.get("ok"))
+
         if os.environ.get("BENCH_FORCE_CPU"):
             ensure_portable_cpu_isa()
             jax.config.update("jax_platforms", "cpu")
             self.r["backend_fallback"] = "BENCH_FORCE_CPU=1 (manual override)"
-        elif not probe_device_dispatch(timeout_s=PROBE_S):
+        elif not probe_with_beats():
             self.rep.note("default backend failed the DISPATCH probe "
                           "(relay control or data plane down); CPU fallback")
             ensure_portable_cpu_isa()
@@ -416,8 +432,10 @@ class Bench:
                     continue
             else:
                 proc.kill()
+                proc.wait(timeout=10)   # reap: no zombie for the rest of the run
         except OSError:
             proc.kill()
+            proc.wait(timeout=10)
         self.rep.beat()
         if not ok:
             raise RuntimeError(
@@ -613,9 +631,17 @@ class Bench:
                 lambda *xs: sum(x.astype("int32") for x in xs))(
                     *self.overflow_flags)))
             if any_overflow:
-                raise RuntimeError(
-                    "corrector capacity bounds (64 groups / 96 baselines) "
-                    "exceeded by the dataset; bench numbers would be invalid")
+                # Invalidate the published headline BEFORE raising: lane
+                # isolation records the error but keeps emitting, and an
+                # invalid number must never survive as the result value.
+                self.r["value"] = 0.0
+                self.r["vs_baseline"] = 0.0
+                self.r["error"] = ("corrector capacity bounds (64 groups / "
+                                   "96 baselines) exceeded by the dataset; "
+                                   "headline invalidated")
+                raise RuntimeError(self.r["error"])
+        else:
+            self.r["overflow_guard"] = "not-checked (wall_headline skipped)"
 
     def lane_dev_text(self) -> None:
         import jax
@@ -957,8 +983,12 @@ class Bench:
     def run(self) -> None:
         aborted = False
         for name, fn in self.LANES:
+            # Skip the compile-hostile lanes on ANY CPU backend — the
+            # relay-down fallback, a forced run, or a host whose default
+            # backend is natively CPU (no accelerator plugin).
             if (name in self.CPU_SKIP
-                    and self.r.get("backend_fallback") is not None):
+                    and (self.r.get("backend_fallback") is not None
+                         or self.r.get("backend") == "cpu")):
                 self.r.setdefault("skipped_cpu_fallback", []).append(name)
                 continue
             if aborted or self.rep.over_budget():

@@ -64,7 +64,11 @@ def ensure_portable_cpu_isa() -> bool:
     """
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_cpu_max_isa" in flags:
-        return _PORTABLE_ISA.lower() in flags.lower()
+        # Exact match only — the same predicate machine_fingerprint uses,
+        # so "cap in effect" and "portable cache subdir" can never
+        # disagree (a lowercase or different cap falls back to the
+        # host-feature-hash fingerprint).
+        return f"xla_cpu_max_isa={_PORTABLE_ISA}" in flags
     os.environ["XLA_FLAGS"] = (
         f"{flags} --xla_cpu_max_isa={_PORTABLE_ISA}").strip()
     return True
@@ -86,8 +90,13 @@ def machine_fingerprint(backend: str) -> str:
     if backend != "cpu":
         return f"{backend}-jax{ver}"
     xf = os.environ.get("XLA_FLAGS", "")
-    if f"xla_cpu_max_isa={_PORTABLE_ISA}" in xf:
-        return f"cpu-jax{ver}-{_platform.machine()}-isa{_PORTABLE_ISA}"
+    machine = _platform.machine()
+    # The AVX2 cap is an x86 ISA bound; on other architectures (aarch64:
+    # SVE/NEON variants) it constrains nothing, so only x86 hosts may
+    # share the portable subdir — everything else stays feature-hashed.
+    if (machine in ("x86_64", "AMD64")
+            and f"xla_cpu_max_isa={_PORTABLE_ISA}" in xf):
+        return f"cpu-jax{ver}-{machine}-isa{_PORTABLE_ISA}"
     flags = ""
     try:
         with open("/proc/cpuinfo") as f:
