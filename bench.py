@@ -419,7 +419,10 @@ class Bench:
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.DEVNULL, text=True,
                                 cwd=Path(__file__).parent)
-        deadline = time.perf_counter() + 240
+        # Healthy loads of this program take <= 40 s; the refusal mode is
+        # an INDEFINITE hang, so a short deadline loses nothing and leaves
+        # room for the scan-form fallback compile within the hard cap.
+        deadline = time.perf_counter() + 150
         ok = False
         try:
             while time.perf_counter() < deadline:
@@ -437,11 +440,18 @@ class Bench:
             proc.kill()
             proc.wait(timeout=10)
         self.rep.beat()
+        session_axis = "vmap"
         if not ok:
-            raise RuntimeError(
-                "jit_batched program probe failed/hung in a subprocess "
-                "(relay refuses the giant executable); batched lanes "
-                "skipped")
+            # The relay load-hangs on the large code-heavy vmapped
+            # executable (49 MB at S=19; 27 MB loads fine).  Fall back to
+            # the bit-exact lax.map form, whose code is single-session
+            # sized — sequential per-session execution, same outputs
+            # (tests/test_multidevice.py::test_scan_sessions_bitwise_
+            # equals_vmap), honestly labeled in the result.
+            session_axis = "scan"
+            self.rep.note("jit_batched probe failed; falling back to the "
+                          "session_axis='scan' small-executable form")
+        self.r["batched_session_axis"] = session_axis
 
         gc.collect()
         # Batched-session config: ONE jitted program over the stacked
@@ -451,7 +461,8 @@ class Bench:
         batch, lengths = stack_sessions(self.raw, n_padded)
         self.bfn = batched_session_pipeline(self.mesh, n_padded, max_groups=64,
                                             max_baselines_per_group=96,
-                                            outputs="summary")
+                                            outputs="summary",
+                                            session_axis=session_axis)
         self.lut_j = jnp.asarray(colormap_lut("viridis"))
         with self.mesh:
             self.batch_dev = jax.device_put(batch)

@@ -45,6 +45,7 @@ def batched_session_pipeline(
     max_groups: int = 128,
     max_baselines_per_group: int = 192,
     outputs: str = "full",
+    session_axis: str = "vmap",
 ):
     """Build a jitted [S, N]-batched pipeline sharded over mesh axis 'data'.
 
@@ -54,6 +55,17 @@ def batched_session_pipeline(
 
     Returns fn(byte_batch[S, N] u8, n_bytes[S] i32, lut[256,4] f32) ->
     DeviceSessionOut with a leading S axis on every field.
+
+    ``session_axis='scan'`` maps the per-session body over S with
+    ``lax.map`` instead of ``vmap``: the compiled code is single-session
+    sized regardless of S (measured on the 19-log dataset: 49.1 MB
+    serialized executable for the vmapped form vs single-session-scale
+    for the scan form), at the cost of strictly sequential per-session
+    execution.  Use it on single-device transports that refuse large
+    code-heavy executables (the axon relay load-hangs on the 49 MB
+    program while loading 27 MB fine — docs/STATUS.md "Transport
+    characterization" #5); on a real mesh keep ``vmap``, whose leading
+    axis shards over 'data' with no cross-step sequencing.
 
     ``outputs='summary'`` drops the [S, capacity] per-frame tensors
     (frames/keep/corrected_bs) from the return value, keeping only the
@@ -79,9 +91,16 @@ def batched_session_pipeline(
     )
     if outputs not in ("full", "summary"):
         raise ValueError(f"outputs must be 'full' or 'summary', got {outputs!r}")
+    if session_axis not in ("vmap", "scan"):
+        raise ValueError(
+            f"session_axis must be 'vmap' or 'scan', got {session_axis!r}")
 
     def batched(byte_batch, n_bytes, lut):
-        out = jax.vmap(body, in_axes=(0, 0, None))(byte_batch, n_bytes, lut)
+        if session_axis == "scan":
+            out = jax.lax.map(lambda a: body(a[0], a[1], lut),
+                              (byte_batch, n_bytes))
+        else:
+            out = jax.vmap(body, in_axes=(0, 0, None))(byte_batch, n_bytes, lut)
         # Keep per-session tensors sharded over 'data' end to end.
         out = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(

@@ -493,3 +493,27 @@ def test_multi_stream_reset_attaches_new_feed():
                              collect_filtered=True, emit_capacity=ecap)
     assert nf_first == int(ref0._state.n_frames)
     np.testing.assert_array_equal(got_first, ref0.filtered)
+
+
+def test_scan_sessions_bitwise_equals_vmap(stacked, single_device_out):
+    """session_axis='scan' (the small-executable form for transports that
+    refuse large code-heavy programs — STATUS 'Transport
+    characterization' #5) must reproduce the vmapped outputs bit-exactly."""
+    from slam_process_tpu.parallel.batch import batched_session_pipeline
+    from slam_process_tpu.parallel.mesh import make_mesh
+
+    _, batch, lengths, lut = stacked
+    mesh = make_mesh((1, 1), ("data", "model"))
+    fn = batched_session_pipeline(
+        mesh, batch.shape[1], max_groups=MAX_GROUPS,
+        max_baselines_per_group=MAX_BASELINES, session_axis="scan",
+    )
+    with mesh:
+        out = fn(jnp.asarray(batch), jnp.asarray(lengths), lut)
+        jax.block_until_ready(out.rgba)
+    out = jax.device_get(out)
+    for name in out._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(single_device_out, name)),
+            err_msg=f"field {name} differs between scan and vmap forms")
