@@ -369,48 +369,21 @@ class Bench:
         self.r["e2e_frames_per_sec"] = round(
             self.total_frames / min(self.e2e_wall_s, e2e_devtok_wall_s), 1)
 
-    # Probe script for the one program today's relay reproducibly refuses
-    # to load (the ~49 MB uniformly-padded jit_batched executable: three
-    # independent bench runs hung at exactly this lane, 0% CPU, while
-    # every other program loaded fine).  Run it in a sacrificial
-    # subprocess under a deadline; on failure the batched lanes are
-    # skipped with a recorded reason instead of burning the watchdog's
-    # stall budget and losing the final emit.
-    _BATCHED_PROBE = (
-        "import glob, jax, jax.numpy as jnp\n"
-        "from slam_process_tpu.utils.cache import enable_persistent_cache\n"
-        "enable_persistent_cache('build/jax_cache')\n"
-        "from slam_process_tpu.io import read_hex_log\n"
-        "from slam_process_tpu.ops.raster import colormap_lut\n"
-        "from slam_process_tpu.parallel.batch import "
-        "batched_session_pipeline, stack_sessions\n"
-        "from slam_process_tpu.parallel.mesh import make_mesh\n"
-        "logs = sorted(glob.glob('/root/reference/debugDoc/*.txt'))\n"
-        "raw = [read_hex_log(p) for p in logs]\n"
-        "n = max(len(r) for r in raw)\n"
-        "n = ((n + (1 << 20) - 1) >> 20) << 20\n"
-        "batch, lengths = stack_sessions(raw, n)\n"
-        "mesh = make_mesh((1, 1), ('data', 'model'))\n"
-        "bfn = batched_session_pipeline(mesh, n, max_groups=64, "
-        "max_baselines_per_group=96, outputs='summary')\n"
-        "with mesh:\n"
-        "    out = bfn(jax.device_put(batch), jax.device_put(lengths),\n"
-        "              jnp.asarray(colormap_lut('viridis')))\n"
-        "    print('batched-ok', int(jax.device_get(jnp.sum(out.n_kept))))\n"
-    )
+    # The probe subprocess runs _batched_probe_main() below — the SAME
+    # _build_batched construction the lane uses, so the probe's verdict is
+    # always about the byte-identical executable (a hand-copied config
+    # string would silently drift).  Why a probe at all: today's relay
+    # reproducibly refuses to load the ~49 MB vmapped jit_batched
+    # executable (three independent runs hung at exactly this lane, 0%
+    # CPU, while every other program loaded fine) — a sacrificial
+    # subprocess under a deadline converts that into a clean fallback.
+    _BATCHED_PROBE = "import bench; bench._batched_probe_main()"
 
     def lane_wall_batched(self) -> None:
         import gc
         import subprocess
 
         import jax
-        import jax.numpy as jnp
-
-        from slam_process_tpu.ops.raster import colormap_lut
-        from slam_process_tpu.parallel.batch import (
-            batched_session_pipeline,
-            stack_sessions,
-        )
 
         # Poll + beat while the probe runs: the wait itself is a 0%-CPU
         # block in the MAIN process and must not trip the stall watchdog
@@ -424,6 +397,16 @@ class Bench:
         # room for the scan-form fallback compile within the hard cap.
         deadline = time.perf_counter() + 150
         ok = False
+
+        def reap():
+            # The hung child can be unreapable for a while even after
+            # SIGKILL; never let the reap itself abort the lane.
+            proc.kill()
+            try:
+                proc.wait(timeout=10)
+            except Exception:
+                pass
+
         try:
             while time.perf_counter() < deadline:
                 self.rep.beat()
@@ -434,11 +417,9 @@ class Bench:
                 except subprocess.TimeoutExpired:
                     continue
             else:
-                proc.kill()
-                proc.wait(timeout=10)   # reap: no zombie for the rest of the run
+                reap()
         except OSError:
-            proc.kill()
-            proc.wait(timeout=10)
+            reap()
         self.rep.beat()
         session_axis = "vmap"
         if not ok:
@@ -456,17 +437,11 @@ class Bench:
         gc.collect()
         # Batched-session config: ONE jitted program over the stacked
         # [S, Nmax] byte batch (the multi-chip layout, on a single chip).
-        n_padded = max(len(r) for r in self.raw)
-        n_padded = ((n_padded + (1 << 20) - 1) >> 20) << 20
-        batch, lengths = stack_sessions(self.raw, n_padded)
-        self.bfn = batched_session_pipeline(self.mesh, n_padded, max_groups=64,
-                                            max_baselines_per_group=96,
-                                            outputs="summary",
-                                            session_axis=session_axis)
-        self.lut_j = jnp.asarray(colormap_lut("viridis"))
+        self.bfn, self.batch_np, self.len_np, self.lut_j = _build_batched(
+            self.mesh, self.raw, session_axis)
         with self.mesh:
-            self.batch_dev = jax.device_put(batch)
-            self.len_dev = jax.device_put(lengths)
+            self.batch_dev = jax.device_put(self.batch_np)
+            self.len_dev = jax.device_put(self.len_np)
             bout = self.bfn(self.batch_dev, self.len_dev, self.lut_j)  # warm
             jax.block_until_ready(bout.rgba)
             t3 = time.perf_counter()
@@ -488,6 +463,8 @@ class Bench:
             frames / (time.perf_counter() - t2), 1)
 
     def lane_warm_streaming_device(self) -> None:
+        import jax
+
         # Device streaming warm (compile all variants before their windows).
         from slam_process_tpu.parallel.streaming_device import (
             make_paths_spec,
@@ -497,6 +474,10 @@ class Bench:
         self.replay_log_device = replay_log_device
         replay_log_device(self.raw[0], chunk_bytes=1 << 20).block_until_ready()
         self.rep.beat()
+        if jax.default_backend() == "cpu":
+            # The emit and collect_paths measurement lanes are CPU_SKIP'd;
+            # warming their programs would be pure wasted XLA:CPU compile.
+            return
         replay_log_device(self.raw[0], chunk_bytes=1 << 20,
                           collect_filtered=True).block_until_ready()
         self.rep.beat()
@@ -1020,6 +1001,52 @@ class Bench:
                     aborted = True
             self.rep.emit(name)
         self.rep.emit("final")
+
+
+def _build_batched(mesh, raw, session_axis: str):
+    """ONE construction of the batched program + its inputs, shared by
+    lane_wall_batched and the sacrificial probe subprocess — so the probe's
+    load verdict is always about the byte-identical executable (config
+    drift between two copies would silently invalidate it)."""
+    import jax.numpy as jnp
+
+    from slam_process_tpu.ops.raster import colormap_lut
+    from slam_process_tpu.parallel.batch import (
+        batched_session_pipeline,
+        stack_sessions,
+    )
+
+    n_padded = max(len(r) for r in raw)
+    n_padded = ((n_padded + (1 << 20) - 1) >> 20) << 20
+    batch, lengths = stack_sessions(raw, n_padded)
+    bfn = batched_session_pipeline(mesh, n_padded, max_groups=64,
+                                   max_baselines_per_group=96,
+                                   outputs="summary",
+                                   session_axis=session_axis)
+    return bfn, batch, lengths, jnp.asarray(colormap_lut("viridis"))
+
+
+def _batched_probe_main() -> None:
+    """Subprocess entry: load + run the vmapped batched program once."""
+    import glob as _glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam_process_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(str(Path(__file__).parent / "build" / "jax_cache"))
+    from slam_process_tpu.io import read_hex_log
+    from slam_process_tpu.parallel.mesh import make_mesh
+
+    raw = [read_hex_log(p)
+           for p in sorted(_glob.glob(str(DEBUGDOC / "*.txt")))]
+    mesh = make_mesh((1, 1), ("data", "model"))
+    bfn, batch, lengths, lut = _build_batched(mesh, raw, "vmap")
+    with mesh:
+        out = bfn(jax.device_put(batch), jax.device_put(lengths), lut)
+        print("batched-ok", int(jax.device_get(jnp.sum(out.n_kept))),
+              flush=True)
 
 
 def main() -> None:
