@@ -260,14 +260,18 @@ def test_two_process_cli_watch_multihost_events(tmp_path):
              "--min-persist", "2", "--min-gone", "2", "--jump-deg", "2.0",
              "--coordinator", coordinator, "--num-processes", "2",
              "--process-id", str(pid), "--local-devices", "4",
-             "--poll-interval", "0.2", "--idle-timeout", "4.0"],
+             # idle-timeout must exceed the worst-case starvation of this
+             # test process's writer threads: under full-suite load on the
+             # 1-core box a 4 s idle window truncated the capture mid-feed
+             # (flaked in-suite, passed in isolation at 9m14s).
+             "--poll-interval", "0.2", "--idle-timeout", "15.0"],
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True))
     for t in threads:
         t.start()
     for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=580)
+            stdout, stderr = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
